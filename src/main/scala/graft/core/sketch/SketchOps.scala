@@ -1,0 +1,27 @@
+package graft.core.sketch
+
+/**
+ * Static, Java-callable facade over the sketch cores, used by generated code
+ * (whole-stage codegen emits plain Java, which can call the static
+ * forwarders of this object). Keeping these one-liners here lets every
+ * estimator expression stay inside codegen instead of falling back to
+ * interpreted eval.
+ */
+object SketchOps {
+  def hllEst(bytes: Array[Byte]): Long = Hll.fromBytes(bytes).estimate
+  def hllUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.unionBytes(a, b)
+
+  def cmsEst(bytes: Array[Byte], hash: Long): Long = CountMin.fromBytes(bytes).estimate(hash)
+  def cmsTotal(bytes: Array[Byte]): Long = CountMin.fromBytes(bytes).totalCount
+
+  def bloomContains(bytes: Array[Byte], hash: Long): Boolean =
+    BloomFilter.fromBytes(bytes).mightContain(hash)
+
+  def tdigestQuantile(bytes: Array[Byte], q: Double): Double =
+    TDigest.fromBytes(bytes).quantile(q)
+  def tdigestCdf(bytes: Array[Byte], x: Double): Double = TDigest.fromBytes(bytes).cdf(x)
+
+  def kllQuantile(bytes: Array[Byte], q: Double): Double = Kll.fromBytes(bytes).quantile(q)
+  def kllRank(bytes: Array[Byte], x: Double): Double = Kll.fromBytes(bytes).rank(x)
+  def kllCount(bytes: Array[Byte]): Long = Kll.fromBytes(bytes).count
+}

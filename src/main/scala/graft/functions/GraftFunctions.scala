@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graftshim.shims.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.functions.{log => slog, lit}
+
+/**
+ * Public Column API for the graft sketch engine, plus SQL registration.
+ *
+ * Usage (DataFrame):
+ * {{{
+ *   import graft.functions.GraftFunctions._
+ *   pages.groupBy(col("host")).agg(hll_build(xxh3_64(col("url"))).as("sk"))
+ * }}}
+ * Usage (SQL): `GraftFunctions.registerAll(spark)` then
+ * `SELECT hll_est(hll_build(xxh3_64(url))) FROM pages`.
+ */
+object GraftFunctions {
+
+  private def agg(a: AggregateFunction): Column = column(a.toAggregateExpression())
+
+  // ----- scalar -----
+  def xxh3_64(c: Column): Column = column(Xxh3(expression(c)))
+  def truncate_ip(c: Column): Column = column(TruncateIp(expression(c)))
+  def normalize_domain(c: Column, numLabels: Int = 1): Column =
+    column(NormalizeDomain(expression(c), numLabels))
+  def unescape_domain(c: Column): Column = column(UnescapeDomain(expression(c)))
+  def host_of_url(c: Column): Column = column(HostOfUrl(expression(c)))
+  def extract_text(c: Column): Column = column(ExtractText(expression(c)))
+
+  /** magnitude = log(clients)/log(total) * 10 — deliberately unclamped, like
+    * the reference (/root/reference/internal/dataset.go:110-114). */
+  def magnitude(clients: Column, total: Column): Column =
+    slog(clients.cast("double")) / slog(total.cast("double")) * lit(10.0)
+
+  // ----- estimators -----
+  def hll_est(sketch: Column): Column = column(HllEst(expression(sketch)))
+  def cms_est(sketch: Column, hash: Column): Column =
+    column(CmsEst(expression(sketch), expression(hash)))
+  def bloom_contains(sketch: Column, hash: Column): Column =
+    column(BloomContains(expression(sketch), expression(hash)))
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    column(TDigestQuantile(expression(sketch), expression(q)))
+  def tdigest_cdf(sketch: Column, x: Column): Column =
+    column(TDigestCdf(expression(sketch), expression(x)))
+  def kll_quantile(sketch: Column, q: Column): Column =
+    column(KllQuantile(expression(sketch), expression(q)))
+  def kll_rank(sketch: Column, x: Column): Column =
+    column(KllRank(expression(sketch), expression(x)))
+
+  // ----- aggregates (build from raw values) -----
+  def hll_build(hash: Column): Column = agg(HllBuildAgg(expression(hash)))
+  def cms_build(hash: Column, count: Column): Column =
+    agg(CmsBuildAgg(expression(hash), expression(count)))
+  def bloom_build(hash: Column): Column = agg(BloomBuildAgg(expression(hash)))
+  def tdigest_build(x: Column): Column = agg(TDigestBuildAgg(expression(x)))
+  def kll_build(x: Column): Column = agg(KllBuildAgg(expression(x)))
+
+  // ----- aggregates (merge stored sketch bytes) -----
+  def hll_merge(sketch: Column): Column = agg(HllMergeAgg(expression(sketch)))
+  def cms_merge(sketch: Column): Column = agg(CmsMergeAgg(expression(sketch)))
+  def bloom_merge(sketch: Column): Column = agg(BloomMergeAgg(expression(sketch)))
+  def tdigest_merge(sketch: Column): Column = agg(TDigestMergeAgg(expression(sketch)))
+  def kll_merge(sketch: Column): Column = agg(KllMergeAgg(expression(sketch)))
+
+  /** All SQL-callable names -> expression builders. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "xxh3_64" -> (e => Xxh3(e.head)),
+    "truncate_ip" -> (e => TruncateIp(e.head)),
+    "normalize_domain" -> (e => NormalizeDomain(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 1)),
+    "unescape_domain" -> (e => UnescapeDomain(e.head)),
+    "host_of_url" -> (e => HostOfUrl(e.head)),
+    "extract_text" -> (e => ExtractText(e.head)),
+    "hll_est" -> (e => HllEst(e.head)),
+    "cms_est" -> (e => CmsEst(e.head, e(1))),
+    "bloom_contains" -> (e => BloomContains(e.head, e(1))),
+    "tdigest_quantile" -> (e => TDigestQuantile(e.head, e(1))),
+    "tdigest_cdf" -> (e => TDigestCdf(e.head, e(1))),
+    "kll_quantile" -> (e => KllQuantile(e.head, e(1))),
+    "kll_rank" -> (e => KllRank(e.head, e(1))),
+    "hll_build" -> (e => HllBuildAgg(e.head).toAggregateExpression()),
+    "hll_merge" -> (e => HllMergeAgg(e.head).toAggregateExpression()),
+    "cms_build" -> (e => CmsBuildAgg(e.head, e(1)).toAggregateExpression()),
+    "cms_merge" -> (e => CmsMergeAgg(e.head).toAggregateExpression()),
+    "bloom_build" -> (e => BloomBuildAgg(e.head).toAggregateExpression()),
+    "bloom_merge" -> (e => BloomMergeAgg(e.head).toAggregateExpression()),
+    "tdigest_build" -> (e => TDigestBuildAgg(e.head).toAggregateExpression()),
+    "tdigest_merge" -> (e => TDigestMergeAgg(e.head).toAggregateExpression()),
+    "kll_build" -> (e => KllBuildAgg(e.head).toAggregateExpression()),
+    "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression()))
+
+  /** Register every function for SQL use in this session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injects the same
+  * functions at session build time (for spark-submit deployments). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    def info(name: String) = new ExpressionInfo("graft", name)
+    Seq[(String, Seq[Expression] => Expression)](
+      "xxh3_64" -> (e => Xxh3(e.head)),
+      "truncate_ip" -> (e => TruncateIp(e.head)),
+      "normalize_domain" -> (e => NormalizeDomain(e.head,
+        if (e.length > 1) e(1).eval().toString.toInt else 1)),
+      "unescape_domain" -> (e => UnescapeDomain(e.head)),
+      "host_of_url" -> (e => HostOfUrl(e.head)),
+      "extract_text" -> (e => ExtractText(e.head)),
+      "hll_est" -> (e => HllEst(e.head)),
+      "cms_est" -> (e => CmsEst(e.head, e(1))),
+      "bloom_contains" -> (e => BloomContains(e.head, e(1))),
+      "tdigest_quantile" -> (e => TDigestQuantile(e.head, e(1))),
+      "tdigest_cdf" -> (e => TDigestCdf(e.head, e(1))),
+      "kll_quantile" -> (e => KllQuantile(e.head, e(1))),
+      "kll_rank" -> (e => KllRank(e.head, e(1))),
+      "hll_build" -> (e => HllBuildAgg(e.head).toAggregateExpression()),
+      "hll_merge" -> (e => HllMergeAgg(e.head).toAggregateExpression()),
+      "cms_build" -> (e => CmsBuildAgg(e.head, e(1)).toAggregateExpression()),
+      "cms_merge" -> (e => CmsMergeAgg(e.head).toAggregateExpression()),
+      "bloom_build" -> (e => BloomBuildAgg(e.head).toAggregateExpression()),
+      "bloom_merge" -> (e => BloomMergeAgg(e.head).toAggregateExpression()),
+      "tdigest_build" -> (e => TDigestBuildAgg(e.head).toAggregateExpression()),
+      "tdigest_merge" -> (e => TDigestMergeAgg(e.head).toAggregateExpression()),
+      "kll_build" -> (e => KllBuildAgg(e.head).toAggregateExpression()),
+      "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression())
+    ).foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), b))
+    }
+  }
+}

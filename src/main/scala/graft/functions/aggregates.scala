@@ -1,0 +1,295 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{UnaryLike, BinaryLike}
+import org.apache.spark.sql.types._
+import graft.core.sketch._
+
+/**
+ * Sketch aggregates as `TypedImperativeAggregate`s — Spark's partial/final
+ * aggregation contract is exactly the reference's collect/aggregate split:
+ * per-partition `update` mirrors MagnitudeDataset.updateStats
+ * (/root/reference/internal/dataset.go:156-214), shuffle-side `merge`
+ * mirrors AggregateDatasets' StrictUnion fold
+ * (/root/reference/internal/dataset.go:232-298). Each family ships a BUILD
+ * aggregate (from raw values) and a MERGE aggregate (from stored sketch
+ * bytes — the resume/re-aggregation path). `eval` emits the serialized
+ * sketch (BinaryType); estimator scalars decode it downstream, so sketch
+ * columns are first-class mergeable values exactly like the reference's
+ * CBOR-stored HLLs.
+ *
+ * These run under ObjectHashAggregateExec: buffers live per group in the
+ * hash map, so the cores keep compact in-memory forms (sparse HLL map,
+ * t-digest centroid arrays) and serialize small at shuffle boundaries.
+ */
+abstract class SketchAggBase[S] extends TypedImperativeAggregate[S] with ImplicitCastInputTypes {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+}
+
+// -------------------------------- HLL --------------------------------
+
+/** hll_build(hash LONG) -> AK-spec sketch bytes. */
+case class HllBuildAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[Hll] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def prettyName: String = "hll_build"
+  override def createAggregationBuffer(): Hll = Hll()
+  override def update(buf: Hll, row: InternalRow): Hll = {
+    val v = child.eval(row)
+    if (v != null) buf.addRaw(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: Hll, b: Hll): Hll = { a.union(b); a }
+  override def eval(buf: Hll): Any = buf.toBytes
+  override def serialize(buf: Hll): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Hll = Hll.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllBuildAgg = copy(child = c)
+}
+
+/** hll_merge(sketch BINARY) -> unioned sketch bytes (strict settings). */
+case class HllMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[Hll] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "hll_merge"
+  override def createAggregationBuffer(): Hll = Hll()
+  override def update(buf: Hll, row: InternalRow): Hll = {
+    val v = child.eval(row)
+    if (v != null) buf.union(Hll.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: Hll, b: Hll): Hll = { a.union(b); a }
+  override def eval(buf: Hll): Any = buf.toBytes
+  override def serialize(buf: Hll): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Hll = Hll.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllMergeAgg = copy(child = c)
+}
+
+// ------------------------------ Count-Min ------------------------------
+
+/** cms_build(hash LONG, count LONG) -> CM sketch bytes. */
+case class CmsBuildAgg(
+    left: Expression,
+    right: Expression,
+    depth: Int = CountMin.DefaultDepth,
+    width: Int = CountMin.DefaultWidth,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[CountMin] with BinaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def prettyName: String = "cms_build"
+  override def createAggregationBuffer(): CountMin = new CountMin(depth, width)
+  override def update(buf: CountMin, row: InternalRow): CountMin = {
+    val h = left.eval(row)
+    val c = right.eval(row)
+    if (h != null && c != null) buf.update(h.asInstanceOf[Long], c.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: CountMin, b: CountMin): CountMin = { a.merge(b); a }
+  override def eval(buf: CountMin): Any = buf.toBytes
+  override def serialize(buf: CountMin): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): CountMin = CountMin.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsBuildAgg =
+    copy(left = l, right = r)
+}
+
+/** cms_merge(sketch BINARY) -> element-wise-summed CM bytes. */
+case class CmsMergeAgg(
+    child: Expression,
+    depth: Int = CountMin.DefaultDepth,
+    width: Int = CountMin.DefaultWidth,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[CountMin] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "cms_merge"
+  override def createAggregationBuffer(): CountMin = new CountMin(depth, width)
+  override def update(buf: CountMin, row: InternalRow): CountMin = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(CountMin.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: CountMin, b: CountMin): CountMin = { a.merge(b); a }
+  override def eval(buf: CountMin): Any = buf.toBytes
+  override def serialize(buf: CountMin): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): CountMin = CountMin.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsMergeAgg = copy(child = c)
+}
+
+// ------------------------------- Bloom -------------------------------
+
+/** bloom_build(hash LONG) -> Bloom filter bytes. */
+case class BloomBuildAgg(
+    child: Expression,
+    numHashes: Int = BloomFilter.DefaultHashes,
+    log2Bits: Int = BloomFilter.DefaultLog2Bits,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[BloomFilter] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def prettyName: String = "bloom_build"
+  override def createAggregationBuffer(): BloomFilter = new BloomFilter(numHashes, log2Bits)
+  override def update(buf: BloomFilter, row: InternalRow): BloomFilter = {
+    val v = child.eval(row)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.merge(b); a }
+  override def eval(buf: BloomFilter): Any = buf.toBytes
+  override def serialize(buf: BloomFilter): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BloomFilter = BloomFilter.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomBuildAgg = copy(child = c)
+}
+
+/** bloom_merge(sketch BINARY) -> OR-merged Bloom bytes. */
+case class BloomMergeAgg(
+    child: Expression,
+    numHashes: Int = BloomFilter.DefaultHashes,
+    log2Bits: Int = BloomFilter.DefaultLog2Bits,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[BloomFilter] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "bloom_merge"
+  override def createAggregationBuffer(): BloomFilter = new BloomFilter(numHashes, log2Bits)
+  override def update(buf: BloomFilter, row: InternalRow): BloomFilter = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(BloomFilter.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.merge(b); a }
+  override def eval(buf: BloomFilter): Any = buf.toBytes
+  override def serialize(buf: BloomFilter): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BloomFilter = BloomFilter.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomMergeAgg = copy(child = c)
+}
+
+// ------------------------------ t-digest ------------------------------
+
+/** tdigest_build(x DOUBLE) -> t-digest bytes. */
+case class TDigestBuildAgg(
+    child: Expression,
+    compression: Double = TDigest.DefaultCompression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[TDigest] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def prettyName: String = "tdigest_build"
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+  override def update(buf: TDigest, row: InternalRow): TDigest = {
+    val v = child.eval(row)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+  override def eval(buf: TDigest): Any = buf.toBytes
+  override def serialize(buf: TDigest): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TDigestBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestBuildAgg = copy(child = c)
+}
+
+/** tdigest_merge(sketch BINARY) -> merged t-digest bytes. */
+case class TDigestMergeAgg(
+    child: Expression,
+    compression: Double = TDigest.DefaultCompression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[TDigest] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "tdigest_merge"
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+  override def update(buf: TDigest, row: InternalRow): TDigest = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(TDigest.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+  override def eval(buf: TDigest): Any = buf.toBytes
+  override def serialize(buf: TDigest): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestMergeAgg = copy(child = c)
+}
+
+// -------------------------------- KLL --------------------------------
+
+/** kll_build(x DOUBLE) -> KLL sketch bytes. */
+case class KllBuildAgg(
+    child: Expression,
+    k: Int = Kll.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[Kll] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def prettyName: String = "kll_build"
+  override def createAggregationBuffer(): Kll = new Kll(k)
+  override def update(buf: Kll, row: InternalRow): Kll = {
+    val v = child.eval(row)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(a: Kll, b: Kll): Kll = { a.merge(b); a }
+  override def eval(buf: Kll): Any = buf.toBytes
+  override def serialize(buf: Kll): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Kll = Kll.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KllBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllBuildAgg = copy(child = c)
+}
+
+/** kll_merge(sketch BINARY) -> merged KLL bytes. */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = Kll.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[Kll] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def prettyName: String = "kll_merge"
+  override def createAggregationBuffer(): Kll = new Kll(k)
+  override def update(buf: Kll, row: InternalRow): Kll = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(Kll.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: Kll, b: Kll): Kll = { a.merge(b); a }
+  override def eval(buf: Kll): Any = buf.toBytes
+  override def serialize(buf: Kll): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Kll = Kll.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllMergeAgg = copy(child = c)
+}

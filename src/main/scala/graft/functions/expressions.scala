@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Scalar Catalyst expressions for the graft engine. All implement
+ * `doGenCode` by calling the static forwarders of the pure-JVM cores
+ * (graft.core.*), so they stay inside whole-stage codegen — no Scala UDF
+ * wrapping, no encoder round-trips (reference behaviors cited per class).
+ */
+
+/** XXH3-64 over binary or UTF-8 string bytes. Reference hashes the 16-byte
+  * truncated address (/root/reference/internal/ip_address.go:44-45); the
+  * generalized pipeline also hashes hostnames/urls. NOT Spark's `xxhash64`
+  * (that is XXH64, a different algorithm). */
+case class Xxh3(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"xxh3_64 requires BINARY or STRING input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xxh3_64"
+  override def nullSafeEval(v: Any): Any = v match {
+    case b: Array[Byte] => graft.core.hash.XXH3.hash(b)
+    case s: UTF8String  => graft.core.hash.XXH3.hash(s.getBytes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = "graft.core.hash.XXH3.hash"
+    child.dataType match {
+      case BinaryType => defineCodeGen(ctx, ev, c => s"$fn($c)")
+      case StringType => defineCodeGen(ctx, ev, c => s"$fn($c.getBytes())")
+      case other => throw new IllegalStateException(s"unexpected input type $other")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Xxh3 = copy(child = c)
+}
+
+/** Truncate + canonicalize an IP string to 16 bytes (v4 -> /24 v4-mapped,
+  * v6 -> /48; v4-mapped-v6 inputs collapse to `::` — the reference quirk,
+  * /root/reference/internal/ip_address.go:26-52). NULL for invalid input. */
+case class TruncateIp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "truncate_ip"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.net.IpUtil.truncate(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.core.net.IpUtil.truncate($c.toString());
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(c: Expression): TruncateIp = copy(child = c)
+}
+
+/** Normalize a domain: lowercase, strip one trailing dot, keep last N
+  * labels, validate TLD ("." for root, NULL for invalid —
+  * /root/reference/internal/domain_name.go:14-43). */
+case class NormalizeDomain(child: Expression, numLabels: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "normalize_domain"
+  override def nullSafeEval(v: Any): Any = {
+    val r = graft.core.net.DomainUtil.normalize(v.asInstanceOf[UTF8String].toString, numLabels)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.String r = graft.core.net.DomainUtil.normalize($c.toString(), $numLabels);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(r); }
+    """)
+  override protected def withNewChildInternal(c: Expression): NormalizeDomain = copy(child = c)
+}
+
+/** Decode `\DDD` octal / `\xHH` hex escapes with the reference's quirks
+  * (/root/reference/internal/csv.go:129-194). */
+case class UnescapeDomain(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unescape_domain"
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.core.net.DomainUtil.unescape(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.net.DomainUtil.unescape($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): UnescapeDomain = copy(child = c)
+}
+
+/** Lowercased hostname of a URL; NULL when there is no authority. The
+  * pages-table analogue of the reference's domain key. */
+case class HostOfUrl(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "host_of_url"
+  override def nullSafeEval(v: Any): Any = {
+    val r = graft.core.net.DomainUtil.hostOfUrl(v.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.String r = graft.core.net.DomainUtil.hostOfUrl($c.toString());
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(r); }
+    """)
+  override protected def withNewChildInternal(c: Expression): HostOfUrl = copy(child = c)
+}
+
+/** Deterministic text extraction from the synthetic page html (byte-exact
+  * inverse of the generator's wrap — the per-row invariant demanded by
+  * BASELINE.json input_hint). Pure function of the bytes: no charset
+  * guessing, no locale, no time. */
+case class ExtractText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "extract_text"
+  override def nullSafeEval(v: Any): Any = {
+    val r = graft.core.text.HtmlText.extract(v.asInstanceOf[Array[Byte]])
+    if (r == null) null else UTF8String.fromBytes(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      byte[] r = graft.core.text.HtmlText.extract($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes(r); }
+    """)
+  override protected def withNewChildInternal(c: Expression): ExtractText = copy(child = c)
+}
+
+// ----------------------------- estimators -----------------------------
+
+/** HLL cardinality estimate from AK-spec sketch bytes. */
+case class HllEst(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_est"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.sketch.SketchOps.hllEst(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.sketch.SketchOps.hllEst($c)")
+  override protected def withNewChildInternal(c: Expression): HllEst = copy(child = c)
+}
+
+/** Count-Min point estimate for a pre-hashed key. */
+case class CmsEst(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_est"
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
+    graft.core.sketch.SketchOps.cmsEst(sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, h) => s"graft.core.sketch.SketchOps.cmsEst($s, $h)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEst =
+    copy(left = l, right = r)
+}
+
+/** Bloom membership for a pre-hashed key (no false negatives). */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
+    graft.core.sketch.SketchOps.bloomContains(sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, h) => s"graft.core.sketch.SketchOps.bloomContains($s, $h)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContains =
+    copy(left = l, right = r)
+}
+
+/** t-digest quantile from sketch bytes. */
+case class TDigestQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "tdigest_quantile"
+  override def nullSafeEval(sketch: Any, q: Any): Any =
+    graft.core.sketch.SketchOps.tdigestQuantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, q) => s"graft.core.sketch.SketchOps.tdigestQuantile($s, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestQuantile =
+    copy(left = l, right = r)
+}
+
+/** t-digest CDF (fraction of mass <= x). */
+case class TDigestCdf(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "tdigest_cdf"
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    graft.core.sketch.SketchOps.tdigestCdf(sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, x) => s"graft.core.sketch.SketchOps.tdigestCdf($s, $x)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TDigestCdf =
+    copy(left = l, right = r)
+}
+
+/** KLL quantile from sketch bytes. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_quantile"
+  override def nullSafeEval(sketch: Any, q: Any): Any =
+    graft.core.sketch.SketchOps.kllQuantile(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, q) => s"graft.core.sketch.SketchOps.kllQuantile($s, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
+    copy(left = l, right = r)
+}
+
+/** KLL normalized rank of x. */
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_rank"
+  override def nullSafeEval(sketch: Any, x: Any): Any =
+    graft.core.sketch.SketchOps.kllRank(sketch.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, x) => s"graft.core.sketch.SketchOps.kllRank($s, $x)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** The reference fixtures replayed through REAL Spark plans (groupBy +
+  * custom TypedImperativeAggregate + broadcast join), pinning the same
+  * golden numbers as the core replay — this is the Spark-native analogue of
+  * the reference's collect/aggregate/report CLI flow (SURVEY.md §3). */
+class SparkFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def loadFixture(name: String, unescape: Boolean = false) = {
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/$name"), "ISO-8859-1").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("#")).toSeq
+    val rows = lines.map { l =>
+      val f = l.split("\t")
+      (f(0), f(1), if (f.length > 2) f(2).toLong else 1L)
+    }
+    val df = rows.toDF("client_ip", "domain_raw", "cnt")
+      .withColumn("domain_raw",
+        if (unescape) unescape_domain($"domain_raw") else $"domain_raw")
+    df.withColumn("hash", xxh3_64(truncate_ip($"client_ip")))
+      .withColumn("domain", normalize_domain($"domain_raw"))
+  }
+
+  test("collect via Spark aggregation reproduces golden estimates 70 and per-domain counts") {
+    val recs = loadFixture("test1_records.tsv").repartition(4) // force partial/final split
+    val global = recs.agg(
+      hll_build($"hash").as("sk"),
+      sum($"cnt").as("queries")).collect()(0)
+    assert(global.getAs[Long]("queries") === 100L)
+    val est = spark.range(1).select(
+      hll_est(lit(global.getAs[Array[Byte]]("sk")))).collect()(0).getLong(0)
+    assert(est === 70L)
+
+    val perDomain = recs
+      .filter($"domain".isNotNull && $"domain" =!= ".")
+      .groupBy($"domain")
+      .agg(hll_build($"hash").as("sk"), sum($"cnt").as("queries"))
+      .select($"domain", $"queries")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain === Map("com" -> 17L, "net" -> 20L, "org" -> 24L, "arpa" -> 16L))
+  }
+
+  test("two-dataset union via hll_merge reproduces golden estimate 92") {
+    val sk1 = loadFixture("test1_records.tsv").agg(hll_build($"hash")).collect()(0).getAs[Array[Byte]](0)
+    val sk2 = loadFixture("test2.tsv").agg(hll_build($"hash")).collect()(0).getAs[Array[Byte]](0)
+    // store the two sketch rows, merge-agg them (the `aggregate` command path)
+    val merged = Seq(sk1, sk2).toDF("sk")
+      .agg(hll_merge($"sk").as("sk"))
+      .select(hll_est($"sk")).collect()(0).getLong(0)
+    assert(merged === 92L)
+  }
+
+  test("magnitude report query: broadcast global, sort, reference ordering") {
+    val recs = loadFixture("test2.tsv")
+    val perDomain = recs.filter($"domain".isNotNull && $"domain" =!= ".")
+      .groupBy($"domain")
+      .agg(hll_build($"hash").as("sk"), sum($"cnt").as("queries"))
+      .select($"domain", hll_est($"sk").as("clients"), $"queries")
+    val global = recs.agg(hll_build($"hash").as("gsk"), sum($"cnt").as("total_queries"))
+      .select(hll_est($"gsk").as("total_clients"), $"total_queries")
+    val report = perDomain.crossJoin(broadcast(global))
+      .withColumn("magnitude", magnitude($"clients", $"total_clients"))
+      .orderBy(floor($"magnitude" * 1000).asc, $"domain".asc)
+      .collect()
+    // 27 estimated total clients; per-domain clients <= total; ascending magnitude
+    val mags = report.map(_.getAs[Double]("magnitude"))
+    assert(mags.sorted.sameElements(mags))
+    assert(report.map(_.getAs[String]("domain")).length === 7)
+    // magnitude formula spot check on first row
+    val r0 = report(0)
+    val expect = math.log(r0.getAs[Long]("clients").toDouble) /
+      math.log(r0.getAs[Long]("total_clients").toDouble) * 10
+    assert(math.abs(r0.getAs[Double]("magnitude") - expect) < 1e-12)
+  }
+
+  test("SQL registration: all functions callable from spark.sql") {
+    loadFixture("test1_records.tsv").createOrReplaceTempView("recs")
+    val est = spark.sql(
+      "SELECT hll_est(hll_build(hash)) AS est FROM recs").collect()(0).getLong(0)
+    assert(est === 70L)
+    val row = spark.sql("""
+      SELECT
+        cms_est(cms_build(hash, cnt), xxh3_64(truncate_ip('192.168.0.1'))) AS cm,
+        bloom_contains(bloom_build(hash), xxh3_64(truncate_ip('192.168.0.1'))) AS bc,
+        bloom_contains(bloom_build(hash), xxh3_64('never-seen')) AS bc_miss,
+        tdigest_quantile(tdigest_build(CAST(cnt AS DOUBLE)), 0.5) AS td_med,
+        kll_quantile(kll_build(CAST(cnt AS DOUBLE)), 0.5) AS kll_med
+      FROM recs""").collect()(0)
+    assert(row.getAs[Long]("cm") >= 1L)     // CM overestimates only
+    assert(row.getAs[Boolean]("bc") === true)
+    assert(row.getAs[Boolean]("bc_miss") === false)
+    assert(row.getAs[Double]("td_med") === 1.0) // all counts are 1
+    assert(row.getAs[Double]("kll_med") === 1.0)
+  }
+
+  test("extract_text(wrap(text)) is byte-identical across repartitionings") {
+    val texts = (1 to 500).map(i => s"doc $i body text äö ${"x" * (i % 50)}")
+    val df = texts.toDF("text")
+      .withColumn("html", udf((s: String) =>
+        graft.core.text.HtmlText.wrap(s.getBytes("UTF-8"))).apply($"text"))
+    for (parts <- Seq(1, 7)) {
+      val bad = df.repartition(parts)
+        .withColumn("rt", extract_text($"html"))
+        .filter($"rt" =!= $"text" || $"rt".isNull)
+        .count()
+      assert(bad === 0L, s"parts=$parts")
+    }
+  }
+
+  test("plan shape: sketch agg runs as ObjectHashAggregate with partial merge") {
+    val recs = loadFixture("test1_records.tsv")
+    val plan = recs.groupBy($"domain").agg(hll_build($"hash"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    // partial + final pair => mergeable partial aggregation is active
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(2000))
+  }
+
+  test("invalid domains NULL out but keep flowing to global counts") {
+    val df = Seq(
+      ("1.2.3.4", "com", 1L),
+      ("1.2.3.5", "bad_tld_9-", 1L),   // invalid TLD
+      ("1.2.3.6", ".", 1L),            // root
+      ("not-an-ip", "net", 1L)         // invalid IP -> hash NULL
+    ).toDF("ip", "d", "cnt")
+      .withColumn("hash", xxh3_64(truncate_ip($"ip")))
+      .withColumn("domain", normalize_domain($"d"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(3)) === 1) // one invalid hash
+    val domains = rows.map(r => Option(r.getString(4)))
+    assert(domains.count(_.isEmpty) === 1)  // one invalid domain
+    assert(domains.flatten.count(_ == ".") === 1)
+  }
+}
