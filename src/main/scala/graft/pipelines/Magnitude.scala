@@ -1,0 +1,165 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * The magnitude pipeline — the reference's collect / aggregate / report
+ * commands (SURVEY.md §3, /root/reference/app/cmd/{collect,aggregate,
+ * report}.go) re-expressed as three Spark plans over the pages table.
+ *
+ * Role mapping (SURVEY.md §1.3): `host(url)` plays the reference's domain;
+ * the distinct entity fed to HLL is xxh3_64(url) (distinct pages stand in
+ * for distinct client networks); `date(warc_ts)` is the reference's UTC
+ * collection day — aggregation only ever merges rows of equal date, which
+ * the reference enforces with an error (/root/reference/internal/dataset.go:
+ * 243-246) and we express as grouping by date.
+ *
+ * Scale design:
+ *  - ONE scan of the source feeds everything: phase-1 partial sketches per
+ *    (date, host, salt), then per-host merge, then the global row per date
+ *    is merged FROM the per-host sketches (mergeability — the property the
+ *    reference proves in AggregateDatasets — means no second scan).
+ *  - Hot hosts are salted: `salts` splits a hot key across that many
+ *    reducers in phase 1; phase 2 re-merges. AQE doesn't rebalance
+ *    aggregation skew, so this is explicit (north_rule).
+ *  - Invalid-host rows (host NULL) count toward the global totals but not
+ *    per-host stats, matching updateStats (/root/reference/internal/
+ *    dataset.go:161-184).
+ *  - All aggregates are TypedImperativeAggregates under
+ *    ObjectHashAggregateExec with map-side partial aggregation; sketch
+ *    bytes stay sparse (6B..10KB) at the shuffle boundary.
+ */
+object Magnitude {
+
+  /** sketch_state schema: date, host (NULL = global row), hll, queries. */
+  final val StateCols = Seq("date", "host", "hll", "queries")
+
+  /** collect: pages -> per-(date,host) sketch rows + a global row per date.
+    * `salts` > 1 enables two-phase salted aggregation for hot hosts. */
+  def collect(pages: DataFrame, salts: Int = 8): DataFrame = {
+    val base = pages.select(
+      to_date(col("warc_ts")).as("date"),
+      host_of_url(col("url")).as("host"),
+      xxh3_64(col("url")).as("page_hash"))
+
+    // phase 1: partial sketches per (date, host, salt) — map-side combine
+    // already shrinks each partition to ~distinct(host)*salts rows
+    val phase1 = base
+      .groupBy(col("date"), col("host"),
+        pmod(col("page_hash"), lit(math.max(salts, 1))).as("salt"))
+      .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
+
+    // phase 2: merge salt shards per host
+    val perHost = phase1
+      .groupBy(col("date"), col("host"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+
+    // global row per date: merge the per-host sketches (incl. NULL-host rows
+    // so invalid urls still count globally, like the reference)
+    val globalRows = perHost
+      .groupBy(col("date"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+      .select(col("date"), lit(null).cast("string").as("host"), col("hll"), col("queries"))
+
+    perHost.filter(col("host").isNotNull)
+      .select(StateCols.map(col): _*)
+      .unionByName(globalRows)
+  }
+
+  /** aggregate: merge many sketch-state tables (the reference's `aggregate`
+    * command over CBOR files; here: union + one merge-agg, associative and
+    * order-free). */
+  def aggregate(states: DataFrame*): DataFrame = {
+    val all = states.reduce(_.unionByName(_))
+    all.groupBy(col("date"), col("host"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+      .select(StateCols.map(col): _*)
+  }
+
+  /** report: per-date magnitude table, reference sort order (ascending
+    * floor(magnitude*1000), then host), optional top-N per date kept by
+    * highest magnitude (exact top-N — see SURVEY.md §2.3 A6 on the
+    * reference's order-dependent incremental truncation, which we
+    * deliberately do not replicate). */
+  def report(state: DataFrame, topN: Int = 0): DataFrame = {
+    val perHost = state.filter(col("host").isNotNull)
+      .select(col("date"), col("host"),
+        hll_est(col("hll")).as("unique_pages"), col("queries"))
+    val globals = state.filter(col("host").isNull)
+      .select(col("date"),
+        hll_est(col("hll")).as("total_unique_pages"),
+        col("queries").as("total_queries"))
+
+    // one row per date on the right: broadcast equi-join
+    val joined = perHost.join(broadcast(globals), Seq("date"))
+      .withColumn("magnitude", magnitude(col("unique_pages"), col("total_unique_pages")))
+
+    val limited =
+      if (topN > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("date"))
+          .orderBy(col("magnitude").desc, col("host").desc)
+        joined.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= topN).drop("__rank")
+      } else joined
+
+    limited.orderBy(col("date").asc,
+      floor(col("magnitude") * 1000).asc, col("host").asc)
+  }
+
+  // ------------------------- resumable collect -------------------------
+
+  /**
+   * Resumable collect with per-source-file lineage (north_rule: "resumable
+   * from checkpoint with per-partition lineage + metrics").
+   *
+   * Unit of work = one source file (stable across runs, unlike partition
+   * ids). Each completed file's partial sketch rows land in
+   * `ckptDir/partials/src=<id>/` in one atomic task commit; resume lists
+   * the already-present lineage ids and processes only the missing files.
+   * The final state is one merge-agg over all partials — associativity
+   * makes the recombination exact, so a killed-and-resumed run produces
+   * byte-identical state to a single run.
+   *
+   * Returns the merged sketch-state DataFrame.
+   */
+  def collectResumable(spark: SparkSession, sourceFiles: Seq[String],
+                       ckptDir: String, salts: Int = 8): DataFrame = {
+    val partialsDir = s"$ckptDir/partials"
+    val done = listDone(partialsDir)
+    val todo = sourceFiles.filterNot(f => done.contains(lineageId(f)))
+
+    todo.foreach { file =>
+      val pages = spark.read.parquet(file)
+      val t0 = System.nanoTime()
+      val rows = pages.count()
+      collect(pages, salts)
+        .withColumn("source_file", lit(file))
+        .withColumn("row_count", lit(rows))
+        .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$partialsDir/src=${lineageId(file)}")
+    }
+
+    val partials = spark.read.parquet(s"$partialsDir/src=*")
+    aggregate(partials.select(StateCols.map(col): _*))
+  }
+
+  /** Stable lineage id for a source file path. */
+  def lineageId(path: String): String =
+    java.lang.Long.toHexString(graft.core.hash.XXH3.hashString(path))
+
+  private def listDone(partialsDir: String): Set[String] = {
+    val d = new java.io.File(partialsDir)
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.startsWith("src="))
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("src=")).toSet
+  }
+
+  /** Convenience: full pipeline pages -> report in one call. */
+  def run(pages: DataFrame, topN: Int = 0, salts: Int = 8): DataFrame =
+    report(collect(pages, salts), topN)
+}
