@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/**
+ * Driver contract (see SURVEY.md §2 for the operator inventory each query
+ * covers). Three kinds of entries:
+ *
+ *  1. exact queries — engine operators whose results are bit-stable and
+ *     SQL-expressible; oracled 1:1 in DuckDB.
+ *  2. violation queries — sketch-accuracy assertions phrased as "SELECT the
+ *     rows that violate the published bound"; the oracle is the empty
+ *     relation. The bound must hold deterministically on this fixed data
+ *     (sketches are deterministic), so any row is a genuine regression.
+ *  3. rows-only queries (no oracleSql) — operators whose outputs are not
+ *     ANSI-SQL-expressible (LSH candidates, simhash, lang-id); their
+ *     correctness is pinned in ScalaTest against exact baselines instead.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: the full magnitude pipeline (collect -> aggregate -> report)
+    * over the synthetic Common-Crawl-style pages table. */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val pages = graft.sources.Pages.generateDf(spark, 20000, hosts = 300, days = 3, partitions = 8)
+    graft.pipelines.Magnitude.run(pages, topN = 100, salts = 8)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- core relational operators ----------------
+    "q_agg_pushdown" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg(col("l_discount")), 9).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_join_broadcast" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q_join_3way" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val c = s.read.parquet(t(dir, "customer"))
+      val n = s.read.parquet(t(dir, "nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(t(dir, "orders"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      without.join(withO, Seq("c_mktsegment"), "full_outer")
+        .na.fill(0L)
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q_rollup" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q_sort_limit" -> ((s, dir) => {
+      s.read.parquet(t(dir, "lineitem"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+    // ---------------- magnitude pipeline (exact twin) ----------------
+    "q_magnitude_exact" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val per = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("unique_users"),
+          count(lit(1)).as("query_volume"))
+      val tot = ev.agg(countDistinct(col("user_id")).as("total_users"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("magnitude",
+          round(magnitude(col("unique_users"), col("total_users")), 9))
+        .select(col("event_type"), col("magnitude"), col("unique_users"), col("query_volume"))
+        .orderBy(floor(col("magnitude") * 1000).asc, col("event_type").asc)
+    }),
+    // ---------------- sketch bound checks (oracle: empty) ----------------
+    "q_hll_violations" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", xxh3_64(col("user_id").cast("string")))
+      ev.groupBy(col("event_type"))
+        .agg(hll_est(hll_build(col("h"))).as("est"),
+          countDistinct(col("user_id")).as("exact"))
+        .filter(abs(col("est") - col("exact")) >
+          greatest(lit(3 * 0.008125) * col("exact"), lit(1.0)))
+        .select(col("event_type"), col("est"), col("exact"))
+    }),
+    "q_cms_violations" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", xxh3_64(col("event_type")))
+      val sketch = ev.agg(cms_build(col("h"), lit(1L)).as("cm"),
+        count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("exact"))
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est", cms_est(col("cm"), col("h")))
+        // CM: never under-estimates; over-estimation bounded by eps*N = (e/2048)*N
+        .filter(col("est") < col("exact") ||
+          col("est") > col("exact") + lit(math.E / 2048.0) * col("n"))
+        .select(col("event_type"), col("est"), col("exact"))
+    }),
+    "q_bloom_violations" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", xxh3_64(col("user_id").cast("string")))
+      val bloom = ev.agg(bloom_build(col("h")).as("bf"))
+      ev.select(col("user_id"), col("h")).distinct()
+        .crossJoin(broadcast(bloom))
+        .filter(!bloom_contains(col("bf"), col("h"))) // false negative = bug
+        .select(col("user_id"))
+    }),
+    "q_kll_violations" -> ((s, dir) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val sk = li.agg(kll_build(col("l_extendedprice")).as("sk"), count(lit(1)).as("n"))
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val quantiles = qs.map(q => struct(lit(q).as("q"),
+        kll_quantile(col("sk"), lit(q)).as("est")))
+      val ests = sk.select(explode(array(quantiles: _*)).as("e"), col("n"))
+        .select(col("e.q").as("q"), col("e.est").as("est"), col("n"))
+      // true rank of each estimate must be within 2.5% of q (k=200 bound 2x)
+      ests.as("e").crossJoin(li.select(col("l_extendedprice").as("x")))
+        .groupBy(col("q"), col("est"), col("n"))
+        .agg(sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("below"))
+        .filter(abs(col("below") / col("n") - col("q")) > 0.025)
+        .select(col("q"), col("est"))
+    }),
+    "q_tdigest_violations" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val sk = ev.agg(tdigest_build(col("value")).as("sk"), count(lit(1)).as("n"))
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val quantiles = qs.map(q => struct(lit(q).as("q"),
+        tdigest_quantile(col("sk"), lit(q)).as("est")))
+      val ests = sk.select(explode(array(quantiles: _*)).as("e"), col("n"))
+        .select(col("e.q").as("q"), col("e.est").as("est"), col("n"))
+      ests.crossJoin(ev.select(col("value").as("x")))
+        .groupBy(col("q"), col("est"), col("n"))
+        .agg(sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("below"))
+        .filter(abs(col("below") / col("n") - col("q")) > 0.02)
+        .select(col("q"), col("est"))
+    }),
+    "q_fingerprint_violations" -> ((s, dir) => {
+      // identity contract: equal fingerprints must mean equal texts
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"), fingerprint64(col("text")).as("fp"))
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.text") =!= col("b.text"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    }),
+    // ---------------- dedup / text / multimodal ----------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(s.read.parquet(t(dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")),
+          n = 3, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_token_stats" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+          length(col("text")).cast("long").as("n_chars_computed"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_quality" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          round(alpha_ratio(col("text")), 9).as("alpha_ratio"),
+          round(punct_ratio(col("text")), 9).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_events_window" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.mediaMeta(media).toDF()
+        .select(col("doc_id"), col("media_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(s.read.parquet(t(dir, "embeddings")),
+          minCos = 0.5, dims = 64)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---------------- rows-only (non-SQL-expressible) ----------------
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), lang_id(col("text")).as("predicted_lang"),
+          col("lang"), token_count_bpeish(col("text")).cast("long").as("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      Ann.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5,
+          dims = 64, planes = 10, tables = 6)
+        .select(col("query_id"), col("nn_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_hll_sketch_state" -> ((s, dir) => {
+      // the collect->aggregate path over events: per-type sketch rows merged
+      // into a global row, estimates surfaced (sketch bytes stay internal)
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", xxh3_64(col("user_id").cast("string")))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(hll_build(col("h")).as("sk"), count(lit(1)).as("vol"))
+      val global = perType.agg(hll_merge(col("sk")).as("sk"), sum(col("vol")).as("vol"))
+        .select(lit("__total__").as("event_type"), col("sk"), col("vol"))
+      perType.unionByName(global)
+        .select(col("event_type"), hll_est(col("sk")).as("est_users"), col("vol"))
+        .orderBy(col("event_type"))
+    }))
+
+  /** DuckDB oracles; violation queries compare against an empty relation of
+    * the same shape. */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pushdown" -> """
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_price,
+             round(avg(l_discount), 9) AS avg_disc, count(*) AS cnt
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_join_broadcast" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""",
+    "q_join_3way" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q_window_topk" -> """
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_semi_anti" -> """
+      SELECT c_mktsegment,
+             count(*) FILTER (WHERE o.o_custkey IS NULL) AS n_no_orders,
+             count(*) FILTER (WHERE o.o_custkey IS NOT NULL) AS n_with_orders
+      FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY 1 ORDER BY 1""",
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q_sort_limit" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+    "q_magnitude_exact" -> """
+      WITH per AS (
+        SELECT event_type, count(DISTINCT user_id) AS unique_users,
+               count(*) AS query_volume
+        FROM events GROUP BY 1),
+      tot AS (SELECT count(DISTINCT user_id) AS total_users FROM events)
+      SELECT event_type,
+             round(ln(unique_users) / ln(total_users) * 10, 9) AS magnitude,
+             unique_users, query_volume
+      FROM per, tot
+      ORDER BY floor(round(ln(unique_users) / ln(total_users) * 10, 9) * 1000) ASC,
+               event_type ASC""",
+    "q_hll_violations" -> """
+      SELECT event_type, CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact
+      FROM events WHERE 1 = 0""",
+    "q_cms_violations" -> """
+      SELECT event_type, CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact
+      FROM events WHERE 1 = 0""",
+    "q_bloom_violations" -> """
+      SELECT user_id FROM events WHERE 1 = 0""",
+    "q_kll_violations" -> """
+      SELECT CAST(0 AS DOUBLE) AS q, CAST(0 AS DOUBLE) AS est WHERE 1 = 0""",
+    "q_tdigest_violations" -> """
+      SELECT CAST(0 AS DOUBLE) AS q, CAST(0 AS DOUBLE) AS est WHERE 1 = 0""",
+    "q_fingerprint_violations" -> """
+      SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE 1 = 0""",
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1""",
+    "q_dedup_ngram" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                           ELSE list_transform(range(1, len(ts) - 1),
+                                  i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        FROM toks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 9) AS jaccard
+      FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
+      ORDER BY 1, 2""",
+    "q_token_stats" -> """
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             length(text) AS n_chars_computed, n_chars
+      FROM documents ORDER BY doc_id""",
+    "q_text_quality" -> """
+      SELECT doc_id,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / length(text), 9) AS alpha_ratio,
+             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r]', '', 'g')) AS DOUBLE)
+                   / length(text), 9) AS punct_ratio
+      FROM documents ORDER BY doc_id""",
+    "q_events_window" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_multimodal_meta" -> """
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_bytes
+      FROM documents ORDER BY doc_id""",
+    "q_ann_bruteforce" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS nn_id,
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, nn_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, nn_id, rank FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+    "q_embed_neardup" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.5
+      ORDER BY 1, 2""")
 }

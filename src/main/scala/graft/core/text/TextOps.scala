@@ -1,0 +1,167 @@
+package graft.core.text
+
+import graft.core.hash.XXH3
+
+/**
+ * Pure-JVM text-analysis primitives for the training-data pipeline
+ * (tokenize, SimHash, winnowing fingerprint, n-gram language id, quality
+ * stats). Static facade style so Catalyst codegen can call them directly.
+ */
+object TextOps {
+
+  /** Whitespace tokenization (the oracle-friendly definition: split on
+    * single spaces, like SQL string_split(text, ' ')). */
+  def tokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty else text.split(" ", -1)
+
+  /** BPE-ish token-count heuristic: words + digit runs + punctuation
+    * clusters counted separately (a cheap stand-in for a real tokenizer's
+    * piece count; deterministic). */
+  def tokenCountBpeish(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    var count = 0
+    var i = 0
+    val n = text.length
+    var cls = -1 // 0 letter, 1 digit, 2 punct, 3 space
+    while (i < n) {
+      val c = text.charAt(i)
+      val k = if (Character.isLetter(c)) 0 else if (Character.isDigit(c)) 1
+              else if (Character.isWhitespace(c)) 3 else 2
+      if (k != 3 && k != cls) count += 1
+      // long word pieces: split letters every 6 chars (sub-word pieces)
+      else if (k == 0 && k == cls && runLen(text, i) % 6 == 0) count += 1
+      cls = k
+      i += 1
+    }
+    count
+  }
+
+  @inline private def runLen(s: String, upto: Int): Int = {
+    var j = upto - 1
+    var len = 1
+    while (j >= 0 && Character.isLetter(s.charAt(j))) { len += 1; j -= 1 }
+    len
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar 2002): per token, its
+    * XXH3 hash votes +1/-1 on each bit; the sign vector is the fingerprint.
+    * Near-duplicate texts differ in few bits (small Hamming distance). */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ts = tokens(text)
+    var t = 0
+    while (t < ts.length) {
+      val h = XXH3.hashString(ts(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /**
+   * Rolling-hash document fingerprint: Rabin–Karp style polynomial hash over
+   * the UTF-8 bytes (base = FNV-ish odd multiplier, mod 2^64), finalized
+   * with an avalanche mix. Identity semantics: equal texts always produce
+   * equal fingerprints; distinct texts collide with ~2^-64 probability —
+   * the cheap first pass of exact dedup.
+   */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 0x100000001b3L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    // avalanche (splitmix64 finalizer)
+    h ^= bytes.length.toLong
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Winnowing-style near-dup blocking key (Schleimer, Wilkerson & Aiken
+    * 2003, simplified): min XXH3 over character 8-grams — shared by most
+    * near-identical texts, used as a coarse prefilter. */
+  def winnowMin64(text: String): Long = {
+    if (text == null) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val k = 8
+    if (bytes.length <= k) return XXH3.hash(bytes)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= bytes.length) {
+      val h = XXH3.hash(bytes, i, k)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // ----- language id: tiny trigram profiles for {en, de, sv, fr} -----
+  // Profiles are hand-picked high-frequency function-word trigrams per
+  // language (public linguistic knowledge, Cavnar & Trenkle style n-gram
+  // matching). Returns the best-scoring language or "und" below threshold.
+
+  private val Profiles: Array[(String, Array[String])] = Array(
+    "en" -> Array(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
+      "ng ", " to", "to ", "ion", " in", "in ", "ed ", " is", "is ", "at ", "ent"),
+    "de" -> Array(" de", "der", "er ", "ie ", " di", "die", "und", " un", "nd ",
+      "en ", "ein", " ei", "ich", "ch ", "sch", "ung", " ge", "cht", "das", " da"),
+    "sv" -> Array(" oc", "och", "ch ", " at", "att", "tt ", " so", "som", "om ",
+      "för", " fö", "en ", "ar ", " är", "är ", "det", " de", "na ", "ing", " ha"),
+    "fr" -> Array(" de", "de ", " le", "le ", "es ", " la", "la ", "ent", " et",
+      "et ", "que", " qu", "ue ", "les", "ion", " pa", "par", "ait", " un", "re "))
+
+  def langId(text: String): String = {
+    if (text == null || text.length < 6) return "und"
+    val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(4000) + " "
+    var best = "und"
+    var bestScore = 0
+    var p = 0
+    while (p < Profiles.length) {
+      val (lang, grams) = Profiles(p)
+      var score = 0
+      var g = 0
+      while (g < grams.length) {
+        var idx = t.indexOf(grams(g))
+        while (idx >= 0) { score += 1; idx = t.indexOf(grams(g), idx + 1) }
+        g += 1
+      }
+      if (score > bestScore) { bestScore = score; best = lang }
+      p += 1
+    }
+    // demand minimal evidence density: ~1 hit per 40 chars
+    if (bestScore * 40 < t.length) "und" else best
+  }
+
+  /** Quality heuristics: fraction of alphabetic chars, fraction of
+    * punctuation, mean token length — the standard webtext quality inputs. */
+  def alphaRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    var a = 0
+    var i = 0
+    while (i < text.length) { if (Character.isLetter(text.charAt(i))) a += 1; i += 1 }
+    a.toDouble / text.length
+  }
+
+  def punctRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    var p = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) p += 1
+      i += 1
+    }
+    p.toDouble / text.length
+  }
+}

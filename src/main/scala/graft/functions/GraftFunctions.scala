@@ -35,6 +35,14 @@ object GraftFunctions {
   def magnitude(clients: Column, total: Column): Column =
     slog(clients.cast("double")) / slog(total.cast("double")) * lit(10.0)
 
+  // ----- text analysis -----
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def lang_id(c: Column): Column = column(LangId(expression(c)))
+  def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
+  def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
+  def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
+
   // ----- estimators -----
   def hll_est(sketch: Column): Column = column(HllEst(expression(sketch)))
   def cms_est(sketch: Column, hash: Column): Column =
@@ -74,6 +82,12 @@ object GraftFunctions {
     "unescape_domain" -> (e => UnescapeDomain(e.head)),
     "host_of_url" -> (e => HostOfUrl(e.head)),
     "extract_text" -> (e => ExtractText(e.head)),
+    "simhash64" -> (e => SimHash64(e.head)),
+    "fingerprint64" -> (e => Fingerprint64(e.head)),
+    "lang_id" -> (e => LangId(e.head)),
+    "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
+    "alpha_ratio" -> (e => AlphaRatio(e.head)),
+    "punct_ratio" -> (e => PunctRatio(e.head)),
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  // corpus with planted near-dups: 120 base docs; for each base, a mutated
+  // copy with one token changed (high Jaccard) and an unrelated doc
+  private lazy val docs = {
+    val rnd = new java.util.Random(13)
+    val rows = (0 until 120).flatMap { i =>
+      val toks = Array.fill(30)(s"w${rnd.nextInt(800)}")
+      val base = toks.mkString(" ")
+      val mutated = { val t = toks.clone(); t(7) = s"w${800 + i}"; t.mkString(" ") }
+      val unrelated = Array.fill(30)(s"u${rnd.nextInt(100000)}_$i").mkString(" ")
+      Seq((i * 3L, base), (i * 3L + 1, mutated), (i * 3L + 2, unrelated))
+    }
+    rows.toDF("doc_id", "text").cache()
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val withDups = docs.unionByName(docs.limit(50).withColumn("doc_id", $"doc_id" + 100000))
+    val kept = Dedup.exact(withDups).collect().map(_.getLong(0)).toSet
+    assert(kept.size === 360) // every text unique in `docs`; dup copies dropped
+    assert(kept.forall(_ < 100000), "kept id must be the smaller one")
+  }
+
+  test("ngram Jaccard pairs find planted near-dups exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 120).map(i => (i * 3L, i * 3L + 1)).toSet
+    assert(pairs === expected)
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be true pairs")
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash pairs: identical docs hamming 0; mutated docs small hamming") {
+    val withDup = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different words entirely unrelated content here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(withDup, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("ANN brute force matches driver-side exact cosine; LSH recall >= 0.8") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val queries = embs.limit(8)
+    val bf = Ann.bruteForceTopK(embs, queries, k = 5)
+    val got = bf.collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("nn_id")).toSeq).toMap
+
+    // driver-side exact oracle
+    val all = embs.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    got.foreach { case (qid, nns) =>
+      val expect = all.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(all(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(nns === expect, s"query $qid")
+    }
+
+    // LSH's contract is finding NEAR neighbors: plant queries that are
+    // slightly perturbed corpus vectors (cos ~0.99) and require the source
+    // to be retrieved at rank 1 for >= 90% of them. (On near-uniform random
+    // vectors the "top-5" are not near anything — sign-sketch LSH rightfully
+    // can't and shouldn't find those.)
+    val planted = embs.limit(40).select($"vec_id" + 100000, // distinct query ids
+        transform($"embedding", x => x * lit(1.02f) + lit(0.01f)).as("embedding"))
+      .toDF("vec_id", "embedding")
+    val lsh = Ann.lshTopK(embs, planted, k = 1, dims = 64, planes = 10, tables = 6)
+      .collect()
+    val found = lsh.count(r =>
+      r.getAs[Long]("query_id") - 100000 == r.getAs[Long]("nn_id") &&
+      r.getAs[Int]("rank") == 1)
+    assert(found >= 36, s"LSH planted-neighbor recall $found/40")
+  }
+
+  test("embedding cosine near-dup pairs: exact and LSH-blocked agree on high threshold") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.cosineNearDupPairs(embs, minCos = 0.9, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Ann.cosineNearDupPairs(embs, minCos = 0.9, dims = 64, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    if (exact.nonEmpty)
+      assert(blocked.size >= (exact.size * 0.7).toInt, s"${blocked.size}/${exact.size}")
+  }
+
+  test("text ops: lang_id on real sentences; fingerprint collision-free vs text equality") {
+    val samples = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs into the forest", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund und rennt in den wald", "de"),
+      ("den snabba bruna räven hoppar över den lata hunden och springer in i skogen", "sv"),
+      ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"))
+    val got = samples.toDF("text", "want")
+      .withColumn("got", lang_id($"text")).collect()
+    got.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"), r.getAs[String]("text")))
+
+    // fingerprint: equal texts -> equal fp; distinct texts here -> distinct fp
+    val fp = docs.withColumn("fp", fingerprint64($"text"))
+    assert(fp.select("fp").distinct().count() === fp.select("text").distinct().count())
+  }
+
+  test("quality metrics + token counts behave") {
+    val r = Seq(("hello world this is clean text", "!!## @@ ??"))
+      .toDF("good", "bad")
+      .select(alpha_ratio($"good").as("ag"), alpha_ratio($"bad").as("ab"),
+        punct_ratio($"bad").as("pb"), token_count_bpeish($"good").as("tc")).collect()(0)
+    assert(r.getAs[Double]("ag") > 0.7)
+    assert(r.getAs[Double]("ab") < 0.1)
+    assert(r.getAs[Double]("pb") > 0.5)
+    assert(r.getAs[Int]("tc") === 6)
+  }
+
+  test("multimodal: metadata extraction deterministic across partitionings") {
+    val media = docs.limit(50)
+      .select($"doc_id", $"text".cast("binary").as("media"))
+    val a = Multimodal.mediaMeta(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.mediaMeta(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(m => m.media_bytes > 0 && m.width >= 160 && m.kind == "bin"))
+    // sniffing real magic bytes
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)
+    assert(Multimodal.sniffKind(png) === "png")
+    assert(Multimodal.frameSamplePositions(100, 4) === Seq(0, 25, 50, 75))
+  }
+}
