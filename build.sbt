@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 showed pathological pauses (up to 64s on a 4s workload) on this
+  // kernel with object-heavy aggregation; ParallelGC is stable and ~equal
+  // at best-case. Fixed -Xms avoids heap-growth fault storms mid-bench.
+  "-XX:+UseParallelGC",
 )

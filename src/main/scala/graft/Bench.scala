@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver contract): runs every SparkEntry query against
+ * SPARK_GRAFT_SF_DIR, plus the headline BASELINE.json metric — pages/sec
+ * sketch-build throughput of the magnitude pipeline over a 10^6-row
+ * synthetic pages table (128 input splits, day-partitioned parquet).
+ * Prints ONE JSON line:
+ *   {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},
+ *    "sf":"<dir>","cpus":N,"pages_per_sec":N,"sketch_build_sec":N}
+ *
+ * Scaling protocol (BASELINE.md): run this main twice with
+ * SPARK_GRAFT_CPUS=8 and =32 on the same SPARK_GRAFT_PAGES_DIR; efficiency
+ * = (thr32/thr8)/4.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val pagesDir = sys.env.getOrElse("SPARK_GRAFT_PAGES_DIR", "/tmp/graft_pages_bench")
+    val pagesN = sys.env.getOrElse("SPARK_GRAFT_PAGES_N", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.pipelines.Magnitude.tune(spark)
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // ---- per-query timings (full materialization via noop sink) ----
+    // SPARK_GRAFT_SKETCH_ONLY=1 measures just the headline sketch-build
+    // (used by the scaling protocol so query warmup doesn't pollute GC/JIT)
+    val sketchOnly = sys.env.get("SPARK_GRAFT_SKETCH_ONLY").contains("1")
+    val results =
+      if (sketchOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    // ---- headline: sketch-build throughput over the pages table ----
+    graft.sources.Pages.ensureParquet(spark, pagesDir, pagesN, hosts = 50000,
+      days = 4, partitions = 128)
+    val pages = spark.read.parquet(pagesDir)
+    pages.count() // warm FS cache / file listing so we measure compute
+    val salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "1").toInt
+    // best-of-reps = steady-state throughput (first rep pays JIT warmup)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val sketchSec = (1 to reps).map { r =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      force(graft.pipelines.Magnitude.collect(pages, salts = salts))
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] sketch-build rep $r: $sec%.2fs")
+      sec
+    }.min
+    val pagesPerSec = pagesN / sketchSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + sketchSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pages_n":$pagesN,"sketch_build_sec":$sketchSec%.3f,"pages_per_sec":$pagesPerSec%.0f}""")
     spark.stop()
   }
 }

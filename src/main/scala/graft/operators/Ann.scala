@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions._
-import graft.core.hash.XXH3
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -21,13 +20,14 @@ import graft.core.hash.XXH3
 object Ann {
 
   /** cosine(a, b) over array<float>/array<double> columns, computed in
-    * double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+    * double by a codegen'd tight loop (graft.functions.CosineSim — the
+    * zip_with/aggregate formulation is CodegenFallback and measured ~20x
+    * slower on million-pair candidate sets). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
 
   /**
    * Exact top-k neighbors for each query id. `queries` must be small enough
@@ -48,31 +48,14 @@ object Ann {
       .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
   }
 
-  /** Deterministic gaussian hyperplane component for (table, plane, dim):
-    * Box-Muller over two XXH3-derived uniforms. */
-  private def gaussian(table: Int, plane: Int, dim: Int): Double = {
-    def u(salt: Int): Double = {
-      val b = new Array[Byte](12)
-      var v = (table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong
-      var i = 0
-      while (i < 8) { b(i) = (v >>> (8 * i)).toByte; i += 1 }
-      b(8) = salt.toByte; b(9) = 42; b(10) = 0x5a; b(11) = salt.toByte
-      math.max((XXH3.hash(b) >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
-    }
-    math.sqrt(-2.0 * math.log(u(1))) * math.cos(2.0 * math.Pi * u(2))
-  }
-
-  /** Signature column: `planes`-bit sign sketch of the vector under
-    * deterministic hyperplanes (all builtin expressions). */
-  def lshSignature(vec: Column, dims: Int, planes: Int, table: Int): Column = {
-    val bitCols = (0 until planes).map { p =>
-      val dotExpr = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(gaussian(table, p, d))
-      }.reduce(_ + _)
-      when(dotExpr >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** Signature column: `planes`-bit sign sketch under the deterministic
+    * hyperplane table (single codegen'd expression; the per-element
+    * element_at formulation built a ~4000-node expression tree whose
+    * compilation dominated runtime). */
+  def lshSignature(vec: Column, dims: Int, planes: Int, table: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      graft.functions.LshSig(
+        org.apache.spark.sql.graftshim.shims.expression(vec), planes, table))
 
   /**
    * LSH ANN: `tables` independent sign-sketch tables of `planes` bits.

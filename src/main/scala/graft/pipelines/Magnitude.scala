@@ -36,25 +36,53 @@ object Magnitude {
   /** sketch_state schema: date, host (NULL = global row), hll, queries. */
   final val StateCols = Seq("date", "host", "hll", "queries")
 
-  /** collect: pages -> per-(date,host) sketch rows + a global row per date.
-    * `salts` > 1 enables two-phase salted aggregation for hot hosts. */
-  def collect(pages: DataFrame, salts: Int = 8): DataFrame = {
+  /** Session tuning for sketch aggregation: ObjectHashAggregateExec demotes
+    * to sort-based after a mere 128 distinct groups per partition by
+    * default — catastrophic for high-cardinality sketch group-bys (it
+    * sort-spills millions of tiny buffers). Sketch buffers are 6B..16KB, so
+    * millions of in-memory groups are fine. */
+  def tune(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (4 * 1024 * 1024).toString)
+
+  /**
+   * collect: pages -> per-(date,host) sketch rows + a global row per date.
+   *
+   * Skew: map-side partial aggregation is the primary defense — sketches
+   * are mergeable, so each map partition emits ONE partial row per (date,
+   * host) no matter how hot the host, and a hot reducer key receives at
+   * most #map-partitions rows. `salts` > 1 additionally shards a key across
+   * reducers for the extreme case where even #map-partitions partials
+   * concentrated on one reducer matter (or where per-partition group
+   * cardinality forces the partial agg into sort-based mode); it costs one
+   * extra shuffle, so it is opt-in, not default.
+   *
+   * NOTE: set spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+   * high (see Magnitude.tune) — the 128-group default demotes the sketch
+   * aggregation to sort-based long before memory pressure is real (HLL
+   * buffers are 6B..16KB).
+   */
+  def collect(pages: DataFrame, salts: Int = 1): DataFrame = {
     val base = pages.select(
       to_date(col("warc_ts")).as("date"),
       host_of_url(col("url")).as("host"),
       xxh3_64(col("url")).as("page_hash"))
 
-    // phase 1: partial sketches per (date, host, salt) — map-side combine
-    // already shrinks each partition to ~distinct(host)*salts rows
-    val phase1 = base
-      .groupBy(col("date"), col("host"),
-        pmod(col("page_hash"), lit(math.max(salts, 1))).as("salt"))
-      .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
-
-    // phase 2: merge salt shards per host
-    val perHost = phase1
-      .groupBy(col("date"), col("host"))
-      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+    val perHost =
+      if (salts <= 1) {
+        base.groupBy(col("date"), col("host"))
+          .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
+      } else {
+        // phase 1: partial sketches per (date, host, salt)
+        val phase1 = base
+          .groupBy(col("date"), col("host"),
+            pmod(col("page_hash"), lit(salts)).as("salt"))
+          .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
+        // phase 2: merge salt shards per host
+        phase1
+          .groupBy(col("date"), col("host"))
+          .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+      }
 
     // global row per date: merge the per-host sketches (incl. NULL-host rows
     // so invalid urls still count globally, like the reference)

@@ -15,6 +15,7 @@ object SparkTestBase {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.pipelines.Magnitude.tune(s)
     graft.functions.GraftFunctions.registerAll(s)
     s
   }
