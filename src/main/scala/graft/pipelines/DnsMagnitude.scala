@@ -1,0 +1,140 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * The reference-compatible DNS-magnitude pipeline over record tables
+ * (client_ip, domain, count) — what `dnsmag collect/aggregate/report` do
+ * (/root/reference/app/cmd/collect.go, aggregate.go, report.go), for users
+ * replaying the original data
+ * shape rather than web pages. Input rows come from [[graft.sources.RecordsCsv]]
+ * or any DataFrame with (hash LONG, domain STRING nullable, cnt LONG).
+ *
+ * Reference semantics preserved:
+ *  - global totals count every valid-IP row, including root "." and
+ *    invalid domains (/root/reference/internal/dataset.go:161-184);
+ *  - per-domain stats exclude "." and invalid domains;
+ *  - aggregation requires equal dates (error on mismatch, `forceDate`
+ *    overrides — /root/reference/internal/dataset.go:243-246,
+ *    store.go:176-185);
+ *  - report rows ascend by (floor(magnitude*1000), domain)
+ *    (/root/reference/internal/dataset.go:106-134) and magnitude is
+ *    deliberately unclamped.
+ */
+object DnsMagnitude {
+
+  /** collect: records -> sketch state (date, domain NULL = global row). */
+  def collect(records: DataFrame, date: java.sql.Date): DataFrame = {
+    val valid = records.filter(col("hash").isNotNull)
+    val perDomain = valid
+      .filter(col("domain").isNotNull && col("domain") =!= ".")
+      .groupBy(col("domain"))
+      .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
+    // global from raw rows, NOT from per-domain merge: root/invalid-domain
+    // rows count globally but appear in no domain group
+    val global = valid
+      .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
+      .select(lit(null).cast("string").as("domain"), col("hll"), col("queries"))
+    perDomain.select(col("domain"), col("hll"), col("queries"))
+      .unionByName(global)
+      .withColumn("date", lit(date))
+      .select(col("date"), col("domain"), col("hll"), col("queries"))
+  }
+
+  /** aggregate with the reference's strict-date contract. */
+  def aggregate(states: Seq[DataFrame], forceDate: Option[java.sql.Date] = None): DataFrame = {
+    val all0 = states.reduce(_.unionByName(_))
+    val all = forceDate match {
+      case Some(d) => all0.withColumn("date", lit(d))
+      case None =>
+        val dates = all0.select(col("date")).distinct().collect().map(_.get(0))
+        if (dates.length > 1)
+          throw new IllegalArgumentException(
+            s"date mismatch across datasets: ${dates.mkString(", ")} (use forceDate to override)")
+        all0
+    }
+    all.groupBy(col("date"), col("domain"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+  }
+
+  /** report rows in reference order; estimates finalised here
+    * (finaliseStats analogue). */
+  def report(state: DataFrame, topN: Int = 0): DataFrame = {
+    val perDomain = state.filter(col("domain").isNotNull)
+      .select(col("date"), col("domain"),
+        hll_est(col("hll")).as("uniqueClients"), col("queries").as("queryVolume"))
+    val global = state.filter(col("domain").isNull)
+      .select(col("date"),
+        hll_est(col("hll")).as("totalUniqueClients"),
+        col("queries").as("totalQueryVolume"))
+    val joined = perDomain.join(broadcast(global), Seq("date"))
+      .withColumn("magnitude", magnitude(col("uniqueClients"), col("totalUniqueClients")))
+    val limited =
+      if (topN > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("date"))
+          .orderBy(col("magnitude").desc, col("domain").desc)
+        joined.withColumn("__r", row_number().over(w)).filter(col("__r") <= topN).drop("__r")
+      } else joined
+    limited.orderBy(col("date").asc, floor(col("magnitude") * 1000).asc, col("domain").asc)
+  }
+
+  /**
+   * Reference report JSON (/root/reference/schema/report-schema.yaml): one
+   * document per date. Report cardinality is bounded by top-N (default
+   * 2500), so a driver-side encode is the right tool — this is the one
+   * deliberate `collect()` in the engine.
+   */
+  def reportJson(state: DataFrame, source: String, sourceType: String,
+                 topN: Int = 2500, generator: String = "graft-spark 0.1.0"): Seq[String] = {
+    require(sourceType == "authoritative" || sourceType == "recursive",
+      s"sourceType must be authoritative|recursive, got $sourceType") // cmd/report.go:20-29
+    val rows = report(state, topN).collect()
+    rows.groupBy(_.getAs[java.sql.Date]("date")).toSeq.sortBy(_._1.toString).map {
+      case (date, rs) =>
+        val sb = new StringBuilder
+        def esc(s: String) = s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        sb.append("{")
+        sb.append(s""""id":"${java.util.UUID.nameUUIDFromBytes((date.toString + source).getBytes)}",""")
+        sb.append(s""""generator":"${esc(generator)}",""")
+        sb.append(s""""date":"${date}",""")
+        sb.append(s""""source":"${esc(source)}",""")
+        sb.append(s""""sourceType":"$sourceType",""")
+        sb.append(s""""totalUniqueClients":${rs.head.getAs[Long]("totalUniqueClients")},""")
+        sb.append(s""""totalQueryVolume":${rs.head.getAs[Long]("totalQueryVolume")},""")
+        sb.append(""""magnitudeData":[""")
+        sb.append(rs.map { r =>
+          s"""{"domain":"${esc(r.getAs[String]("domain"))}",""" +
+          s""""magnitude":${r.getAs[Double]("magnitude")},""" +
+          s""""uniqueClients":${r.getAs[Long]("uniqueClients")},""" +
+          s""""queryVolume":${r.getAs[Long]("queryVolume")}}"""
+        }.mkString(","))
+        sb.append("]}")
+        sb.toString
+    }
+  }
+
+  /** Text stats view (the reference's `view` command, stats.go:179-230):
+    * aligned table of domains + totals with the estimate-vs-volume
+    * formatting. Driver-side; debugging aid. */
+  def statsText(state: DataFrame, topN: Int = 20): String = {
+    val rows = report(state, topN).collect()
+    val sb = new StringBuilder
+    sb.append(f"${"domain"}%-30s ${"magnitude"}%12s ${"clients"}%10s ${"queries"}%10s%n")
+    rows.foreach { r =>
+      sb.append(f"${r.getAs[String]("domain")}%-30s ${r.getAs[Double]("magnitude")}%12.4f " +
+        f"${r.getAs[Long]("uniqueClients")}%10d ${r.getAs[Long]("queryVolume")}%10d%n")
+    }
+    rows.headOption.foreach { r =>
+      sb.append(f"%nTotal clients (estimated): ${r.getAs[Long]("totalUniqueClients")}%d%n")
+      sb.append(f"Total queries: ${r.getAs[Long]("totalQueryVolume")}%d%n")
+    }
+    sb.toString
+  }
+}

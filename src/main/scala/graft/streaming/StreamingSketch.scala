@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.GraftFunctions._
+
+/** One closed user session (sessionization output row). */
+case class SessionOut(user_id: Long, n_events: Int, start_ts: Long, end_ts: Long)
+/** Sessionization state carried between micro-batches. */
+case class SessionState(n: Int, start: Long, last: Long)
+/** Typed event view for stateful processing. */
+case class EventIn(user_id: Long, ts: java.sql.Timestamp)
+
+/**
+ * Structured Streaming extensions (SURVEY.md §2.7). The reference is
+ * batch-only; its stream-shaped mechanisms (chunked incremental collection,
+ * incremental CBOR-sequence folding) map naturally onto micro-batch
+ * streaming because the sketch aggregates are mergeable — the streaming
+ * state store holds exactly the serialized aggregation buffers the batch
+ * path shuffles.
+ */
+object StreamingSketch {
+
+  /**
+   * Windowed sketch build over a stream: per (tumbling window, key), the
+   * HLL of hashed entities plus the event count — the streaming twin of
+   * Magnitude.collect. Late data beyond `watermark` is dropped and windows
+   * finalize (append mode works); the sketch state is the aggregation
+   * buffer in the state store.
+   */
+  def windowedHll(events: DataFrame, tsCol: String, keyCol: String,
+                  entityCol: String, windowLen: String,
+                  watermark: String): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp")) // NTZ -> event-time type
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(hll_build(xxh3_64(col(entityCol).cast("string"))).as("hll"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol),
+        hll_est(col("hll")).as("est_entities"), col("n"))
+
+  /**
+   * Gap-based sessionization via flatMapGroupsWithState — the custom-state
+   * path for semantics windows can't express. Emits a session row when a
+   * user is idle past `gapMs` (event-time approximation driven by observed
+   * timestamps; production would use event-time timeout).
+   */
+  def sessionize(events: Dataset[EventIn], gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) => {
+          val sorted = rows.map(_.ts.getTime).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          for (t <- sorted) {
+            if (st.n == 0) st = SessionState(1, t, t)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(user, st.n, st.start, st.last)
+              st = SessionState(1, t, t)
+            } else st = SessionState(st.n + 1, st.start, t)
+          }
+          if (st.n > 0) state.update(st) else state.remove()
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Physical-plan shape assertions — the "would this survive 100x scale"
+  * checks: column pruning reaches the parquet scan, partition pruning fires
+  * on the day-partitioned pages layout, the 1-row global join broadcasts,
+  * and scalar sketch expressions stay inside WholeStageCodegen. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val pagesDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_plan").toString
+    graft.sources.Pages.ensureParquet(spark, dir, 5000, hosts = 100, days = 3, partitions = 4)
+    dir
+  }
+
+  test("collect() prunes html/text out of the pages scan") {
+    val plan = pipelines.Magnitude.collect(spark.read.parquet(pagesDir))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("url"), readSchema)
+    assert(readSchema.contains("warc_ts"), readSchema)
+    assert(!readSchema.contains("html"), s"html must be pruned: $readSchema")
+    assert(!readSchema.contains("text,"), s"text must be pruned: $readSchema")
+  }
+
+  test("date filter prunes day partitions of the pages table") {
+    val df = spark.read.parquet(pagesDir)
+      .filter(col("date") === lit("2000-01-02"))
+      .select(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    // partition filters show up as PartitionFilters on the scan
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*date".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
+  test("predicate pushdown reaches the parquet scan (lineitem filter)") {
+    val plan = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      plan.take(1500))
+  }
+
+  test("report() broadcasts the per-date global row") {
+    val state = pipelines.Magnitude.collect(spark.read.parquet(pagesDir))
+    val plan = pipelines.Magnitude.report(state)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("scalar sketch expressions stay inside WholeStageCodegen") {
+    val df = spark.read.parquet(pagesDir)
+      .select(xxh3_64(col("url")).as("h"), host_of_url(col("url")).as("host"))
+      .filter(col("host").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [xxh3_64") || plan.contains("*(1) Project [graft"),
+      plan.take(1500))
+    assert("\\*\\(1\\) Filter".r.findFirstIn(plan).isDefined, plan.take(1500))
+    // and eval works through codegen end-to-end
+    assert(df.limit(5).collect().length === 5)
+  }
+
+  test("dedup inverted-index join is a shuffled hash/sort-merge equi-join, no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "dedup must not cartesian-join")
+    // equi-join on the shingle key: hash-partitioned SMJ/SHJ at scale, or a
+    // broadcast equi-join when AQE sees a tiny side (both fine; never BNLJ)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("ANN brute force broadcasts the query side, never shuffles the corpus") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = operators.Ann.bruteForceTopK(embs, embs.limit(5), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the only Exchange should be for the final window, not the corpus join
+    val beforeWindow = plan.split("Window")(plan.split("Window").length - 1)
+    assert(!beforeWindow.contains("CartesianProduct"))
+  }
+}
