@@ -38,7 +38,8 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          // decimal sum: exact and order-independent across partitionings
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           round(avg(col("l_discount")), 9).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -49,7 +50,7 @@ object SparkEntry {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("revenue"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
     "q_join_3way" -> ((s, dir) => {
@@ -61,7 +62,7 @@ object SparkEntry {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(22,6)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -212,7 +213,7 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(22,6)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
     "q_multimodal_meta" -> ((s, dir) => {
@@ -276,18 +277,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" -> """
       SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-             round(sum(l_extendedprice), 4) AS sum_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              round(avg(l_discount), 9) AS avg_disc, count(*) AS cnt
       FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
       GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_join_broadcast" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
-             round(sum(o_totalprice), 4) AS revenue
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY 1""",
     "q_join_3way" -> """
       SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -375,7 +376,7 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "q_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
-             count(*) AS n, round(sum(value), 6) AS sum_value
+             count(*) AS n, CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_multimodal_meta" -> """
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_bytes

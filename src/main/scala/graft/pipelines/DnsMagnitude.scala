@@ -25,19 +25,24 @@ import graft.functions.GraftFunctions._
  */
 object DnsMagnitude {
 
-  /** collect: records -> sketch state (date, domain NULL = global row). */
+  /** collect: records -> sketch state (date, domain NULL = global row).
+    *
+    * ONE scan of the source: root "." and invalid domains fold into a NULL
+    * group key, then the global row is the merge of ALL groups (HLL union
+    * of per-group client sketches == the global client sketch, exactly —
+    * register-wise max distributes over set union). This reproduces the
+    * reference's "count all queries, even invalid ones" semantics
+    * (/root/reference/internal/dataset.go:161-184) without a second pass. */
   def collect(records: DataFrame, date: java.sql.Date): DataFrame = {
     val valid = records.filter(col("hash").isNotNull)
-    val perDomain = valid
-      .filter(col("domain").isNotNull && col("domain") =!= ".")
-      .groupBy(col("domain"))
+    val perKey = valid
+      .groupBy(when(col("domain").isNull || col("domain") === ".",
+        lit(null).cast("string")).otherwise(col("domain")).as("domain"))
       .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
-    // global from raw rows, NOT from per-domain merge: root/invalid-domain
-    // rows count globally but appear in no domain group
-    val global = valid
-      .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
+    val global = perKey
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
       .select(lit(null).cast("string").as("domain"), col("hll"), col("queries"))
-    perDomain.select(col("domain"), col("hll"), col("queries"))
+    perKey.filter(col("domain").isNotNull)
       .unionByName(global)
       .withColumn("date", lit(date))
       .select(col("date"), col("domain"), col("hll"), col("queries"))
