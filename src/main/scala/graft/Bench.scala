@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark"))
+      // >=128 input splits on the 4.9G bench table (BASELINE.md protocol:
+      // both scaling runs must be parallelism-bound, not wave-quantized)
+      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.pipelines.Magnitude.tune(spark)

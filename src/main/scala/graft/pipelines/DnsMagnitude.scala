@@ -25,25 +25,18 @@ import graft.functions.GraftFunctions._
  */
 object DnsMagnitude {
 
-  /** collect: records -> sketch state (date, domain NULL = global row).
-    *
-    * ONE scan of the source: root "." and invalid domains fold into a NULL
-    * group key, then the global row is the merge of ALL groups (HLL union
-    * of per-group client sketches == the global client sketch, exactly —
-    * register-wise max distributes over set union). This reproduces the
-    * reference's "count all queries, even invalid ones" semantics
+  /** collect: records -> sketch state, ONE scan, ONE aggregation: root "."
+    * and invalid domains fold into a NULL group key; global totals are
+    * derived at report time by merging all groups (HLL union of per-group
+    * client sketches == the global client sketch exactly — register-wise
+    * max distributes over set union). This reproduces the reference's
+    * "count all queries, even invalid ones" semantics
     * (/root/reference/internal/dataset.go:161-184) without a second pass. */
   def collect(records: DataFrame, date: java.sql.Date): DataFrame = {
-    val valid = records.filter(col("hash").isNotNull)
-    val perKey = valid
+    records.filter(col("hash").isNotNull)
       .groupBy(when(col("domain").isNull || col("domain") === ".",
         lit(null).cast("string")).otherwise(col("domain")).as("domain"))
       .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
-    val global = perKey
-      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
-      .select(lit(null).cast("string").as("domain"), col("hll"), col("queries"))
-    perKey.filter(col("domain").isNotNull)
-      .unionByName(global)
       .withColumn("date", lit(date))
       .select(col("date"), col("domain"), col("hll"), col("queries"))
   }
@@ -70,7 +63,10 @@ object DnsMagnitude {
     val perDomain = state.filter(col("domain").isNotNull)
       .select(col("date"), col("domain"),
         hll_est(col("hll")).as("uniqueClients"), col("queries").as("queryVolume"))
-    val global = state.filter(col("domain").isNull)
+    // totals derived from the (small) state incl. the NULL bucket
+    val global = state
+      .groupBy(col("date"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
       .select(col("date"),
         hll_est(col("hll")).as("totalUniqueClients"),
         col("queries").as("totalQueryVolume"))

@@ -33,7 +33,10 @@ import graft.functions.GraftFunctions._
  */
 object Magnitude {
 
-  /** sketch_state schema: date, host (NULL = global row), hll, queries. */
+  /** sketch_state schema: date, host (NULL = the invalid-url bucket, which
+    * participates in global totals only), hll, queries. The per-date global
+    * sketch is derived, not stored: it is exactly the merge of all rows of
+    * that date (register-wise max distributes over set union). */
   final val StateCols = Seq("date", "host", "hll", "queries")
 
   /** Session tuning for sketch aggregation: ObjectHashAggregateExec demotes
@@ -68,32 +71,30 @@ object Magnitude {
       host_of_url(col("url")).as("host"),
       xxh3_64(col("url")).as("page_hash"))
 
-    val perHost =
-      if (salts <= 1) {
-        base.groupBy(col("date"), col("host"))
-          .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
-      } else {
-        // phase 1: partial sketches per (date, host, salt)
-        val phase1 = base
-          .groupBy(col("date"), col("host"),
-            pmod(col("page_hash"), lit(salts)).as("salt"))
-          .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
-        // phase 2: merge salt shards per host
-        phase1
-          .groupBy(col("date"), col("host"))
-          .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
-      }
-
-    // global row per date: merge the per-host sketches (incl. NULL-host rows
-    // so invalid urls still count globally, like the reference)
-    val globalRows = perHost
-      .groupBy(col("date"))
-      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
-      .select(col("date"), lit(null).cast("string").as("host"), col("hll"), col("queries"))
-
-    perHost.filter(col("host").isNotNull)
-      .select(StateCols.map(col): _*)
-      .unionByName(globalRows)
+    // ONE aggregation over ONE scan. Invalid urls (host NULL) form their own
+    // bucket so they still count globally, like the reference. The per-date
+    // global row is NOT materialized here: deriving it in report() from this
+    // (tiny) state is exact by mergeability, whereas emitting it from
+    // collect() forced Catalyst to plan the source subtree twice (the
+    // host-not-null filter pushed below one union branch's aggregation,
+    // making the two exchanges non-identical and defeating ReuseExchange —
+    // verified on the physical plan).
+    if (salts <= 1) {
+      base.groupBy(col("date"), col("host"))
+        .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
+        .select(StateCols.map(col): _*)
+    } else {
+      // phase 1: partial sketches per (date, host, salt)
+      val phase1 = base
+        .groupBy(col("date"), col("host"),
+          pmod(col("page_hash"), lit(salts)).as("salt"))
+        .agg(hll_build(col("page_hash")).as("hll"), count(lit(1)).as("queries"))
+      // phase 2: merge salt shards per host
+      phase1
+        .groupBy(col("date"), col("host"))
+        .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+        .select(StateCols.map(col): _*)
+    }
   }
 
   /** aggregate: merge many sketch-state tables (the reference's `aggregate`
@@ -115,7 +116,11 @@ object Magnitude {
     val perHost = state.filter(col("host").isNotNull)
       .select(col("date"), col("host"),
         hll_est(col("hll")).as("unique_pages"), col("queries"))
-    val globals = state.filter(col("host").isNull)
+    // global totals derived by merging the state (small input: one row per
+    // host, not per page) — includes the NULL-host bucket
+    val globals = state
+      .groupBy(col("date"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
       .select(col("date"),
         hll_est(col("hll")).as("total_unique_pages"),
         col("queries").as("total_queries"))

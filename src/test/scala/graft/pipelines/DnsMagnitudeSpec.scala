@@ -21,8 +21,7 @@ class DnsMagnitudeSpec extends AnyFunSuite {
     val recs = RecordsCsv.read(spark, res("test2.tsv"), tsv = true)
     assert(recs.filter(col("invalid")).count() === 0)
     val state = DnsMagnitude.collect(recs, d1).cache()
-    val global = state.filter(col("domain").isNull).collect()(0)
-    assert(global.getAs[Long]("queries") === 200L)
+    assert(state.agg(sum(col("queries"))).collect()(0).getLong(0) === 200L)
     val domains = state.filter(col("domain").isNotNull).count()
     assert(domains === 7L)
     val rep = DnsMagnitude.report(state).collect()
@@ -48,8 +47,9 @@ class DnsMagnitudeSpec extends AnyFunSuite {
   test("test3.tsv: garbage escaped domains count globally, no domain rows") {
     val recs = RecordsCsv.read(spark, res("test3.tsv"), tsv = true)
     val state = DnsMagnitude.collect(recs, d1)
-    val global = state.filter(col("domain").isNull).collect()(0)
-    assert(global.getAs[Long]("queries") === 16L)
+    // everything lands in the NULL (invalid-domain) bucket
+    val bucket = state.filter(col("domain").isNull).collect()(0)
+    assert(bucket.getAs[Long]("queries") === 16L)
     assert(state.filter(col("domain").isNotNull).count() === 0L)
   }
 
@@ -124,7 +124,7 @@ class DnsMagnitudeSpec extends AnyFunSuite {
     val recs = RecordsCsv.read(spark, tmp.toString)
     assert(recs.count() === 2)
     val state = DnsMagnitude.collect(recs, d1)
-    assert(state.filter(col("domain").isNull).collect()(0).getAs[Long]("queries") === 8L)
+    assert(state.agg(sum(col("queries"))).collect()(0).getLong(0) === 8L)
   }
 
   test("zero-count rows vanish; negative counts flagged invalid") {

@@ -31,10 +31,10 @@ class MagnitudeSpec extends AnyFunSuite {
       // HLL 3-sigma + the ceil(+1) small-range bias
       assert(math.abs(est - ex) <= math.max(3 * 0.008125 * ex, 1.0), s"row $r")
     }
-    // exactly one global row per date, queries sum matches row count
-    val globals = state.filter($"host".isNull).collect()
-    assert(globals.length === 3)
-    assert(globals.map(_.getAs[Long]("queries")).sum === 20000L)
+    // per-date totals (derived like report does) cover every input row
+    val totals = state.groupBy($"date").agg(sum($"queries").as("q")).collect()
+    assert(totals.length === 3)
+    assert(totals.map(_.getAs[Long]("q")).sum === 20000L)
   }
 
   test("collect is salt-invariant and partitioning-invariant (byte-identical state)") {
