@@ -38,6 +38,9 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // session warmup so the first measured query isn't charged JVM/codegen init
+    force(spark.range(1000).selectExpr("sum(id) AS s").toDF())
+
     // ---- per-query timings (full materialization via noop sink) ----
     // SPARK_GRAFT_SKETCH_ONLY=1 measures just the headline sketch-build
     // (used by the scaling protocol so query warmup doesn't pollute GC/JIT)

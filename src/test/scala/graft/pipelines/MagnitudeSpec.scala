@@ -50,6 +50,33 @@ class MagnitudeSpec extends AnyFunSuite {
     assert(a === c)
   }
 
+  test("magnitude relative error within the published HLL bound (headline metric)") {
+    // exact magnitudes from count_distinct vs sketch magnitudes from report
+    val exact = pages.select(to_date($"warc_ts").as("date"),
+        graft.functions.GraftFunctions.host_of_url($"url").as("host"), $"url")
+      .groupBy($"date", $"host").agg(countDistinct($"url").as("ex"))
+    val exactTot = pages.select(to_date($"warc_ts").as("date"), $"url")
+      .groupBy($"date").agg(countDistinct($"url").as("ext"))
+    val rep = Magnitude.run(pages, topN = 0, salts = 1)
+      .join(exact, Seq("date", "host")).join(exactTot, Seq("date"))
+      .withColumn("mag_exact",
+        log($"ex".cast("double")) / log($"ext".cast("double")) * 10)
+      .select($"magnitude", $"mag_exact", $"ex", $"ext")
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val m = r.getAs[Double]("magnitude")
+      val me = r.getAs[Double]("mag_exact")
+      // magnitude = 10*ln(c)/ln(T): relative HLL errors eps_c, eps_T propagate
+      // as |dm| <= 10*(|eps_c|/ln T + m/10 * |eps_T|/ln T); with 3-sigma HLL
+      // error (2.44%) and the +1 ceil bias at small counts, bound loosely
+      val lnT = math.log(r.getAs[Long]("ext").toDouble)
+      val tol = 10.0 * (0.03 + 1.0 / r.getAs[Long]("ex").toDouble) / lnT * 2
+      assert(math.abs(m - me) <= math.max(tol, 0.06),
+        s"mag $m vs exact $me (tol $tol, row $r)")
+    }
+  }
+
   test("report: reference ordering, magnitude formula, exact top-N") {
     val rep = Magnitude.run(pages, topN = 0, salts = 4).cache()
     val rows = rep.collect()
