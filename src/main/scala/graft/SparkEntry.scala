@@ -251,6 +251,14 @@ object SparkEntry {
           col("lang"), token_count_bpeish(col("text")).cast("long").as("bpeish_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val embs = s.read.parquet(t(dir, "embeddings"))
+      val centroids = graft.operators.Ivf.train(embs, k = 16, iters = 3)
+      graft.operators.Ivf.topK(embs, embs.filter(col("vec_id") < 10), k = 5,
+          centroids, nprobe = 4)
+        .select(col("query_id"), col("nn_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Ann.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.hash.XXH3
+
+/**
+ * IVF (inverted-file) approximate nearest-neighbor index — the classic
+ * coarse-quantizer scale path (Jégou et al., "Product quantization for
+ * nearest neighbor search", the IVF part): k-means cluster the corpus, build
+ * an inverted list per centroid, search only the `nprobe` nearest lists.
+ *
+ * Everything is deterministic and model-free-by-construction:
+ *  - init: the k corpus vectors with the smallest xxh3(vec_id) (stable
+ *    pseudo-random sample, reproducible on any cluster);
+ *  - Lloyd iterations as DataFrame aggregations (assign = codegen'd
+ *    NearestCentroids expression; update = posexplode + per-(cluster,dim)
+ *    avg — one shuffle per iteration, centroid matrix collects to the
+ *    driver: k*dims doubles, trivially small);
+ *  - search: probe lists joined by cluster id (hash equi-join — the corpus
+ *    is scanned once to assign, vectors never shuffle), exact cosine
+ *    re-rank of candidates.
+ */
+object Ivf {
+
+  /** Train k centroids; returns the centroid matrix (k x dims). */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // deterministic seed sample: k smallest xxh3(id)
+    val seeds = base
+      .withColumn("__h", graft.functions.GraftFunctions.xxh3_64(col("id").cast("string")))
+      .orderBy(col("__h"))
+      .limit(k)
+      .select(col("vec"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Any]]("vec").map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+
+    var centroids = seeds
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cluster",
+        element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      updated.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Column of the `nprobe` nearest centroid ids for a vector column. */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graftshim.shims.expression(vec), centroids, nprobe))
+
+  /** IVF top-k: assign corpus to lists (1 probe), probe queries into
+    * `nprobe` lists, exact cosine re-rank inside the probed lists. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           centroids: Array[Array[Double]], nprobe: Int = 4,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lists = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("cluster", element_at(nearestCentroids(col("nn_vec"), centroids, 1), 1))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cluster", explode(nearestCentroids(col("q_vec"), centroids, nprobe)))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id").asc)
+    lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cos", Ann.cosine(col("q_vec"), col("nn_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+  }
+}

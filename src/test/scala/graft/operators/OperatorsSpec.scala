@@ -145,4 +145,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.sniffKind(png) === "png")
     assert(Multimodal.frameSamplePositions(100, 4) === Seq(0, 25, 50, 75))
   }
+
+  test("IVF: deterministic training; recall vs brute force on clustered embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val c1 = Ivf.train(embs, k = 16, iters = 4)
+    val c2 = Ivf.train(embs, k = 16, iters = 4)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "training must be deterministic")
+
+    val queries = embs.limit(10)
+    val bf = Ann.bruteForceTopK(embs, queries, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    val ivf = Ivf.topK(embs, queries, k = 5, c1, nprobe = 6).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    val recalls = bf.toSeq.map { case (q, exp) =>
+      ivf.getOrElse(q, Set.empty).intersect(exp).size.toDouble / exp.size
+    }
+    val recall = recalls.sum / recalls.length
+    assert(recall >= 0.6, s"IVF recall@5 = $recall (nprobe=6/16)")
+    // planted near-identical query must be found at rank 1 through IVF
+    import org.apache.spark.sql.functions._
+    val planted = embs.limit(20).select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", x => x * lit(1.01f)).as("embedding"))
+    val hits = Ivf.topK(embs, planted, k = 1, c1, nprobe = 2).collect()
+      .count(r => r.getAs[Long]("query_id") - 100000 == r.getAs[Long]("nn_id"))
+    assert(hits >= 19, s"planted IVF hits $hits/20")
+  }
 }
