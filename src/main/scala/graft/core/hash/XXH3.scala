@@ -52,21 +52,26 @@ object XXH3 {
     out
   }
 
-  @inline private def readLE64(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) |
-    ((b(off + 1) & 0xffL) << 8) |
-    ((b(off + 2) & 0xffL) << 16) |
-    ((b(off + 3) & 0xffL) << 24) |
-    ((b(off + 4) & 0xffL) << 32) |
-    ((b(off + 5) & 0xffL) << 40) |
-    ((b(off + 6) & 0xffL) << 48) |
-    ((b(off + 7) & 0xffL) << 56)
+  // Zero-copy memory access via Spark's Platform (sun.misc.Unsafe): lets
+  // the same code path hash byte[] contents and UTF8String payloads without
+  // copying. Reads are fixed up to little-endian on big-endian hosts.
+  private val BigEndian =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.BIG_ENDIAN
+  private final val BYTE_ARRAY_OFFSET =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong
 
-  @inline private def readLE32(b: Array[Byte], off: Int): Long =
-    (b(off) & 0xffL) |
-    ((b(off + 1) & 0xffL) << 8) |
-    ((b(off + 2) & 0xffL) << 16) |
-    ((b(off + 3) & 0xffL) << 24)
+  @inline private def readLE64(base: AnyRef, off: Long): Long = {
+    val v = org.apache.spark.unsafe.Platform.getLong(base, off)
+    if (BigEndian) java.lang.Long.reverseBytes(v) else v
+  }
+
+  @inline private def readLE32(base: AnyRef, off: Long): Long = {
+    val v = org.apache.spark.unsafe.Platform.getInt(base, off)
+    (if (BigEndian) Integer.reverseBytes(v) else v) & 0xffffffffL
+  }
+
+  @inline private def readByte(base: AnyRef, off: Long): Long =
+    org.apache.spark.unsafe.Platform.getByte(base, off) & 0xffL
 
   @inline private def avalanche(h0: Long): Long = {
     var h = h0
@@ -94,40 +99,50 @@ object XXH3 {
   }
 
   /** One-shot XXH3-64 with seed 0 over the whole array. */
-  def hash(input: Array[Byte]): Long = hash(input, 0, input.length)
+  def hash(input: Array[Byte]): Long =
+    hashMem(input, BYTE_ARRAY_OFFSET, input.length)
 
   /** One-shot XXH3-64 with seed 0 over input[off, off+len). */
-  def hash(input: Array[Byte], off: Int, len: Int): Long = {
+  def hash(input: Array[Byte], off: Int, len: Int): Long =
+    hashMem(input, BYTE_ARRAY_OFFSET + off, len)
+
+  /** Zero-copy hash of a UTF8String payload (no byte[] materialization —
+    * this is the per-row hot path of the sketch-build pipeline). */
+  def hashUTF8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    hashMem(s.getBaseObject, s.getBaseOffset, s.numBytes)
+
+  /** One-shot XXH3-64 over arbitrary memory (base + absolute offset). */
+  def hashMem(in: AnyRef, off: Long, len: Int): Long = {
     if (len <= 16) {
-      if (len > 8) len9to16(input, off, len)
-      else if (len >= 4) len4to8(input, off, len)
-      else if (len > 0) len1to3(input, off, len)
-      else avalanche64(readLE64(kSecret, 56) ^ readLE64(kSecret, 64))
-    } else if (len <= 128) len17to128(input, off, len)
-    else if (len <= 240) len129to240(input, off, len)
-    else hashLong(input, off, len)
+      if (len > 8) len9to16(in, off, len)
+      else if (len >= 4) len4to8(in, off, len)
+      else if (len > 0) len1to3(in, off, len)
+      else avalanche64(readLE64(kSecret, BYTE_ARRAY_OFFSET + (56)) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (64)))
+    } else if (len <= 128) len17to128(in, off, len)
+    else if (len <= 240) len129to240(in, off, len)
+    else hashLong(in, off, len)
   }
 
-  private def len1to3(in: Array[Byte], off: Int, len: Int): Long = {
-    val c1 = in(off) & 0xffL
-    val c2 = in(off + (len >> 1)) & 0xffL
-    val c3 = in(off + len - 1) & 0xffL
+  private def len1to3(in: AnyRef, off: Long, len: Int): Long = {
+    val c1 = readByte(in, off)
+    val c2 = readByte(in, off + (len >> 1))
+    val c3 = readByte(in, off + len - 1)
     val combined = (c1 << 16) | (c2 << 24) | c3 | (len.toLong << 8)
-    val bitflip = readLE32(kSecret, 0) ^ readLE32(kSecret, 4)
+    val bitflip = readLE32(kSecret, BYTE_ARRAY_OFFSET + (0)) ^ readLE32(kSecret, BYTE_ARRAY_OFFSET + (4))
     avalanche64(combined ^ bitflip)
   }
 
-  private def len4to8(in: Array[Byte], off: Int, len: Int): Long = {
+  private def len4to8(in: AnyRef, off: Long, len: Int): Long = {
     val in1 = readLE32(in, off)
     val in2 = readLE32(in, off + len - 4)
-    val bitflip = readLE64(kSecret, 8) ^ readLE64(kSecret, 16)
+    val bitflip = readLE64(kSecret, BYTE_ARRAY_OFFSET + (8)) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (16))
     val input64 = in2 | (in1 << 32)
     rrmxmx(input64 ^ bitflip, len.toLong)
   }
 
-  private def len9to16(in: Array[Byte], off: Int, len: Int): Long = {
-    val bitflip1 = readLE64(kSecret, 24) ^ readLE64(kSecret, 32)
-    val bitflip2 = readLE64(kSecret, 40) ^ readLE64(kSecret, 48)
+  private def len9to16(in: AnyRef, off: Long, len: Int): Long = {
+    val bitflip1 = readLE64(kSecret, BYTE_ARRAY_OFFSET + (24)) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (32))
+    val bitflip2 = readLE64(kSecret, BYTE_ARRAY_OFFSET + (40)) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (48))
     val inLo = readLE64(in, off) ^ bitflip1
     val inHi = readLE64(in, off + len - 8) ^ bitflip2
     val acc = len.toLong +
@@ -145,11 +160,11 @@ object XXH3 {
     lo ^ hi
   }
 
-  @inline private def mix16B(in: Array[Byte], inOff: Int, secOff: Int): Long =
-    mulFold(readLE64(in, inOff) ^ readLE64(kSecret, secOff),
-            readLE64(in, inOff + 8) ^ readLE64(kSecret, secOff + 8))
+  @inline private def mix16B(in: AnyRef, inOff: Long, secOff: Int): Long =
+    mulFold(readLE64(in, inOff) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (secOff)),
+            readLE64(in, inOff + 8) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (secOff + 8)))
 
-  private def len17to128(in: Array[Byte], off: Int, len: Int): Long = {
+  private def len17to128(in: AnyRef, off: Long, len: Int): Long = {
     var acc = len.toLong * P64_1
     if (len > 32) {
       if (len > 64) {
@@ -168,7 +183,7 @@ object XXH3 {
     avalanche(acc)
   }
 
-  private def len129to240(in: Array[Byte], off: Int, len: Int): Long = {
+  private def len129to240(in: AnyRef, off: Long, len: Int): Long = {
     var acc = len.toLong * P64_1
     val nbRounds = len / 16
     var i = 0
@@ -184,7 +199,7 @@ object XXH3 {
   private final val NbStripesPerBlock = (192 - StripeLen) / SecretConsumeRate // 16
   private final val BlockLen = StripeLen * NbStripesPerBlock                  // 1024
 
-  private def hashLong(in: Array[Byte], off: Int, len: Int): Long = {
+  private def hashLong(in: AnyRef, off: Long, len: Int): Long = {
     val acc = new Array[Long](8)
     acc(0) = P32_3; acc(1) = P64_1; acc(2) = P64_2; acc(3) = P64_3
     acc(4) = P64_4; acc(5) = P32_2; acc(6) = P64_5; acc(7) = P32_1
@@ -212,18 +227,18 @@ object XXH3 {
     var result = len.toLong * P64_1
     var i = 0
     while (i < 4) {
-      result += mulFold(acc(2 * i) ^ readLE64(kSecret, 11 + 16 * i),
-                        acc(2 * i + 1) ^ readLE64(kSecret, 11 + 16 * i + 8))
+      result += mulFold(acc(2 * i) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (11 + 16 * i)),
+                        acc(2 * i + 1) ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (11 + 16 * i + 8)))
       i += 1
     }
     avalanche(result)
   }
 
-  @inline private def accumulate512(acc: Array[Long], in: Array[Byte], inOff: Int, secOff: Int): Unit = {
+  @inline private def accumulate512(acc: Array[Long], in: AnyRef, inOff: Long, secOff: Int): Unit = {
     var i = 0
     while (i < 8) {
       val dataVal = readLE64(in, inOff + 8 * i)
-      val dataKey = dataVal ^ readLE64(kSecret, secOff + 8 * i)
+      val dataKey = dataVal ^ readLE64(kSecret, BYTE_ARRAY_OFFSET + (secOff + 8 * i))
       acc(i ^ 1) += dataVal
       acc(i) += (dataKey & 0xffffffffL) * (dataKey >>> 32)
       i += 1
@@ -235,7 +250,7 @@ object XXH3 {
     while (i < 8) {
       var a = acc(i)
       a ^= a >>> 47
-      a ^= readLE64(kSecret, 192 - StripeLen + 8 * i)
+      a ^= readLE64(kSecret, BYTE_ARRAY_OFFSET + (192 - StripeLen + 8 * i))
       acc(i) = a * P32_1
       i += 1
     }

@@ -29,13 +29,14 @@ case class Xxh3(child: Expression) extends UnaryExpression {
   override def prettyName: String = "xxh3_64"
   override def nullSafeEval(v: Any): Any = v match {
     case b: Array[Byte] => graft.core.hash.XXH3.hash(b)
-    case s: UTF8String  => graft.core.hash.XXH3.hash(s.getBytes)
+    case s: UTF8String  => graft.core.hash.XXH3.hashUTF8(s) // zero-copy
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = "graft.core.hash.XXH3.hash"
     child.dataType match {
-      case BinaryType => defineCodeGen(ctx, ev, c => s"$fn($c)")
-      case StringType => defineCodeGen(ctx, ev, c => s"$fn($c.getBytes())")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.core.hash.XXH3.hash($c)")
+      case StringType => // hash the UTF8String payload in place, no copy
+        defineCodeGen(ctx, ev, c => s"graft.core.hash.XXH3.hashUTF8($c)")
       case other => throw new IllegalStateException(s"unexpected input type $other")
     }
   }
