@@ -40,6 +40,11 @@ final class Hll private (
 
   import Hll._
 
+  // AK-spec sanity ranges; also prevents Int overflow in size math
+  // (log2m=29 * regwidth=7 would wrap) — caught by the fromBytes fuzzer.
+  require(log2m >= 4 && log2m <= 26, s"log2m out of range: $log2m")
+  require(regwidth >= 1 && regwidth <= 8, s"regwidth out of range: $regwidth")
+
   def this(log2m: Int = Hll.DefaultLog2m, regwidth: Int = Hll.DefaultRegwidth) =
     this(log2m, regwidth, new IntByteMap(16), null)
 
@@ -226,8 +231,11 @@ object Hll {
           k += 1
         }
       case TypeFull =>
-        val r = new BitReader(bytes, 3)
         val m = 1 << log2m
+        val need = 3 + (m * regwidth + 7) / 8
+        require(bytes.length >= need,
+          s"FULL HLL payload too short: ${bytes.length} < $need")
+        val r = new BitReader(bytes, 3)
         var i = 0
         while (i < m) {
           val v = r.bits(regwidth).toByte

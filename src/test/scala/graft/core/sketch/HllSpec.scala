@@ -100,4 +100,34 @@ class HllSpec extends AnyFunSuite {
     val h = Hll.fromBytes(bb.array())
     assert(hex(h.toBytes) === "138e40cc487b368c")
   }
+
+  test("fromBytes never crashes on fuzzed/truncated inputs (error or valid sketch)") {
+    val rnd = new java.util.Random(77)
+    var parsed = 0
+    (1 to 2000).foreach { _ =>
+      val len = rnd.nextInt(64)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      try { Hll.fromBytes(b); parsed += 1 }
+      catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable => fail(s"unexpected ${e.getClass} on ${b.map(x => f"$x%02x").mkString}")
+      }
+    }
+    // truncating a real FULL sketch must raise cleanly, not overrun
+    val h = Hll()
+    (1 to 20000).foreach(i => h.addRaw(rnd.nextLong()))
+    val full = h.toBytes
+    assert((full(0) & 0x0f) === Hll.TypeFull)
+    assertThrows[IllegalArgumentException] {
+      Hll.fromBytes(java.util.Arrays.copyOf(full, full.length / 2))
+    }
+  }
+
+  test("magnitude edge cases match the reference arithmetic (unclamped, Inf/NaN)") {
+    def mag(c: Long, t: Long) = math.log(c.toDouble) / math.log(t.toDouble) * 10
+    assert(mag(5, 1).isInfinity)        // total=1 -> log(1)=0 divisor
+    assert(mag(1, 1).isNaN)             // 0/0
+    assert(mag(200, 100) > 10.0)        // domain est > total est -> >10, unclamped
+  }
 }
