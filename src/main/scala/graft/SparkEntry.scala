@@ -93,6 +93,36 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q_cube" -> ((s, dir) => {
+      s.read.parquet(t(dir, "orders"))
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+      val clickers = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val both = clickers.intersect(buyers).withColumn("rel", lit("both"))
+      val clickOnly = clickers.except(buyers).withColumn("rel", lit("click_only"))
+      val either = clickers.union(buyers).distinct().withColumn("rel", lit("either"))
+      both.unionByName(clickOnly).unionByName(either)
+        .groupBy(col("rel")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("rel"))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      s.read.parquet(t(dir, "events"))
+        .filter(col("user_id") < 20)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(22,6)")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q_sort_limit" -> ((s, dir) => {
       s.read.parquet(t(dir, "lineitem"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
@@ -322,6 +352,27 @@ object SparkEntry {
     "q_sort_limit" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+    "q_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q_set_ops" -> """
+      WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      rels AS (
+        SELECT user_id, 'both' AS rel FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+        UNION ALL
+        SELECT user_id, 'click_only' FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+        UNION ALL
+        SELECT user_id, 'either' FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM buyers))
+      SELECT rel, count(*) AS n_users FROM rels GROUP BY 1 ORDER BY 1""",
+    "q_window_running" -> """
+      SELECT user_id, event_id,
+             CAST(sum(CAST(value AS DECIMAL(22,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
     "q_magnitude_exact" -> """
       WITH per AS (
         SELECT event_type, count(DISTINCT user_id) AS unique_users,
