@@ -91,6 +91,64 @@ object DomainUtil {
   @inline private def isLowerHex(b: Byte): Boolean =
     (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f')
 
+  /**
+   * Zero-copy hostname extraction over a UTF8String payload (the per-row
+   * hot path of the sketch-build pipeline): scans bytes in place, and
+   * returns a substring view when the host is already lowercase (the
+   * overwhelmingly common case), only materializing a new string when a
+   * character actually needs lowering. ASCII-delimiter scanning is UTF-8
+   * safe (multi-byte sequences never contain ASCII bytes).
+   */
+  def hostOfUrlUTF8(url: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (url == null) return null
+    val n = url.numBytes
+    val base = url.getBaseObject
+    val off = url.getBaseOffset
+    @inline def b(i: Int): Byte = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+    // find "://"
+    var i = 0
+    var schemeEnd = -1
+    while (i + 2 < n && schemeEnd < 0) {
+      if (b(i) == ':' && b(i + 1) == '/' && b(i + 2) == '/') schemeEnd = i
+      else i += 1
+    }
+    if (schemeEnd < 0) return null
+    val start = schemeEnd + 3
+    var end = n
+    var seenAt = -1
+    i = start
+    var done = false
+    while (i < end && !done) {
+      val c = b(i)
+      if (c == '/' || c == '?' || c == '#') { end = i; done = true }
+      else { if (c == '@') seenAt = i; i += 1 }
+    }
+    var hs = if (seenAt >= 0 && seenAt < end) seenAt + 1 else start
+    var he = end
+    if (hs < n && b(hs) == '[') { // IPv6 literal
+      var close = hs + 1
+      while (close < end && b(close) != ']') close += 1
+      if (close >= end) return null
+      hs += 1; he = close
+    } else { // strip :port
+      var colon = -1
+      i = hs
+      while (i < he) { if (b(i) == ':') colon = i; i += 1 }
+      if (colon >= 0) he = colon
+    }
+    if (he <= hs) return null
+    // already-lowercase fast path: return a view, no allocation beyond it
+    var needsLower = false
+    i = hs
+    while (i < he && !needsLower) {
+      val c = b(i)
+      if (c >= 'A' && c <= 'Z') needsLower = true
+      i += 1
+    }
+    val sub = url.substring(hs, he)
+    if (needsLower) sub.toLowerCase else sub
+  }
+
   /** Hostname of a URL (scheme://host[:port]/...), lowercased; null if no
     * authority component. The generalized pipeline's analogue of the
     * reference's domain key. */

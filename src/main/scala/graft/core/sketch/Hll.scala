@@ -255,26 +255,32 @@ object Hll {
   }
 }
 
-/** MSB-first bit packer for AK payloads. */
-private[sketch] final class BitWriter(sizeHint: Int) {
-  private val buf = new java.io.ByteArrayOutputStream(sizeHint)
+/** MSB-first bit packer for AK payloads. Packs straight into a
+  * pre-sized array (serialization runs once per partial-aggregation row —
+  * tens of millions of times per job — so no ByteArrayOutputStream, whose
+  * methods are synchronized, and no growth/copy). */
+private[sketch] final class BitWriter(exactSize: Int) {
+  private val buf = new Array[Byte](exactSize)
+  private var pos = 0
   private var acc = 0L
   private var nbits = 0
-  def byte(b: Byte): Unit = { assert(nbits == 0); buf.write(b) }
+  def byte(b: Byte): Unit = { buf(pos) = b; pos += 1 }
   def bits(v: Long, n: Int): Unit = {
     acc = (acc << n) | (v & ((1L << n) - 1))
     nbits += n
     while (nbits >= 8) {
-      buf.write(((acc >>> (nbits - 8)) & 0xff).toInt)
+      buf(pos) = ((acc >>> (nbits - 8)) & 0xff).toByte
+      pos += 1
       nbits -= 8
     }
   }
   def result(): Array[Byte] = {
     if (nbits > 0) {
-      buf.write(((acc << (8 - nbits)) & 0xff).toInt)
+      buf(pos) = ((acc << (8 - nbits)) & 0xff).toByte
+      pos += 1
       nbits = 0
     }
-    buf.toByteArray
+    if (pos == buf.length) buf else java.util.Arrays.copyOf(buf, pos)
   }
 }
 

@@ -108,15 +108,12 @@ case class HostOfUrl(child: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "host_of_url"
-  override def nullSafeEval(v: Any): Any = {
-    val r = graft.core.net.DomainUtil.hostOfUrl(v.asInstanceOf[UTF8String].toString)
-    if (r == null) null else UTF8String.fromString(r)
-  }
+  override def nullSafeEval(v: Any): Any =
+    graft.core.net.DomainUtil.hostOfUrlUTF8(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.String r = graft.core.net.DomainUtil.hostOfUrl($c.toString());
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(r); }
+      ${ev.value} = graft.core.net.DomainUtil.hostOfUrlUTF8($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
     """)
   override protected def withNewChildInternal(c: Expression): HostOfUrl = copy(child = c)
 }

@@ -172,4 +172,20 @@ class OperatorsSpec extends AnyFunSuite {
       .count(r => r.getAs[Long]("query_id") - 100000 == r.getAs[Long]("nn_id"))
     assert(hits >= 19, s"planted IVF hits $hits/20")
   }
+
+  test("hostOfUrlUTF8 equals the String implementation on tricky urls") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val urls = Seq(
+      "https://example.com/p/x", "https://EXAMPLE.Com:8080/a?b#c",
+      "http://user:pw@Host.Example/path", "https://[2001:db8::1]:443/x",
+      "ftp://plain", "no-scheme-at-all", "https:///empty-host",
+      "https://host.only", "https://host?q", "https://host#f",
+      "https://h/", "", "https://MiXeD.CaSe.ORG")
+    urls.foreach { u =>
+      val a = Option(graft.core.net.DomainUtil.hostOfUrl(u)).orNull
+      val b = Option(graft.core.net.DomainUtil.hostOfUrlUTF8(UTF8String.fromString(u)))
+        .map(_.toString).orNull
+      assert(a === b, s"url '$u'")
+    }
+  }
 }
