@@ -32,11 +32,7 @@ package graft.core.sketch
  *
  * Not thread-safe (one instance per aggregation buffer).
  */
-final class Hll private (
-    val log2m: Int,
-    val regwidth: Int,
-    private var sparse: IntByteMap,        // null when dense
-    private var dense: Array[Byte]) {      // null when sparse
+final class Hll(val log2m: Int, val regwidth: Int) {
 
   import Hll._
 
@@ -45,22 +41,101 @@ final class Hll private (
   require(log2m >= 4 && log2m <= 26, s"log2m out of range: $log2m")
   require(regwidth >= 1 && regwidth <= 8, s"regwidth out of range: $regwidth")
 
-  def this(log2m: Int = Hll.DefaultLog2m, regwidth: Int = Hll.DefaultRegwidth) =
-    this(log2m, regwidth, new IntByteMap(16), null)
+  def this() = this(Hll.DefaultLog2m, Hll.DefaultRegwidth)
 
   val m: Int = 1 << log2m
   private val idxMask: Long = m - 1L
   // caps register value at 2^regwidth-1 even when the substream is all zeros
   private val pwMaxMask: Long = 1L << ((1 << regwidth) - 2)
 
+  // Three storage modes, promoted in order as registers fill:
+  //  1. small:  up to 3 short words packed into one Long field — the
+  //     overwhelmingly common partial-aggregation buffer (1-3 pages per
+  //     host per map task) allocates NOTHING beyond the Hll object;
+  //  2. sparse: open-addressing int->byte map;
+  //  3. dense:  flat register array.
+  private var small: Long = 0L          // [count:2][slot2:20][slot1:20][slot0:20]
+  private var sparse: IntByteMap = null
+  private var dense: Array[Byte] = null
+
+  private val shortWord: Int = log2m + regwidth
+  private val smallCap: Int = if (shortWord <= 20) 3 else 0
+
+  @inline private def smallCount: Int = ((small >>> 60) & 3L).toInt
+  @inline private def smallSlot(i: Int): Int = ((small >>> (20 * i)) & 0xfffffL).toInt
+
+  @inline private def setMax(idx: Int, value: Byte): Unit = {
+    if (dense != null) {
+      if (value > dense(idx)) dense(idx) = value
+    } else if (sparse != null) {
+      sparse.setMax(idx, value)
+      if (sparse.size > InMemoryPromotion) promoteToDense()
+    } else {
+      // small mode
+      val n = smallCount
+      var i = 0
+      while (i < n) {
+        val w = smallSlot(i)
+        if ((w >>> regwidth) == idx) {
+          if ((w & ((1 << regwidth) - 1)) < value) {
+            val nw = ((idx << regwidth) | value).toLong
+            small = (small & ~(0xfffffL << (20 * i))) | (nw << (20 * i))
+          }
+          return
+        }
+        i += 1
+      }
+      if (n < smallCap) {
+        val nw = ((idx << regwidth) | value).toLong
+        small = (small & ~(3L << 60)) | (nw << (20 * n)) | ((n + 1).toLong << 60)
+      } else {
+        // overflow: spill small entries into a fresh map, then insert
+        val map = new IntByteMap(16)
+        var j = 0
+        while (j < n) {
+          val w = smallSlot(j)
+          map.setMax(w >>> regwidth, (w & ((1 << regwidth) - 1)).toByte)
+          j += 1
+        }
+        small = 0L
+        sparse = map
+        sparse.setMax(idx, value)
+      }
+    }
+  }
+
+  /** Visit every non-zero register (mode-agnostic read path). */
+  @inline private def foreachRegister(f: (Int, Byte) => Unit): Unit = {
+    if (dense != null) {
+      var i = 0
+      while (i < m) { val v = dense(i); if (v != 0) f(i, v); i += 1 }
+    } else if (sparse != null) sparse.foreach(f)
+    else {
+      val n = smallCount
+      var i = 0
+      while (i < n) {
+        val w = smallSlot(i)
+        f(w >>> regwidth, (w & ((1 << regwidth) - 1)).toByte)
+        i += 1
+      }
+    }
+  }
+
+  private def promoteToDense(): Unit = {
+    val d = new Array[Byte](m)
+    sparse.foreach((i, v) => d(i) = v)
+    dense = d
+    sparse = null
+  }
+
   /** Number of registers holding a non-zero value. */
   def nonZeroRegisters: Int =
-    if (sparse != null) sparse.size
-    else {
+    if (dense != null) {
       var n = 0; var i = 0
       while (i < m) { if (dense(i) != 0) n += 1; i += 1 }
       n
-    }
+    } else if (sparse != null) sparse.size
+    else smallCount
 
   def isEmpty: Boolean = nonZeroRegisters == 0
 
@@ -72,32 +147,12 @@ final class Hll private (
     setMax(idx, value)
   }
 
-  @inline private def setMax(idx: Int, value: Byte): Unit = {
-    if (dense != null) {
-      if (value > dense(idx)) dense(idx) = value
-    } else {
-      sparse.setMax(idx, value)
-      if (sparse.size > InMemoryPromotion) promote()
-    }
-  }
-
-  private def promote(): Unit = {
-    val d = new Array[Byte](m)
-    sparse.foreach((i, v) => d(i) = v)
-    dense = d
-    sparse = null
-  }
-
   /** Register-wise max union. Throws on settings mismatch (strict union,
     * reference /root/reference/internal/dataset.go:253). */
   def union(other: Hll): Unit = {
     require(other.log2m == log2m && other.regwidth == regwidth,
       s"HLL settings mismatch: ($log2m,$regwidth) vs (${other.log2m},${other.regwidth})")
-    if (other.sparse != null) other.sparse.foreach((i, v) => setMax(i, v))
-    else {
-      var i = 0
-      while (i < m) { val v = other.dense(i); if (v != 0) setMax(i, v); i += 1 }
-    }
+    other.foreachRegister((i, v) => setMax(i, v))
   }
 
   /**
@@ -109,16 +164,7 @@ final class Hll private (
     var sum = 0.0
     var nonZero = 0
     val inv = Hll.TwoToMinus
-    if (sparse != null) {
-      sparse.foreach { (_, v) => sum += inv(v); nonZero += 1 }
-    } else {
-      var i = 0
-      while (i < m) {
-        val v = dense(i)
-        if (v != 0) { sum += inv(v); nonZero += 1 }
-        i += 1
-      }
-    }
+    foreachRegister { (_, v) => sum += inv(v); nonZero += 1 }
     val zeroes = m - nonZero
     sum += zeroes.toDouble // each zero register contributes 2^0
     val alphaMSq = (0.7213 / (1.0 + 1.079 / m)) * m * m
@@ -134,8 +180,7 @@ final class Hll private (
     math.ceil(result).toLong
   }
 
-  private def shortWordLen: Int = log2m + regwidth
-
+  private def shortWordLen: Int = shortWord
   /** Largest non-zero-register count for which the SPARSE encoding is no
     * larger than FULL — java-hll's auto sparse threshold. */
   private def sparseWireThreshold: Int = m * regwidth / shortWordLen
@@ -151,11 +196,7 @@ final class Hll private (
       // collect (idx, value) pairs sorted ascending by idx
       val words = new Array[Int](nz)
       var n = 0
-      if (sparse != null) sparse.foreach { (i, v) => words(n) = (i << regwidth) | v; n += 1 }
-      else {
-        var i = 0
-        while (i < m) { if (dense(i) != 0) { words(n) = (i << regwidth) | dense(i); n += 1 }; i += 1 }
-      }
+      foreachRegister { (i, v) => words(n) = (i << regwidth) | v; n += 1 }
       java.util.Arrays.sort(words) // idx in high bits => ascending idx order
       val out = new BitWriter(3 + (nz * shortWordLen + 7) / 8)
       out.byte((SchemaVersion << 4 | TypeSparse).toByte)
@@ -167,7 +208,13 @@ final class Hll private (
       val out = new BitWriter(3 + (m * regwidth + 7) / 8)
       out.byte((SchemaVersion << 4 | TypeFull).toByte)
       out.byte(hdr1); out.byte(cutoff)
-      if (dense == null) promote()
+      if (dense == null) {
+        val d = new Array[Byte](m)
+        foreachRegister((i, v) => d(i) = v)
+        dense = d
+        sparse = null
+        small = 0L
+      }
       var i = 0
       while (i < m) { out.bits(dense(i).toLong, regwidth); i += 1 }
       out.result()
