@@ -72,12 +72,22 @@ object DnsMagnitude {
         col("queries").as("totalQueryVolume"))
     val joined = perDomain.join(broadcast(global), Seq("date"))
       .withColumn("magnitude", magnitude(col("uniqueClients"), col("totalUniqueClients")))
+    // two-phase exact top-N (see Magnitude.report: a single per-date window
+    // collapses parallelism to #dates)
     val limited =
       if (topN > 0) {
-        val w = org.apache.spark.sql.expressions.Window
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("date"), col("__pid"))
+          .orderBy(col("magnitude").desc, col("domain").desc)
+        val local = joined.withColumn("__pid", spark_partition_id())
+          .withColumn("__r", row_number().over(wLocal))
+          .filter(col("__r") <= topN)
+          .drop("__r", "__pid")
+        val wGlobal = org.apache.spark.sql.expressions.Window
           .partitionBy(col("date"))
           .orderBy(col("magnitude").desc, col("domain").desc)
-        joined.withColumn("__r", row_number().over(w)).filter(col("__r") <= topN).drop("__r")
+        local.withColumn("__r", row_number().over(wGlobal))
+          .filter(col("__r") <= topN).drop("__r")
       } else joined
     limited.orderBy(col("date").asc, floor(col("magnitude") * 1000).asc, col("domain").asc)
   }
