@@ -137,7 +137,6 @@ object DomainUtil {
       if (colon >= 0) he = colon
     }
     if (he <= hs) return null
-    // already-lowercase fast path: return a view, no allocation beyond it
     var needsLower = false
     i = hs
     while (i < he && !needsLower) {
@@ -145,7 +144,15 @@ object DomainUtil {
       if (c >= 'A' && c <= 'Z') needsLower = true
       i += 1
     }
-    val sub = url.substring(hs, he)
+    // copy just the host bytes (UTF8String.substring takes CHARACTER
+    // indices, not byte offsets — using it here mis-sliced multi-byte
+    // urls; a ~20-byte host copy is still far cheaper than String-ifying
+    // the whole url)
+    val hostBytes = new Array[Byte](he - hs)
+    org.apache.spark.unsafe.Platform.copyMemory(
+      base, off + hs, hostBytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong, (he - hs).toLong)
+    val sub = org.apache.spark.unsafe.types.UTF8String.fromBytes(hostBytes)
     if (needsLower) sub.toLowerCase else sub
   }
 

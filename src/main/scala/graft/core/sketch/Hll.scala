@@ -36,10 +36,13 @@ final class Hll(val log2m: Int, val regwidth: Int) {
 
   import Hll._
 
-  // AK-spec sanity ranges; also prevents Int overflow in size math
-  // (log2m=29 * regwidth=7 would wrap) — caught by the fromBytes fuzzer.
-  require(log2m >= 4 && log2m <= 26, s"log2m out of range: $log2m")
-  require(regwidth >= 1 && regwidth <= 8, s"regwidth out of range: $regwidth")
+  // Supported AK-spec parameter ranges. Tighter than the wire format allows
+  // on purpose: regwidth <= 6 keeps register values in [0,63] (signed-byte
+  // safe, within the 2^-v table) and pwMaxMask's shift below 63;
+  // log2m + regwidth <= 30 keeps sparse short words inside a positive Int.
+  // (Also prevents the Int overflow a fromBytes fuzzer caught at log2m=29.)
+  require(log2m >= 4 && log2m <= 24, s"log2m out of range: $log2m")
+  require(regwidth >= 1 && regwidth <= 6, s"regwidth out of range: $regwidth")
 
   def this() = this(Hll.DefaultLog2m, Hll.DefaultRegwidth)
 

@@ -38,6 +38,7 @@ object GraftFunctions {
   // ----- text analysis -----
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
+  def winnow_min64(c: Column): Column = column(WinnowMin64(expression(c)))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
@@ -84,6 +85,7 @@ object GraftFunctions {
     "extract_text" -> (e => ExtractText(e.head)),
     "simhash64" -> (e => SimHash64(e.head)),
     "fingerprint64" -> (e => Fingerprint64(e.head)),
+    "winnow_min64" -> (e => WinnowMin64(e.head)),
     "lang_id" -> (e => LangId(e.head)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),

@@ -26,7 +26,9 @@ case class SimHash64(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
-/** Winnowing fingerprint: min XXH3 over char 8-grams. */
+/** Rabin-Karp rolling content hash (identity semantics: equal texts ->
+  * equal fingerprints; distinct texts collide with ~2^-64 probability).
+  * For NEAR-dup blocking use [[WinnowMin64]] instead. */
 case class Fingerprint64(child: Expression) extends TextUnary {
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"
@@ -34,6 +36,17 @@ case class Fingerprint64(child: Expression) extends TextUnary {
   override def nullSafeEval(v: Any): Any =
     graft.core.text.TextOps.fingerprint64(v.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+/** Winnowing-style near-dup blocking key: min XXH3 over char 8-grams —
+  * shared by most near-identical texts (Schleimer et al. 2003 simplified). */
+case class WinnowMin64(child: Expression) extends TextUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_min64"
+  override protected def fn: String = "winnowMin64"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.winnowMin64(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): WinnowMin64 = copy(child = c)
 }
 
 /** Trigram-profile language id over {en,de,sv,fr}, "und" if unsure. */

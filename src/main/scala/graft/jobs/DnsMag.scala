@@ -52,6 +52,12 @@ object DnsMag {
           .getOrElse(sys.error("--date YYYY-MM-DD required (no wall-clock defaults in jobs)")))
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
         val recs = RecordsCsv.read(spark, input, tsv = rest.contains("--tsv"))
+        // reference semantics: invalid records (negative count, bad IP past
+        // the header heuristic) abort the collect
+        // (/root/reference/internal/csv.go:98-110 returns an error)
+        val bad = recs.filter(org.apache.spark.sql.functions.col("invalid")).count()
+        if (bad > 0 && !rest.contains("--skip-invalid"))
+          sys.error(s"$bad invalid record(s) in $input (pass --skip-invalid to drop them)")
         DnsMagnitude.collect(recs, date)
           .write.mode(SaveMode.Overwrite).parquet(out)
 

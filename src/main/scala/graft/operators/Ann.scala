@@ -42,8 +42,22 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Exact top-k per query in two phases: a local top-k inside each (query,
+    * physical partition) first, so the global per-query sort only sees
+    * <= partitions*k survivors — a single per-query window would funnel the
+    * whole scored corpus into #queries partitions. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("__pid"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    val local = scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__r", row_number().over(wLocal))
+      .filter(col("__r") <= k)
+      .drop("__r", "__pid")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
   }
@@ -83,11 +97,7 @@ object Ann {
       .select(col("query_id"), col("q_vec"), col("nn_id"), col("nn_vec"))
       .dropDuplicates("query_id", "nn_id")
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id").asc)
-    candidates.withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+    topKPerQuery(candidates.withColumn("cos", cosine(col("q_vec"), col("nn_vec"))), k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) with cosine >= minCos.

@@ -23,13 +23,15 @@ import graft.functions.GraftFunctions._
  */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical text. Shuffles on the
-    * 64-bit xxh3 fingerprint, not the full text (at 100 TB the shuffle
-    * carries 8-byte keys; full texts only travel for the kept rows).
-    * Hash collisions across distinct texts are disambiguated by grouping on
-    * (hash, text) — the text comparison only happens within a hash bucket. */
+  /** Exact dedup: keep the smallest id per identical text, keyed by a
+    * 128-bit content signature (XXH3 + an independent rolling hash), so the
+    * shuffle carries 16 bytes per row — never the text. Two distinct texts
+    * sharing both hashes is a ~2^-128 event (the standard content-address
+    * assumption); callers needing literal byte-compare semantics can group
+    * by the text column directly at the cost of shuffling it. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(xxh3_64(col(textCol)).as("__h"), col(textCol))
+    docs.groupBy(xxh3_64(col(textCol)).as("__h1"),
+        fingerprint64(col(textCol)).as("__h2"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 

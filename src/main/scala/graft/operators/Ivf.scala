@@ -76,12 +76,10 @@ object Ivf {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster", explode(nearestCentroids(col("q_vec"), centroids, nprobe)))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nn_id").asc)
-    lists.join(broadcast(probes), Seq("cluster"))
+    val scored = lists.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "nn_id")
       .withColumn("cos", Ann.cosine(col("q_vec"), col("nn_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("rank"), col("cos"))
+    Ann.topKPerQuery(scored, k)
   }
 }

@@ -62,11 +62,17 @@ object Multimodal {
       // per-partition decoder setup would go here (once, not per row)
       rows.map { r =>
         val id = r.getLong(0)
-        val blob = r.getAs[Array[Byte]](1)
-        val ck = XXH3.hash(blob)
-        val (w, h, f) = decodeStub(blob, ck)
-        MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
-          sniffKind(blob), w, h, f)
+        val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (blob == null) {
+          // docs without media are normal in real page tables: emit typed
+          // null-metadata instead of killing the task
+          MediaMeta(id, 0L, "", "none", 0, 0, 0)
+        } else {
+          val ck = XXH3.hash(blob)
+          val (w, h, f) = decodeStub(blob, ck)
+          MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+            sniffKind(blob), w, h, f)
+        }
       }
     }
   }

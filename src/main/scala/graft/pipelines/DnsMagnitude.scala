@@ -33,7 +33,13 @@ object DnsMagnitude {
     * "count all queries, even invalid ones" semantics
     * (/root/reference/internal/dataset.go:161-184) without a second pass. */
   def collect(records: DataFrame, date: java.sql.Date): DataFrame = {
-    records.filter(col("hash").isNotNull)
+    // honor the source's invalid flag when present (negative/bad counts,
+    // unparseable IPs) — the reference hard-errors on these; here they are
+    // excluded and countable by the caller (see jobs.DnsMag failOnInvalid)
+    val clean =
+      if (records.columns.contains("invalid")) records.filter(!col("invalid"))
+      else records
+    clean.filter(col("hash").isNotNull)
       .groupBy(when(col("domain").isNull || col("domain") === ".",
         lit(null).cast("string")).otherwise(col("domain")).as("domain"))
       .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))

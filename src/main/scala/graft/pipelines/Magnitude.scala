@@ -179,13 +179,18 @@ object Magnitude {
     todo.foreach { file =>
       val pages = spark.read.parquet(file)
       val t0 = System.nanoTime()
-      val rows = pages.count()
-      collect(pages, salts)
+      // one scan per file: the state is tiny, so cache it, derive the
+      // lineage row count from it (sum of per-group queries == input rows),
+      // and write — no separate count() pass over the source
+      val state = collect(pages, salts).cache()
+      val rows = state.agg(sum(col("queries"))).collect()(0).getLong(0)
+      state
         .withColumn("source_file", lit(file))
         .withColumn("row_count", lit(rows))
         .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$partialsDir/src=${lineageId(file)}")
+      state.unpersist()
     }
 
     val partials = spark.read.parquet(s"$partialsDir/src=*")

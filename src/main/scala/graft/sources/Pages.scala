@@ -99,12 +99,18 @@ object Pages {
                     days: Int, partitions: Int = 128): String = {
     val path = new java.io.File(dir)
     val marker = new java.io.File(path, "_GRAFT_DONE")
-    if (!marker.exists()) {
+    val stamp = s"$n|$hosts|$days"
+    val current =
+      if (marker.exists()) java.nio.file.Files.readString(marker.toPath) else ""
+    // marker carries the generation parameters — a dir generated for a
+    // different (n, hosts, days) is regenerated, never silently reused
+    // (a stale 1M-row table with a new n would inflate bench throughput)
+    if (current != stamp) {
       import org.apache.spark.sql.functions.{to_date, col}
       generateDf(spark, n, hosts, days, partitions)
         .withColumn("date", to_date(col("warc_ts")))
         .write.mode("overwrite").partitionBy("date").parquet(dir)
-      marker.createNewFile()
+      java.nio.file.Files.writeString(marker.toPath, stamp)
     }
     dir
   }

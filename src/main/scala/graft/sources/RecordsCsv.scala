@@ -49,11 +49,15 @@ object RecordsCsv {
     val parsedCnt = when(cntStr.rlike("^-?[0-9]+$"), cntStr.cast("long"))
       .otherwise(lit(null).cast("long"))
     val headerRow =
-      // per-file first line heuristic needs the line's position; cheapest
-      // stable proxy: a row whose IP doesn't parse AND whose count doesn't
-      // parse is treated as a header and dropped silently (covers the
-      // "ip,domain,queries" header shape the reference skips)
-      truncate_ip(trim(col("client_ip"))).isNull &&
+      // The reference drops only a FILE'S FIRST line when it looks like a
+      // header. A distributed CSV scan has no row position, so the proxy is
+      // deliberately narrow: the ip field must contain NO digit at all
+      // (header names like "ip"/"client_ip" qualify; corrupt real
+      // addresses virtually always contain digits and stay visible via the
+      // `invalid` flag instead of vanishing). Documented divergence: an
+      // all-alphabetic garbage ip row mid-file is dropped like a header.
+      !trim(col("client_ip")).rlike("[0-9]") &&
+        truncate_ip(trim(col("client_ip"))).isNull &&
         (cntStr.isNull || parsedCnt.isNull)
 
     raw

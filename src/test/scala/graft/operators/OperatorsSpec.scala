@@ -180,7 +180,9 @@ class OperatorsSpec extends AnyFunSuite {
       "http://user:pw@Host.Example/path", "https://[2001:db8::1]:443/x",
       "ftp://plain", "no-scheme-at-all", "https:///empty-host",
       "https://host.only", "https://host?q", "https://host#f",
-      "https://h/", "", "https://MiXeD.CaSe.ORG")
+      "https://h/", "", "https://MiXeD.CaSe.ORG",
+      "http://m\u00fcller.de/x", "https://\u65e5\u672c.example/\u30da\u30fc\u30b8",
+      "https://caf\u00e9.FR:8443/menu")
     urls.foreach { u =>
       val a = Option(graft.core.net.DomainUtil.hostOfUrl(u)).orNull
       val b = Option(graft.core.net.DomainUtil.hostOfUrlUTF8(UTF8String.fromString(u)))
