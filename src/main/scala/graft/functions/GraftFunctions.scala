@@ -75,7 +75,7 @@ object GraftFunctions {
   def kll_merge(sketch: Column): Column = agg(KllMergeAgg(expression(sketch)))
 
   /** All SQL-callable names -> expression builders. */
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "xxh3_64" -> (e => Xxh3(e.head)),
     "truncate_ip" -> (e => TruncateIp(e.head)),
     "normalize_domain" -> (e => NormalizeDomain(e.head,
@@ -122,34 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    def info(name: String) = new ExpressionInfo("graft", name)
-    Seq[(String, Seq[Expression] => Expression)](
-      "xxh3_64" -> (e => Xxh3(e.head)),
-      "truncate_ip" -> (e => TruncateIp(e.head)),
-      "normalize_domain" -> (e => NormalizeDomain(e.head,
-        if (e.length > 1) e(1).eval().toString.toInt else 1)),
-      "unescape_domain" -> (e => UnescapeDomain(e.head)),
-      "host_of_url" -> (e => HostOfUrl(e.head)),
-      "extract_text" -> (e => ExtractText(e.head)),
-      "hll_est" -> (e => HllEst(e.head)),
-      "cms_est" -> (e => CmsEst(e.head, e(1))),
-      "bloom_contains" -> (e => BloomContains(e.head, e(1))),
-      "tdigest_quantile" -> (e => TDigestQuantile(e.head, e(1))),
-      "tdigest_cdf" -> (e => TDigestCdf(e.head, e(1))),
-      "kll_quantile" -> (e => KllQuantile(e.head, e(1))),
-      "kll_rank" -> (e => KllRank(e.head, e(1))),
-      "hll_build" -> (e => HllBuildAgg(e.head).toAggregateExpression()),
-      "hll_merge" -> (e => HllMergeAgg(e.head).toAggregateExpression()),
-      "cms_build" -> (e => CmsBuildAgg(e.head, e(1)).toAggregateExpression()),
-      "cms_merge" -> (e => CmsMergeAgg(e.head).toAggregateExpression()),
-      "bloom_build" -> (e => BloomBuildAgg(e.head).toAggregateExpression()),
-      "bloom_merge" -> (e => BloomMergeAgg(e.head).toAggregateExpression()),
-      "tdigest_build" -> (e => TDigestBuildAgg(e.head).toAggregateExpression()),
-      "tdigest_merge" -> (e => TDigestMergeAgg(e.head).toAggregateExpression()),
-      "kll_build" -> (e => KllBuildAgg(e.head).toAggregateExpression()),
-      "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression())
-    ).foreach { case (name, b) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), b))
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
     }
   }
 }
