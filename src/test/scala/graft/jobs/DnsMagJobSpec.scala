@@ -51,4 +51,21 @@ class DnsMagJobSpec extends AnyFunSuite {
       "--output", s"$dir/forced"))
     assert(spark.read.parquet(s"$dir/forced").count() > 0)
   }
+
+  test("collect job fails on invalid records unless --skip-invalid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_job_inv").toString
+    val f = new java.io.File(dir, "dirty.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "192.168.1.1,com,5\n192.168.1.2,org,-3\n")
+    val e = intercept[RuntimeException] {
+      DnsMag.run(spark, Array("collect", "--input", f.toString,
+        "--date", "2000-01-01", "--output", s"$dir/state"))
+    }
+    assert(e.getMessage.contains("invalid record"))
+    DnsMag.run(spark, Array("collect", "--input", f.toString, "--skip-invalid",
+      "--date", "2000-01-01", "--output", s"$dir/state"))
+    val st = spark.read.parquet(s"$dir/state")
+    import org.apache.spark.sql.functions._
+    assert(st.agg(sum(col("queries"))).collect()(0).getLong(0) === 5L)
+  }
 }
