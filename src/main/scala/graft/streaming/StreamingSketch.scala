@@ -42,6 +42,25 @@ object StreamingSketch {
         hll_est(col("hll")).as("est_entities"), col("n"))
 
   /**
+   * Streaming sketch-STATE builder: per (tumbling window, host) HLL + count
+   * rows in the Magnitude sketch_state shape, suitable for an append-mode
+   * parquet sink. This is the production topology for streaming magnitude:
+   * the stream maintains only per-key sketch buffers (bounded state, windows
+   * finalize at the watermark), the sink parquet IS the checkpointed state
+   * table, and `Magnitude.report` runs in batch over it — identical results
+   * to batch collect over the same rows, because the aggregates merge.
+   */
+  def pagesSketchState(pages: DataFrame, windowLen: String, watermark: String): DataFrame =
+    pages
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLen),
+        host_of_url(col("url")).as("host"))
+      .agg(hll_build(xxh3_64(col("url"))).as("hll"), count(lit(1)).as("queries"))
+      .select(to_date(col("window.start")).as("date"), col("host"),
+        col("hll"), col("queries"))
+
+  /**
    * Gap-based sessionization via flatMapGroupsWithState — the custom-state
    * path for semantics windows can't express. Emits a session row when a
    * user is idle past `gapMs` (event-time approximation driven by observed

@@ -73,4 +73,47 @@ class StreamingSpec extends AnyFunSuite {
     val closed = spark.sql("SELECT * FROM sessions").as[SessionOut].collect()
     assert(closed.toSeq === Seq(SessionOut(1L, 2, base, base + 60000)))
   }
+
+  test("streaming sketch-state sink + batch report == pure batch magnitude report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smag").toString
+    val pages = graft.sources.Pages.generateDf(spark, 6000, hosts = 80, days = 2, partitions = 3)
+    // feed files in event-time order (FileStreamSource picks oldest mtime
+    // first): day-2 data arriving after day-1 advances the watermark and
+    // CLOSES the day-1 window; day-2 itself never closes (append semantics)
+    import org.apache.spark.sql.functions.to_date
+    pages.filter(to_date($"warc_ts") === "2000-01-01")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    Thread.sleep(1500)
+    pages.filter(to_date($"warc_ts") === "2000-01-02")
+      .write.mode("append").parquet(s"$dir/src")
+
+    val stream = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+    val q = StreamingSketch.pagesSketchState(stream, "1 day", "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("parquet").option("path", s"$dir/state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    // append-mode parquet may hold several finalized rows per (date,host)
+    // (one per closing batch) -> merge them first: exactly the aggregate path
+    val state = graft.pipelines.Magnitude.aggregate(spark.read.parquet(s"$dir/state"))
+    val streamedRep = graft.pipelines.Magnitude.report(state).collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString, r.getAs[String]("host"),
+        r.getAs[Long]("unique_pages"), r.getAs[Long]("queries"),
+        r.getAs[Long]("total_unique_pages")))
+      .sortBy(_.toString)
+    // only CLOSED windows are emitted in append mode: day 1 must equal the
+    // batch report exactly; day 2 (still open at end of input) is absent
+    assert(streamedRep.nonEmpty)
+    assert(streamedRep.forall(_._1 == "2000-01-01"), "open window must not be emitted")
+    val batchRep = graft.pipelines.Magnitude.run(
+        pages.filter(to_date($"warc_ts") === "2000-01-01")).collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString, r.getAs[String]("host"),
+        r.getAs[Long]("unique_pages"), r.getAs[Long]("queries"),
+        r.getAs[Long]("total_unique_pages")))
+      .sortBy(_.toString)
+    assert(streamedRep === batchRep)
+  }
 }
