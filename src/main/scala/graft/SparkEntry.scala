@@ -265,6 +265,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_bloom_semi_join" -> ((s, dir) => {
+      // lineitems of high-value orders: Bloom-prefiltered exact semi join
+      val li = s.read.parquet(t(dir, "lineitem"))
+      val bigOrders = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_totalprice") > 400000.0)
+      graft.operators.Joins.bloomSemiJoin(li, col("l_orderkey"),
+          bigOrders, col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // ---------------- rows-only (non-SQL-expressible) ----------------
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
@@ -437,6 +448,11 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n, CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_bloom_semi_join" -> """
+      SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+      FROM lineitem WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+      GROUP BY 1 ORDER BY 1""",
     "q_multimodal_meta" -> """
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_bytes
       FROM documents ORDER BY doc_id""",
