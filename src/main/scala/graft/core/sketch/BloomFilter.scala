@@ -11,7 +11,7 @@ package graft.core.sketch
  * Wire format: [magic 'B','F', ver 1, k u8] [log2bits u8] [pad 3] + bit
  * words i64 BE.
  */
-final class BloomFilter private (val numHashes: Int, val log2Bits: Int, val words: Array[Long]) {
+final class BloomFilter private (val numHashes: Int, val log2Bits: Int, val words: Array[Long]) extends Serializable {
 
   def this(numHashes: Int = BloomFilter.DefaultHashes, log2Bits: Int = BloomFilter.DefaultLog2Bits) =
     this(numHashes, log2Bits, new Array[Long](1 << (log2Bits - 6)))

@@ -15,7 +15,7 @@ package graft.core.sketch
  * Wire format: [magic 'C','M', ver 1, depth u8] [width i32 BE] [depth*width
  * counters i64 BE]. Fixed-size once parameterized; default 5 x 2048 = 80 KiB.
  */
-final class CountMin private (val depth: Int, val width: Int, val table: Array[Long]) {
+final class CountMin private (val depth: Int, val width: Int, val table: Array[Long]) extends Serializable {
 
   def this(depth: Int = CountMin.DefaultDepth, width: Int = CountMin.DefaultWidth) =
     this(depth, width, new Array[Long](depth * width))

@@ -32,7 +32,7 @@ package graft.core.sketch
  *
  * Not thread-safe (one instance per aggregation buffer).
  */
-final class Hll(val log2m: Int, val regwidth: Int) {
+final class Hll(val log2m: Int, val regwidth: Int) extends Serializable {
 
   import Hll._
 
@@ -360,7 +360,7 @@ private[sketch] final class BitReader(bytes: Array[Byte], startOff: Int) {
  * boxed HashMap entries; matters because one HLL buffer lives per group in
  * Spark's object-hash aggregation map).
  */
-private[sketch] final class IntByteMap(initialCapacity: Int) {
+private[sketch] final class IntByteMap(initialCapacity: Int) extends Serializable {
   private var cap = Integer.highestOneBit(math.max(initialCapacity, 8) * 2 - 1)
   private var keys = new Array[Int](cap)
   private var vals = new Array[Byte](cap)

@@ -72,3 +72,28 @@ case class LshSig(child: Expression, planes: Int, table: Int) extends UnaryExpre
   }
   override protected def withNewChildInternal(c: Expression): LshSig = copy(child = c)
 }
+
+/** bloom_contains against a plan-embedded, pre-parsed filter — for
+  * broadcast-style prefilters. Putting sketch BYTES in a column makes the
+  * estimator re-parse the filter per row (measured: a 128 KiB Bloom parsed
+  * 600k times cost more than the join it was accelerating); here the filter
+  * deserializes once per executor via addReferenceObj. */
+case class BloomContainsLit(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+  @transient private lazy val filter = graft.core.sketch.BloomFilter.fromBytes(filterBytes)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_lit requires LONG hash input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_lit"
+  override def nullSafeEval(h: Any): Any = filter.mightContain(h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      "graft.core.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, h => s"$ref.mightContain($h)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomContainsLit = copy(child = c)
+}

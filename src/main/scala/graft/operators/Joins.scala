@@ -24,11 +24,17 @@ object Joins {
    */
   def bloomSemiJoin(large: DataFrame, largeKey: Column,
                     keys: DataFrame, keyCol: Column): DataFrame = {
-    val bloom = keys.agg(bloom_build(xxh3_64(keyCol.cast("string"))).as("__bf"))
-    val prefiltered = large
-      .crossJoin(broadcast(bloom))
-      .filter(bloom_contains(col("__bf"), xxh3_64(largeKey.cast("string"))))
-      .drop("__bf")
+    // materialize the ONE sketch row driver-side and embed the PARSED
+    // filter in the predicate expression (a bytes column would be
+    // re-deserialized per probed row — measured slower than the join it
+    // accelerates); the plan ships the filter once per executor
+    val bytes = keys.agg(bloom_build(xxh3_64(keyCol.cast("string"))))
+      .collect()(0).getAs[Array[Byte]](0)
+    val prefiltered = large.filter(
+      org.apache.spark.sql.graftshim.shims.column(
+        graft.functions.BloomContainsLit(
+          org.apache.spark.sql.graftshim.shims.expression(
+            xxh3_64(largeKey.cast("string"))), bytes)))
     prefiltered.join(keys.select(keyCol.as("__k")).distinct(),
       largeKey === col("__k"), "left_semi")
   }
