@@ -93,6 +93,10 @@ object GraftFunctions {
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),
+    // bloom_contains_lit(hash, <binary literal>): filter parsed once per
+    // executor instead of per row — use for broadcast-style prefilters
+    "bloom_contains_lit" -> (e => BloomContainsLit(e.head,
+      e(1).eval().asInstanceOf[Array[Byte]])),
     "tdigest_quantile" -> (e => TDigestQuantile(e.head, e(1))),
     "tdigest_cdf" -> (e => TDigestCdf(e.head, e(1))),
     "kll_quantile" -> (e => KllQuantile(e.head, e(1))),
