@@ -138,4 +138,27 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(domains.count(_.isEmpty) === 1)  // one invalid domain
     assert(domains.flatten.count(_ == ".") === 1)
   }
+
+  test("bloom semi-join operator and bloom_contains_lit SQL path") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val big = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter($"o_totalprice" > 300000.0)
+    val fast = graft.operators.Joins.bloomSemiJoin(li, $"l_orderkey", big, $"o_orderkey")
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val plain = li.join(big.select($"o_orderkey").distinct(),
+      $"l_orderkey" === $"o_orderkey", "left_semi")
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(fast === plain) // bit-identical to the plain semi join
+
+    // SQL path: literal binary filter parsed once per executor
+    val bf = big.agg(bloom_build(xxh3_64($"o_orderkey".cast("string"))))
+      .collect()(0).getAs[Array[Byte]](0)
+    li.createOrReplaceTempView("li_bloom")
+    spark.sql("SELECT * FROM li_bloom").createOrReplaceTempView("li_bloom2")
+    val hexLit = "X'" + bf.map(b => f"$b%02x").mkString + "'"
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM li_bloom WHERE bloom_contains_lit(xxh3_64(CAST(l_orderkey AS STRING)), $hexLit)")
+      .collect()(0).getLong(0)
+    assert(viaSql >= plain) // no false negatives; FPP-inflated superset
+  }
 }
