@@ -22,6 +22,13 @@ object SketchOps {
   def tdigestCdf(bytes: Array[Byte], x: Double): Double = TDigest.fromBytes(bytes).cdf(x)
 
   def kllQuantile(bytes: Array[Byte], q: Double): Double = Kll.fromBytes(bytes).quantile(q)
+
+  /** n-1 equi-height split points (quantiles at i/n for i in 1..n-1). */
+  def kllSplits(bytes: Array[Byte], buckets: Int): Array[Double] = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val k = Kll.fromBytes(bytes)
+    Array.tabulate(buckets - 1)(i => k.quantile((i + 1).toDouble / buckets))
+  }
   def kllRank(bytes: Array[Byte], x: Double): Double = Kll.fromBytes(bytes).rank(x)
   def kllCount(bytes: Array[Byte]): Long = Kll.fromBytes(bytes).count
 }

@@ -58,6 +58,12 @@ object GraftFunctions {
     column(KllQuantile(expression(sketch), expression(q)))
   def kll_rank(sketch: Column, x: Column): Column =
     column(KllRank(expression(sketch), expression(x)))
+  def kll_splits(sketch: Column, buckets: Column): Column =
+    column(KllSplits(expression(sketch), expression(buckets)))
+  /** AK-spec scalar union — named _ak to avoid shadowing Spark's builtin
+    * hll_union (which operates on DataSketches-format bytes). */
+  def hll_union_ak(a: Column, b: Column): Column =
+    column(HllUnion(expression(a), expression(b)))
 
   // ----- aggregates (build from raw values) -----
   def hll_build(hash: Column): Column = agg(HllBuildAgg(expression(hash)))
@@ -101,6 +107,8 @@ object GraftFunctions {
     "tdigest_cdf" -> (e => TDigestCdf(e.head, e(1))),
     "kll_quantile" -> (e => KllQuantile(e.head, e(1))),
     "kll_rank" -> (e => KllRank(e.head, e(1))),
+    "kll_splits" -> (e => KllSplits(e.head, e(1))),
+    "hll_union_ak" -> (e => HllUnion(e.head, e(1))),
     "hll_build" -> (e => HllBuildAgg(e.head).toAggregateExpression()),
     "hll_merge" -> (e => HllMergeAgg(e.head).toAggregateExpression()),
     "cms_build" -> (e => CmsBuildAgg(e.head, e(1)).toAggregateExpression()),

@@ -97,3 +97,42 @@ case class BloomContainsLit(child: Expression, filterBytes: Array[Byte])
   }
   override protected def withNewChildInternal(c: Expression): BloomContainsLit = copy(child = c)
 }
+
+/** hll_union(a, b) -> unioned AK-spec sketch bytes (scalar two-sketch
+  * composition; the aggregate form is hll_merge). */
+case class HllUnion(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_union"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.sketch.SketchOps.hllUnion(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.sketch.SketchOps.hllUnion($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllUnion =
+    copy(left = l, right = r)
+}
+
+/** kll_splits(sketch, n) -> n-1 equi-height bucket boundaries — the
+  * sketch-driven range-partitioning primitive: compute split points from a
+  * KLL built in one pass, then range-partition 100 TB by them (what
+  * RangePartitioner does by sampling, but mergeable and exact-one-pass). */
+case class KllSplits(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "kll_splits"
+  override def nullSafeEval(sketch: Any, n: Any): Any = {
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    val buckets = n.asInstanceOf[Int]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.sketch.SketchOps.kllSplits(bytes, buckets))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.core.sketch.SketchOps.kllSplits($s, $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllSplits =
+    copy(left = l, right = r)
+}

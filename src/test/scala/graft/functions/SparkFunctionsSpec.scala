@@ -161,4 +161,28 @@ class SparkFunctionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(viaSql >= plain) // no false negatives; FPP-inflated superset
   }
+
+  test("kll_splits range-partitioning primitive and scalar hll_union_ak") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // equi-height splits over extendedprice: each of the 8 buckets must
+    // hold ~1/8 of the rows (within the KLL rank bound)
+    val row = li.agg(kll_build($"l_extendedprice").as("sk"), count(lit(1)).as("n"))
+      .select(kll_splits($"sk", lit(8)).as("splits"), $"n").collect()(0)
+    val splits = row.getAs[scala.collection.Seq[Double]]("splits")
+    val n = row.getAs[Long]("n")
+    assert(splits.length === 7)
+    assert(splits.sorted === splits)
+    val counts = (Seq(Double.MinValue) ++ splits).zip(splits ++ Seq(Double.MaxValue))
+      .map { case (lo, hi) => li.filter($"l_extendedprice" > lo && $"l_extendedprice" <= hi).count() }
+    counts.foreach(c => assert(math.abs(c.toDouble / n - 0.125) < 0.05, counts.toString))
+
+    // scalar hll_union == aggregate hll_merge
+    val sks = loadFixture("test1_records.tsv").limit(50).agg(hll_build($"hash")).collect()(0).getAs[Array[Byte]](0)
+    val sks2 = loadFixture("test2.tsv").agg(hll_build($"hash")).collect()(0).getAs[Array[Byte]](0)
+    val viaScalar = spark.range(1)
+      .select(hll_est(hll_union_ak(lit(sks), lit(sks2)))).collect()(0).getLong(0)
+    val viaMerge = Seq(sks, sks2).toDF("sk").agg(hll_merge($"sk").as("m"))
+      .select(hll_est($"m")).collect()(0).getLong(0)
+    assert(viaScalar === viaMerge)
+  }
 }
