@@ -24,6 +24,19 @@ object VectorOps {
     if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
   }
 
+  /** Mixed float/double cosine (vector column vs centroid row). */
+  def cosineFD(a: Array[Float], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
   def cosineD(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0
     val n = math.min(a.length, b.length)

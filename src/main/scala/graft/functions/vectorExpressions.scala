@@ -73,6 +73,71 @@ case class LshSig(child: Expression, planes: Int, table: Int) extends UnaryExpre
   override protected def withNewChildInternal(c: Expression): LshSig = copy(child = c)
 }
 
+/** sorted_intersect_count(a, b) -> |a ∩ b| for two SORTED array<long>
+  * columns, via a single linear merge (no per-element boxing, no hash set).
+  * Used by the set-similarity verifiers: candidate pairs carry two sorted
+  * 64-bit shingle-hash arrays; the intersect count is the exact overlap. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a.toLongArray(), $b.toLongArray())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def count(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+}
+
+/** centroid_cos(vec, cluster) -> cosine(vec, centroids[cluster]). The
+  * centroid matrix is plan-embedded (addReferenceObj), same pattern as
+  * NearestCentroids — used by the exact cluster-pruned similarity join to
+  * compute per-block angular radii in the assignment pass. */
+case class CentroidCos(left: Expression, right: Expression,
+                       centroids: Array[Array[Double]]) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VecType.elem(left.dataType), right.dataType) match {
+      case (Some(_), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"centroid_cos requires (array<float|double>, int), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centroid_cos"
+  private def isFloat = VecType.elem(left.dataType).contains(FloatType)
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val cent = centroids(c.asInstanceOf[Int])
+    if (isFloat)
+      graft.core.vector.VectorOps.cosineFD(v.asInstanceOf[ArrayData].toFloatArray(), cent)
+    else
+      graft.core.vector.VectorOps.cosineD(v.asInstanceOf[ArrayData].toDoubleArray(), cent)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val (conv, fn) = if (isFloat) ("toFloatArray", "cosineFD") else ("toDoubleArray", "cosineD")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.core.vector.VectorOps.$fn($v.$conv(), $cRef[$c])")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidCos =
+    copy(left = l, right = r)
+}
+
 /** bloom_contains against a plan-embedded, pre-parsed filter — for
   * broadcast-style prefilters. Putting sketch BYTES in a column makes the
   * estimator re-parse the filter per row (measured: a 128 KiB Bloom parsed

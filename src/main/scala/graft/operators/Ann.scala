@@ -100,22 +100,84 @@ object Ann {
     topKPerQuery(candidates.withColumn("cos", cosine(col("q_vec"), col("nn_vec"))), k)
   }
 
-  /** Embedding near-duplicate pairs: all (a<b) with cosine >= minCos.
-    * Exact form is a self-join; at scale pass `planes`>0 to pre-block by a
-    * single LSH table (near-dup vectors nearly always share the sketch). */
+  /**
+   * EXACT embedding near-duplicate pairs: all (a<b) with cosine >= minCos,
+   * as a cluster-pruned block similarity join (no BroadcastNestedLoopJoin,
+   * no all-pairs cartesian in the plan).
+   *
+   * Scheme (ball pruning on the unit sphere — angular distance
+   * theta = arccos(cos) is a metric, so the triangle inequality is exact):
+   *  1. k deterministic k-means centroids (Ivf.train); every vector is
+   *     assigned to its nearest centroid => `blocks` partitions of the
+   *     corpus; one extra column per row (block id + cos to centroid).
+   *  2. per-block angular radius r_i = max theta(vec, centroid_i) from one
+   *     tiny agg (k rows to the driver).
+   *  3. block-pair grid: (i, j), i <= j survives iff
+   *     theta(c_i, c_j) - r_i - r_j <= arccos(minCos) + eps — any qualifying
+   *     pair in a pruned cell would violate the triangle inequality.
+   *  4. candidates via two hash equi-joins against the (tiny, broadcast)
+   *     grid; exact cosine verifies every candidate.
+   *
+   * Exactness holds for ANY data. Pruning power is data-dependent: clustered
+   * corpora (the realistic near-dup case) drop most cells; adversarially
+   * uniform data degrades to a well-partitioned block-matrix join — still
+   * shuffle-parallel over the surviving cells rather than a single
+   * driver-broadcast nested loop. `blocks` trades pruning granularity
+   * against per-cell parallelism (cells are the shuffle key; use more blocks
+   * on bigger corpora: work per cell ~ (n/blocks)^2).
+   */
   def cosineNearDupPairs(embs: DataFrame, minCos: Double, dims: Int,
-                         planes: Int = 0,
+                         blocks: Int = 16, kmeansIters: Int = 2,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0, "minCos must be in (-1, 1]")
+    val spark = embs.sparkSession
+    import org.apache.spark.sql.graftshim.shims.{column, expression}
+    def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
+
+    val centroids = Ivf.train(embs, blocks, kmeansIters, idCol, vecCol)
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val pairs =
-      if (planes <= 0)
-        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
-      else {
-        val sig = base.withColumn("sig", lshSignature(col("vec"), dims, planes, 0))
-        sig.as("a").join(sig.as("b"),
-          col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      }
-    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .withColumn("block", element_at(Ivf.nearestCentroids(col("vec"), centroids, 1), 1))
+      .withColumn("ccos", column(graft.functions.CentroidCos(
+        expression(col("vec")), expression(col("block")), centroids)))
+
+    // per-block max angle to centroid (k rows — bounded by `blocks`)
+    val radii = base.groupBy(col("block")).agg(min(col("ccos")).as("min_cos"))
+      .collect().map(r => r.getAs[Int]("block") -> clampAcos(r.getAs[Double]("min_cos")))
+      .toMap
+
+    val thetaTau = clampAcos(minCos)
+    val grid = for {
+      i <- radii.keys.toSeq.sorted
+      j <- radii.keys.toSeq.sorted if i <= j
+      lb = clampAcos(graft.core.vector.VectorOps.cosineD(centroids(i), centroids(j))) -
+        radii(i) - radii(j)
+      if lb <= thetaTau + 1e-6
+    } yield (i, j)
+    val gridDf = spark.createDataFrame(grid).toDF("bi", "bj")
+
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"), col("block").as("bi"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"), col("block").as("block_b"))
+    a.join(broadcast(gridDf), Seq("bi"))
+      .join(b, col("bj") === col("block_b") &&
+        (col("bi") =!= col("block_b") || col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Approximate near-dup pairs via single-table sign-LSH blocking + exact
+    * cosine verification: no false positives by construction; recall is the
+    * usual sign-sketch bound P(same sig) = (1 - theta/pi)^planes. The scale
+    * path when exactness of the PAIR LIST is not required. */
+  def cosineNearDupPairsApprox(embs: DataFrame, minCos: Double, dims: Int,
+                               planes: Int = 12,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sig = base.withColumn("sig", lshSignature(col("vec"), dims, planes, 0))
+    sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= minCos)
   }

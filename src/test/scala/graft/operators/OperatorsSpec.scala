@@ -96,15 +96,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found >= 36, s"LSH planted-neighbor recall $found/40")
   }
 
-  test("embedding cosine near-dup pairs: exact and LSH-blocked agree on high threshold") {
-    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val exact = Ann.cosineNearDupPairs(embs, minCos = 0.9, dims = 64)
+  test("embedding near-dup: cluster-pruned exact join == brute force; approx ⊆ exact") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    // driver-side brute-force oracle (corpus is tiny at sf0.001)
+    val all = embs.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val tau = 0.35
+    val oracle = (for {
+      (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq if ia < ib
+      if graft.core.vector.VectorOps.cosineD(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(oracle.nonEmpty, "test needs at least one qualifying pair")
+
+    // exactness must hold for any block count, including pathological ones
+    Seq(1, 4, 16).foreach { blocks =>
+      val got = Ann.cosineNearDupPairs(embs, minCos = tau, dims = 64, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === oracle, s"blocks=$blocks")
+    }
+
+    val approx = Ann.cosineNearDupPairsApprox(embs, minCos = tau, dims = 64, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val blocked = Ann.cosineNearDupPairs(embs, minCos = 0.9, dims = 64, planes = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(blocked.subsetOf(exact))
-    if (exact.nonEmpty)
-      assert(blocked.size >= (exact.size * 0.7).toInt, s"${blocked.size}/${exact.size}")
+    assert(approx.subsetOf(oracle), "verified approx pairs must all be true pairs")
   }
 
   test("text ops: lang_id on real sentences; fingerprint collision-free vs text equality") {
