@@ -17,10 +17,20 @@ import graft.sources.RecordsCsv
  *     view     --input merged/ [--top 20]
  *
  * State travels as the sketch_state parquet table (date, domain, hll,
- * queries) instead of CBOR files — same mergeable content, cluster-readable
- * layout (SURVEY.md §2.1 S6/S7 mapping).
+ * queries) — same mergeable content, cluster-readable layout (SURVEY.md
+ * §2.1 S6/S7 mapping). Paths ending in `.dnsmag` are read/written as the
+ * reference's CBOR dataset files instead ([[graft.io.DnsMagCbor]]), so
+ * state interchanges 1:1 with existing dnsmag deployments.
  */
 object DnsMag {
+
+  private def readState(spark: SparkSession, path: String) =
+    if (path.endsWith(".dnsmag")) graft.io.DnsMagCbor.read(spark, path)
+    else spark.read.parquet(path)
+
+  private def writeState(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    if (path.endsWith(".dnsmag")) graft.io.DnsMagCbor.write(df, path)
+    else df.write.mode(SaveMode.Overwrite).parquet(path)
 
   private def arg(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
@@ -54,20 +64,32 @@ object DnsMag {
         val recs = RecordsCsv.read(spark, input, tsv = rest.contains("--tsv"))
         // reference semantics: invalid records (negative count, bad IP past
         // the header heuristic) abort the collect
-        // (/root/reference/internal/csv.go:98-110 returns an error)
-        val bad = recs.filter(org.apache.spark.sql.functions.col("invalid")).count()
-        if (bad > 0 && !rest.contains("--skip-invalid"))
+        // (/root/reference/internal/csv.go:98-110 returns an error). The
+        // invalid count rides the SAME scan as the aggregation via observe()
+        // — a separate pre-count doubles input IO at every scale — so the
+        // check runs after the write and uncommits the output on failure.
+        val obs = org.apache.spark.sql.Observation("graft_invalid")
+        val observed = recs.observe(obs,
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("invalid"), 1L).otherwise(0L)),
+            org.apache.spark.sql.functions.lit(0L)).as("bad"))
+        writeState(DnsMagnitude.collect(observed, date), out)
+        val bad = obs.get("bad").asInstanceOf[Long]
+        if (bad > 0 && !rest.contains("--skip-invalid")) {
+          val p = new org.apache.hadoop.fs.Path(out)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           sys.error(s"$bad invalid record(s) in $input (pass --skip-invalid to drop them)")
-        DnsMagnitude.collect(recs, date)
-          .write.mode(SaveMode.Overwrite).parquet(out)
+        }
 
       case "aggregate" =>
         val inputs = args2(rest, "--input")
         require(inputs.nonEmpty, "--input required (repeatable)")
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
         val force = arg(rest, "--force-date").map(java.sql.Date.valueOf)
-        DnsMagnitude.aggregate(inputs.map(spark.read.parquet), forceDate = force)
-          .write.mode(SaveMode.Overwrite).parquet(out)
+        writeState(
+          DnsMagnitude.aggregate(inputs.map(readState(spark, _)), forceDate = force), out)
 
       case "report" =>
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))
@@ -75,7 +97,7 @@ object DnsMag {
         val source = arg(rest, "--source").getOrElse(sys.error("--source required"))
         val st = arg(rest, "--source-type").getOrElse(sys.error("--source-type required"))
         val top = arg(rest, "--top").map(_.toInt).getOrElse(2500)
-        val docs = DnsMagnitude.reportJson(spark.read.parquet(input), source, st, top)
+        val docs = DnsMagnitude.reportJson(readState(spark, input), source, st, top)
         java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
           docs.mkString("\n") + "\n")
 
@@ -83,7 +105,10 @@ object DnsMag {
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))
         val top = arg(rest, "--top").map(_.toInt).getOrElse(20)
         // scalastyle:off println — the view command's purpose is stdout
-        println(DnsMagnitude.statsText(spark.read.parquet(input), top))
+        if (rest.contains("--json"))
+          println(DnsMagnitude.statsJson(readState(spark, input)))
+        else
+          println(DnsMagnitude.statsText(readState(spark, input), top))
 
       case other => sys.error(s"unknown command '$other' (collect|aggregate|report|view)")
     }

@@ -137,6 +137,29 @@ object DnsMagnitude {
     }
   }
 
+  /** JSON stats view — the reference's `view --json`
+    * (OutputDatasetStatsJSON, /root/reference/internal/stats.go:209-230):
+    * one `{"datasetStatistics": {...}}` document per date, with the same
+    * field names. Totals derive from the (small) state by merging all rows
+    * of the date; domain count excludes the NULL (invalid/root) bucket. */
+  def statsJson(state: DataFrame, generator: String = "graft-spark 0.1.0"): String = {
+    val rows = state
+      .groupBy(col("date"))
+      .agg(hll_est(hll_merge(col("hll"))).as("totalUniqueClients"),
+        sum(col("queries")).as("totalQueryVolume"),
+        count(when(col("domain").isNotNull, 1)).as("totalDomainCount"))
+      .orderBy(col("date"))
+      .collect()
+    rows.map { r =>
+      val date = r.getAs[java.sql.Date]("date")
+      val id = java.util.UUID.nameUUIDFromBytes((date.toString + generator).getBytes)
+      s"""{"datasetStatistics":{"id":"$id","generator":"$generator",""" +
+        s""""date":"$date","totalUniqueClients":${r.getAs[Long]("totalUniqueClients")},""" +
+        s""""totalQueryVolume":${r.getAs[Long]("totalQueryVolume")},""" +
+        s""""totalDomainCount":${r.getAs[Long]("totalDomainCount")}}}"""
+    }.mkString("\n")
+  }
+
   /** Text stats view (the reference's `view` command, stats.go:179-230):
     * aligned table of domains + totals with the estimate-vs-volume
     * formatting. Driver-side; debugging aid. */

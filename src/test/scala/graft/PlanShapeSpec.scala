@@ -81,6 +81,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("collect with observed invalid-count scans the source exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r.csv"),
+      "192.168.1.1,com,5\n192.168.1.2,org,3\n")
+    val recs = sources.RecordsCsv.read(spark, s"$dir/r.csv")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = recs.observe(obs, sum(when(col("invalid"), 1L).otherwise(0L)).as("bad"))
+    val plan = pipelines.DnsMagnitude.collect(observed, java.sql.Date.valueOf("2000-01-01"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan (csv|text)".r.findAllIn(plan).length
+    assert(scans === 1, s"expected ONE source scan, got $scans:\n${plan.take(2000)}")
+  }
+
   test("embedding near-dup join has no nested-loop/cartesian anywhere") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = operators.Ann.cosineNearDupPairs(embs, minCos = 0.5, dims = 64, blocks = 8)

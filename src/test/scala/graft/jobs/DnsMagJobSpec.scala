@@ -52,6 +52,26 @@ class DnsMagJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/forced").count() > 0)
   }
 
+  test(".dnsmag CBOR state through the CLI, view --json parity fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_job_cbor").toString
+    val tsvPath = getClass.getResource("/test2.tsv").getPath
+    // collect straight to a .dnsmag file, aggregate it with itself back to
+    // parquet, then view --json — exercising both directions of the codec
+    DnsMag.run(spark, Array("collect", "--input", tsvPath, "--tsv",
+      "--date", "2000-01-01", "--output", s"$dir/state.dnsmag"))
+    assert(new java.io.File(s"$dir/state.dnsmag").isFile)
+    DnsMag.run(spark, Array("aggregate", "--input", s"$dir/state.dnsmag",
+      "--input", s"$dir/state.dnsmag", "--output", s"$dir/merged"))
+    // idempotent union: same clients twice -> same totals as once
+    val json = graft.pipelines.DnsMagnitude.statsJson(
+      spark.read.parquet(s"$dir/merged"))
+    assert(json.contains("\"totalUniqueClients\":27"))
+    assert(json.contains("\"totalQueryVolume\":400"))
+    assert(json.contains("\"totalDomainCount\":7"))
+    assert(json.contains("\"date\":\"2000-01-01\""))
+    assert(json.contains("datasetStatistics"))
+  }
+
   test("collect job fails on invalid records unless --skip-invalid") {
     val dir = java.nio.file.Files.createTempDirectory("graft_job_inv").toString
     val f = new java.io.File(dir, "dirty.csv")
@@ -62,6 +82,8 @@ class DnsMagJobSpec extends AnyFunSuite {
         "--date", "2000-01-01", "--output", s"$dir/state"))
     }
     assert(e.getMessage.contains("invalid record"))
+    // the failed collect must not leave committed output behind
+    assert(!new java.io.File(s"$dir/state").exists())
     DnsMag.run(spark, Array("collect", "--input", f.toString, "--skip-invalid",
       "--date", "2000-01-01", "--output", s"$dir/state"))
     val st = spark.read.parquet(s"$dir/state")
