@@ -171,27 +171,45 @@ object Magnitude {
    * Returns the merged sketch-state DataFrame.
    */
   def collectResumable(spark: SparkSession, sourceFiles: Seq[String],
-                       ckptDir: String, salts: Int = 8): DataFrame = {
+                       ckptDir: String, salts: Int = 8,
+                       maxConcurrentFiles: Int = 4): DataFrame = {
     val partialsDir = s"$ckptDir/partials"
-    val done = listDone(partialsDir)
+    val done = listDone(spark, partialsDir)
     val todo = sourceFiles.filterNot(f => done.contains(lineageId(f)))
 
-    todo.foreach { file =>
-      val pages = spark.read.parquet(file)
-      val t0 = System.nanoTime()
-      // one scan per file: the state is tiny, so cache it, derive the
-      // lineage row count from it (sum of per-group queries == input rows),
-      // and write — no separate count() pass over the source
-      val state = collect(pages, salts).cache()
-      val rows = state.agg(sum(col("queries"))).collect()(0).getLong(0)
-      state
-        .withColumn("source_file", lit(file))
-        .withColumn("row_count", lit(rows))
-        .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$partialsDir/src=${lineageId(file)}")
-      state.unpersist()
+    // Each file is an independent Spark job; run a bounded number of them
+    // concurrently so many-small-files inputs aren't serialized on the
+    // driver (Spark's scheduler interleaves jobs from multiple threads).
+    // Bounded, because each job holds executors and the lineage write is
+    // the only coordination point.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrentFiles, math.max(1, todo.size))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val jobs = todo.map { file =>
+      scala.concurrent.Future {
+        val pages = spark.read.parquet(file)
+        val t0 = System.nanoTime()
+        // one scan per file: the state is tiny, so cache it, derive the
+        // lineage row count from it (sum of per-group queries == input rows),
+        // and write — no separate count() pass over the source
+        val state = collect(pages, salts).cache()
+        // coalesce: sum() over an EMPTY source file is NULL, not 0
+        val rows = state.agg(coalesce(sum(col("queries")), lit(0L)))
+          .collect()(0).getLong(0)
+        state
+          .withColumn("source_file", lit(file))
+          .withColumn("row_count", lit(rows))
+          .withColumn("wall_ms", lit((System.nanoTime() - t0) / 1000000L))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$partialsDir/src=${lineageId(file)}")
+        state.unpersist()
+      }
     }
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
 
     val partials = spark.read.parquet(s"$partialsDir/src=*")
     aggregate(partials.select(StateCols.map(col): _*))
@@ -201,12 +219,17 @@ object Magnitude {
   def lineageId(path: String): String =
     java.lang.Long.toHexString(graft.core.hash.XXH3.hashString(path))
 
-  private def listDone(partialsDir: String): Set[String] = {
-    val d = new java.io.File(partialsDir)
-    if (!d.exists()) Set.empty
-    else d.listFiles().filter(_.getName.startsWith("src="))
-      .filter(f => new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("src=")).toSet
+  /** Completed lineage ids, listed through the Hadoop FileSystem API so
+    * resume works wherever the checkpoint lives (HDFS/object store/local),
+    * not only on the driver's local disk. */
+  private def listDone(spark: SparkSession, partialsDir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(partialsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("src="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("src=")).toSet
   }
 
   /** Convenience: full pipeline pages -> report in one call. */

@@ -62,9 +62,15 @@ object StreamingSketch {
 
   /**
    * Gap-based sessionization via flatMapGroupsWithState — the custom-state
-   * path for semantics windows can't express. Emits a session row when a
-   * user is idle past `gapMs` (event-time approximation driven by observed
-   * timestamps; production would use event-time timeout).
+   * path for semantics windows can't express. A session row is emitted when
+   * a later event arrives past `gapMs`, AND when the user simply goes idle:
+   * event-time timeout fires once the watermark passes last_event + gapMs,
+   * closing (and emitting) the open session without needing another event
+   * from that user — otherwise idle users' state lives forever and their
+   * final sessions are lost.
+   *
+   * Requires a watermark on the input (`events.withWatermark(...)`) as
+   * Structured Streaming mandates for EventTimeTimeout.
    */
   def sessionize(events: Dataset[EventIn], gapMs: Long): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
@@ -72,20 +78,30 @@ object StreamingSketch {
     implicit val keyEnc = Encoders.scalaLong
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) => {
-          val sorted = rows.map(_.ts.getTime).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(0, -1L, -1L))
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          for (t <- sorted) {
-            if (st.n == 0) st = SessionState(1, t, t)
-            else if (t - st.last > gapMs) {
-              out += SessionOut(user, st.n, st.start, st.last)
-              st = SessionState(1, t, t)
-            } else st = SessionState(st.n + 1, st.start, t)
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: the open session is closed
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.start, st.last))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0, -1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            for (t <- sorted) {
+              if (st.n == 0) st = SessionState(1, t, t)
+              else if (t - st.last > gapMs) {
+                out += SessionOut(user, st.n, st.start, st.last)
+                st = SessionState(1, t, t)
+              } else st = SessionState(st.n + 1, st.start, t)
+            }
+            if (st.n > 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            } else state.remove()
+            out.iterator
           }
-          if (st.n > 0) state.update(st) else state.remove()
-          out.iterator
         })
   }
 }

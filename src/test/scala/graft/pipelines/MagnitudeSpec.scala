@@ -130,4 +130,32 @@ class MagnitudeSpec extends AnyFunSuite {
     val single = Magnitude.aggregate(Magnitude.collect(spark.read.parquet(srcDir), salts = 4))
     assert(canon(resumed) === canon(single))
   }
+
+  test("resumable: empty source file records zero-row lineage, no NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_empty").toString
+    val srcDir = s"$dir/src"
+    pages.limit(0).write.parquet(srcDir) // a parquet file with ZERO rows
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.nonEmpty)
+    val state = Magnitude.collectResumable(spark, files, s"$dir/ckpt")
+    assert(state.count() === 0L)
+  }
+
+  test("resumable: lineage listing goes through the Hadoop FS API (file: URI)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_fs").toString
+    val srcDir = s"$dir/src"
+    pages.repartition(2).write.parquet(srcDir)
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"file://${f.getAbsolutePath}").sorted.toSeq
+    // checkpoint addressed by scheme-qualified URI, as on HDFS/object stores
+    val ckpt = s"file://$dir/ckpt"
+    Magnitude.collectResumable(spark, files.take(1), ckpt).count()
+    val doneDir = new java.io.File(
+      s"$dir/ckpt/partials/src=${Magnitude.lineageId(files.head)}")
+    val mtimeBefore = doneDir.lastModified()
+    Magnitude.collectResumable(spark, files, ckpt).count()
+    assert(doneDir.lastModified() === mtimeBefore,
+      "completed partial was reprocessed through the FS-API listing")
+  }
 }

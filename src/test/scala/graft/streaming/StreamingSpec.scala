@@ -51,27 +51,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
-  test("stateful sessionization (flatMapGroupsWithState) closes gap-split sessions") {
+  test("stateful sessionization closes gap-split sessions AND idle sessions via event-time timeout") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
       EventIn(1L, new java.sql.Timestamp(base)),
       EventIn(1L, new java.sql.Timestamp(base + 60000)),       // same session
       EventIn(1L, new java.sql.Timestamp(base + 10000000)),    // new session
-      EventIn(2L, new java.sql.Timestamp(base)))
+      EventIn(2L, new java.sql.Timestamp(base)))               // then user 2 goes idle
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sess").toString
     rows.toDS().write.mode("overwrite").parquet(srcDir)
 
     val stream = spark.readStream.schema(rows.toDS().schema).parquet(srcDir).as[EventIn]
+      .withWatermark("ts", "0 seconds")
     val sessions = StreamingSketch.sessionize(stream, gapMs = 30 * 60 * 1000)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sessions")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    // the closed session for user 1 (2 events) must be emitted; the
-    // still-open sessions remain in state
+    // user 1's first session closes by gap; user 2's only session closes by
+    // EVENT-TIME TIMEOUT once the watermark (driven by user 1's later
+    // events) passes base+gap — no further user-2 event needed. User 1's
+    // final session stays open (watermark < its last+gap).
     val closed = spark.sql("SELECT * FROM sessions").as[SessionOut].collect()
-    assert(closed.toSeq === Seq(SessionOut(1L, 2, base, base + 60000)))
+      .sortBy(_.user_id)
+    assert(closed.toSeq === Seq(
+      SessionOut(1L, 2, base, base + 60000),
+      SessionOut(2L, 1, base, base)))
   }
 
   test("streaming sketch-state sink + batch report == pure batch magnitude report") {
