@@ -1,0 +1,198 @@
+package graft.core.net
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Minimal pcap + DNS-question decoder — the reference's primary input
+ * (/root/reference/internal/pcap.go:15-64 via gopacket): every packet with
+ * a DNS layer contributes one record per question (name, source IP, 1);
+ * packets whose source IP can't be extracted count as invalid records.
+ *
+ * Supported framing, matching what DNS captures actually contain: classic
+ * pcap (both endiannesses, micro/nanosecond magics), gzip by magic bytes,
+ * link types Ethernet (1, incl. 802.1Q VLAN tags) and raw IP (101/12),
+ * IPv4/IPv6 (with the skippable v6 extension headers), UDP port 53. DNS
+ * names follow RFC 1035 labels with compression pointers; bytes are
+ * preserved 1:1 (ISO-8859-1) for the downstream escape/normalize pass.
+ *
+ * Deliberately a per-file decoder: pcap is not a splittable format (records
+ * are not self-synchronizing), so distribution happens at file granularity
+ * — see [[graft.sources.RecordsPcap]].
+ */
+object PcapDns {
+
+  /** One decoded record: micros since epoch, source IP text (null when the
+    * packet had a DNS layer but no parseable IP — the reference's
+    * invalid-record path), query name (labels joined with '.', no trailing
+    * dot; "" for the root). */
+  final case class Record(tsMicros: Long, srcIp: String, qname: String)
+
+  def decode(raw: Array[Byte]): Seq[Record] = {
+    val data =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+      else raw
+    require(data.length >= 24, "pcap: truncated global header")
+
+    val magic = ((data(0) & 0xffL) << 24) | ((data(1) & 0xffL) << 16) |
+      ((data(2) & 0xffL) << 8) | (data(3) & 0xffL)
+    val (littleEndian, nanos) = magic match {
+      case 0xa1b2c3d4L => (false, false)
+      case 0xd4c3b2a1L => (true, false)
+      case 0xa1b23c4dL => (false, true)
+      case 0x4d3cb2a1L => (true, true)
+      case m => throw new IllegalArgumentException(f"pcap: bad magic 0x$m%08x")
+    }
+    def u16(p: Int): Int =
+      if (littleEndian) (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+      else ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (littleEndian)
+        (data(p) & 0xffL) | ((data(p + 1) & 0xffL) << 8) |
+          ((data(p + 2) & 0xffL) << 16) | ((data(p + 3) & 0xffL) << 24)
+      else
+        ((data(p) & 0xffL) << 24) | ((data(p + 1) & 0xffL) << 16) |
+          ((data(p + 2) & 0xffL) << 8) | (data(p + 3) & 0xffL)
+
+    val linkType = u32(20).toInt
+    val out = Seq.newBuilder[Record]
+    var pos = 24
+    while (pos + 16 <= data.length) {
+      val ts = u32(pos)
+      val tsSub = u32(pos + 4)
+      val incl = u32(pos + 8).toInt
+      pos += 16
+      if (incl < 0 || pos + incl > data.length) {
+        pos = data.length // truncated trailing record: stop
+      } else {
+        val micros = ts * 1000000L + (if (nanos) tsSub / 1000 else tsSub)
+        decodePacket(data, pos, incl, linkType, micros, out)
+        pos += incl
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------- packet layers ----------------------------
+
+  private def decodePacket(d: Array[Byte], start: Int, len: Int, linkType: Int,
+                           micros: Long, out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
+    var p = start
+    val end = start + len
+    var etherType = -1
+    linkType match {
+      case 1 => // Ethernet
+        if (end - p < 14) return
+        etherType = ((d(p + 12) & 0xff) << 8) | (d(p + 13) & 0xff)
+        p += 14
+        while ((etherType == 0x8100 || etherType == 0x88a8) && end - p >= 4) {
+          etherType = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+          p += 4
+        }
+      case 101 | 12 => // raw IP: version nibble decides
+        if (end - p < 1) return
+        etherType = if (((d(p) & 0xf0) >> 4) == 6) 0x86dd else 0x0800
+      case _ => return // unsupported link type: no DNS layer -> skipped
+    }
+
+    var srcIp: String = null
+    var proto = -1
+    etherType match {
+      case 0x0800 => // IPv4
+        if (end - p < 20) return
+        val ihl = (d(p) & 0x0f) * 4
+        if (ihl < 20 || end - p < ihl) return
+        proto = d(p + 9) & 0xff
+        srcIp = s"${d(p + 12) & 0xff}.${d(p + 13) & 0xff}.${d(p + 14) & 0xff}.${d(p + 15) & 0xff}"
+        p += ihl
+      case 0x86dd => // IPv6
+        if (end - p < 40) return
+        proto = d(p + 6) & 0xff
+        srcIp = ipv6Text(d, p + 8)
+        p += 40
+        // skippable extension headers: hop-by-hop(0), routing(43), dstopts(60)
+        var guard = 0
+        while ((proto == 0 || proto == 43 || proto == 60) && end - p >= 8 && guard < 8) {
+          val next = d(p) & 0xff
+          val hlen = 8 + (d(p + 1) & 0xff) * 8
+          p += hlen
+          proto = next
+          guard += 1
+        }
+      case _ => return
+    }
+
+    if (proto != 17 || end - p < 8) return // UDP only (fixture + typical DNS)
+    val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+    val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+    p += 8
+    if (sport != 53 && dport != 53) return // no DNS layer
+
+    // DNS header + questions. A packet with a DNS layer but no parseable
+    // source IP becomes one invalid record (pcap.go:45-49); with our layer
+    // walk srcIp is always set by now, but keep the contract explicit.
+    if (end - p < 12) return
+    val qd = ((d(p + 4) & 0xff) << 8) | (d(p + 5) & 0xff)
+    var q = p + 12
+    var i = 0
+    while (i < qd && q < end) {
+      val (name, nextPos) = readName(d, q, p, end)
+      if (nextPos < 0 || nextPos + 4 > end) return
+      out += Record(micros, srcIp, name)
+      q = nextPos + 4 // skip qtype + qclass
+      i += 1
+    }
+  }
+
+  /** RFC 1035 name at `pos` (message origin `msgStart` for compression
+    * pointers). Returns (name, position after the name in the ORIGINAL
+    * stream) or ("", -1) on malformed input. */
+  private def readName(d: Array[Byte], pos: Int, msgStart: Int, end: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var p = pos
+    var after = -1 // set at the first pointer jump
+    var jumps = 0
+    var first = true
+    while (true) {
+      if (p >= end || jumps > 64) return ("", -1)
+      val len = d(p) & 0xff
+      if (len == 0) {
+        val endPos = if (after >= 0) after else p + 1
+        return (sb.toString, endPos)
+      } else if ((len & 0xc0) == 0xc0) {
+        if (p + 1 >= end) return ("", -1)
+        if (after < 0) after = p + 2
+        p = msgStart + (((len & 0x3f) << 8) | (d(p + 1) & 0xff))
+        jumps += 1
+      } else {
+        if (p + 1 + len > end) return ("", -1)
+        if (!first) sb.append('.')
+        sb.append(new String(d, p + 1, len, StandardCharsets.ISO_8859_1))
+        first = false
+        p += 1 + len
+      }
+    }
+    ("", -1) // unreachable
+  }
+
+  /** Plain 8-hextet text form. Deliberately NOT java.net.InetAddress, which
+    * collapses v4-mapped bytes (::ffff:a.b.c.d) to a plain IPv4 string —
+    * the reference keeps such packets on the IPv6 branch, where /48
+    * truncation merges them all into `::` (the pinned v4-mapped quirk,
+    * ip_address.go:26-52); a ':' in the text keeps that branch here too. */
+  private def ipv6Text(d: Array[Byte], off: Int): String = {
+    val sb = new java.lang.StringBuilder(39)
+    var g = 0
+    while (g < 8) {
+      if (g > 0) sb.append(':')
+      sb.append(Integer.toHexString(((d(off + 2 * g) & 0xff) << 8) | (d(off + 2 * g + 1) & 0xff)))
+      g += 1
+    }
+    sb.toString
+  }
+
+  private def gunzip(raw: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+    try in.readAllBytes()
+    finally in.close()
+  }
+}

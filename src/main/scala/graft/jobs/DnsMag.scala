@@ -52,16 +52,28 @@ object DnsMag {
     finally spark.stop()
   }
 
-  private[jobs] def run(spark: SparkSession, argv: Array[String]): Unit = {
+  private[graft] def run(spark: SparkSession, argv: Array[String]): Unit = {
     val cmd = argv(0)
     val rest = argv.drop(1)
     cmd match {
       case "collect" =>
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))
-        val date = java.sql.Date.valueOf(arg(rest, "--date")
-          .getOrElse(sys.error("--date YYYY-MM-DD required (no wall-clock defaults in jobs)")))
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
-        val recs = RecordsCsv.read(spark, input, tsv = rest.contains("--tsv"))
+        val isPcap = input.endsWith(".pcap") || input.endsWith(".pcap.gz")
+        val recs =
+          if (isPcap) graft.sources.RecordsPcap.read(spark, input)
+          else RecordsCsv.read(spark, input, tsv = rest.contains("--tsv"))
+        val date = arg(rest, "--date").map(java.sql.Date.valueOf).getOrElse {
+          // pcap carries packet timestamps: like the reference, default the
+          // dataset date from the capture itself (earliest packet's UTC day,
+          // pcap.go:36-41); CSV has no timestamps, so --date stays required
+          if (!isPcap)
+            sys.error("--date YYYY-MM-DD required for csv/tsv (no wall-clock defaults in jobs)")
+          recs.agg(org.apache.spark.sql.functions.min(
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("ts"))).as("d"))
+            .collect()(0).getAs[java.sql.Date]("d")
+        }
         // reference semantics: invalid records (negative count, bad IP past
         // the header heuristic) abort the collect
         // (/root/reference/internal/csv.go:98-110 returns an error). The
