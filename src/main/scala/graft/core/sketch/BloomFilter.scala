@@ -83,8 +83,15 @@ object BloomFilter {
     val k = bb.get() & 0xff
     val log2Bits = bb.get() & 0xff
     bb.get(); bb.get(); bb.get()
-    val words = new Array[Long](1 << (log2Bits - 6))
-    require(bb.remaining == 8 * words.length, "Bloom payload size mismatch")
+    // validate the untrusted header BEFORE allocating: an 8-byte input
+    // claiming log2Bits=36 would otherwise force an 8 GiB allocation
+    // attempt (executor OOM) before any size check fires
+    require(log2Bits >= 6 && log2Bits <= 34, s"Bloom log2Bits out of range: $log2Bits")
+    require(k >= 1, s"Bloom hash count out of range: $k")
+    val nWords = 1 << (log2Bits - 6)
+    require(bb.remaining == 8 * nWords,
+      s"Bloom payload size mismatch: ${bb.remaining} bytes for $nWords words")
+    val words = new Array[Long](nWords)
     var i = 0
     while (i < words.length) { words(i) = bb.getLong; i += 1 }
     new BloomFilter(k, log2Bits, words)

@@ -83,8 +83,13 @@ object CountMin {
     require(ver == 1, s"unsupported CountMin version $ver")
     val depth = bb.get() & 0xff
     val width = bb.getInt
+    // validate the untrusted header BEFORE allocating (see BloomFilter)
+    require(depth >= 1 && depth <= 64, s"CountMin depth out of range: $depth")
+    require(width >= 1 && width.toLong * depth <= (1L << 28),
+      s"CountMin table too large: depth=$depth width=$width")
+    require(bb.remaining == 8L * depth * width,
+      s"CountMin payload size mismatch: ${bb.remaining} bytes")
     val table = new Array[Long](depth * width)
-    require(bb.remaining == 8 * table.length, "CountMin payload size mismatch")
     var i = 0
     while (i < table.length) { table(i) = bb.getLong; i += 1 }
     new CountMin(depth, width, table)

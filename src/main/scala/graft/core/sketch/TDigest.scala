@@ -201,7 +201,15 @@ final class TDigest private (
       cum += weights(i)
       i += 1
     }
-    1.0
+    // tail segment (means(last), hi): interpolate toward hi symmetrically
+    // with the head — returning a flat 1.0 would jump by up to half the
+    // last centroid's weight fraction at x = means(last)
+    val lastMean = means(nCentroids - 1)
+    if (hi > lastMean) {
+      val prevCum = total - weights(nCentroids - 1) / 2
+      val frac = (x - lastMean) / (hi - lastMean)
+      math.min(math.max((prevCum + (total - prevCum) * frac) / total, 0.0), 1.0)
+    } else 1.0
   }
 
   def toBytes: Array[Byte] = {

@@ -29,6 +29,49 @@ abstract class SketchAggBase[S] extends TypedImperativeAggregate[S] with Implici
   override def nullable: Boolean = true
 }
 
+/** Mutable holder for the *_merge adoption buffer (null = unset). */
+final class MergeBuf[T <: AnyRef](var v: T)
+
+/**
+ * Shared base for the *_merge aggregates. The buffer starts UNSET and
+ * adopts the first input sketch it sees — its parameters included — so
+ * sketches serialized with non-default parameters (e.g. cms_build at
+ * depth=7, an HLL at non-(14,5) settings) merge correctly through SQL,
+ * which has no way to parameterize the merge function. Mixing sketches of
+ * DIFFERENT parameters within one group still errors, as it must
+ * (mergeability only holds between equal-parameter sketches).
+ */
+abstract class SketchMergeAggBase[T <: AnyRef] extends SketchAggBase[MergeBuf[T]]
+    with UnaryLike[Expression] {
+  def child: Expression
+  protected def parse(bytes: Array[Byte]): T
+  protected def mergeCores(into: T, from: T): Unit
+  protected def coreBytes(v: T): Array[Byte]
+  /** Serialized empty sketch at this aggregate's default parameters — the
+    * result for groups that saw no (non-null) input. */
+  protected def emptySketchBytes: Array[Byte]
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def createAggregationBuffer(): MergeBuf[T] = new MergeBuf[T](null.asInstanceOf[T])
+  private def absorb(buf: MergeBuf[T], core: T): Unit =
+    if (buf.v == null) buf.v = core else mergeCores(buf.v, core)
+  override def update(buf: MergeBuf[T], row: InternalRow): MergeBuf[T] = {
+    val v = child.eval(row)
+    if (v != null) absorb(buf, parse(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: MergeBuf[T], b: MergeBuf[T]): MergeBuf[T] = {
+    if (b.v != null) absorb(a, b.v)
+    a
+  }
+  override def eval(buf: MergeBuf[T]): Any =
+    if (buf.v == null) emptySketchBytes else coreBytes(buf.v)
+  override def serialize(buf: MergeBuf[T]): Array[Byte] =
+    if (buf.v == null) Array.emptyByteArray else coreBytes(buf.v)
+  override def deserialize(bytes: Array[Byte]): MergeBuf[T] =
+    new MergeBuf[T](if (bytes.isEmpty) null.asInstanceOf[T] else parse(bytes))
+}
+
 // -------------------------------- HLL --------------------------------
 
 /** hll_build(hash LONG) -> AK-spec sketch bytes. */
@@ -55,25 +98,19 @@ case class HllBuildAgg(
   override protected def withNewChildInternal(c: Expression): HllBuildAgg = copy(child = c)
 }
 
-/** hll_merge(sketch BINARY) -> unioned sketch bytes (strict settings). */
+/** hll_merge(sketch BINARY) -> unioned sketch bytes (param adoption; strict
+  * settings between inputs). */
 case class HllMergeAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends SketchAggBase[Hll] with UnaryLike[Expression] {
+  extends SketchMergeAggBase[Hll] {
 
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "hll_merge"
-  override def createAggregationBuffer(): Hll = Hll()
-  override def update(buf: Hll, row: InternalRow): Hll = {
-    val v = child.eval(row)
-    if (v != null) buf.union(Hll.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
-  }
-  override def merge(a: Hll, b: Hll): Hll = { a.union(b); a }
-  override def eval(buf: Hll): Any = buf.toBytes
-  override def serialize(buf: Hll): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): Hll = Hll.fromBytes(bytes)
+  override protected def parse(bytes: Array[Byte]): Hll = Hll.fromBytes(bytes)
+  override protected def mergeCores(into: Hll, from: Hll): Unit = into.union(from)
+  override protected def coreBytes(v: Hll): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = Hll().toBytes
   override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): HllMergeAgg = copy(child = c)
@@ -110,27 +147,21 @@ case class CmsBuildAgg(
     copy(left = l, right = r)
 }
 
-/** cms_merge(sketch BINARY) -> element-wise-summed CM bytes. */
+/** cms_merge(sketch BINARY) -> element-wise-summed CM bytes (param
+  * adoption). */
 case class CmsMergeAgg(
     child: Expression,
     depth: Int = CountMin.DefaultDepth,
     width: Int = CountMin.DefaultWidth,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends SketchAggBase[CountMin] with UnaryLike[Expression] {
+  extends SketchMergeAggBase[CountMin] {
 
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "cms_merge"
-  override def createAggregationBuffer(): CountMin = new CountMin(depth, width)
-  override def update(buf: CountMin, row: InternalRow): CountMin = {
-    val v = child.eval(row)
-    if (v != null) buf.merge(CountMin.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
-  }
-  override def merge(a: CountMin, b: CountMin): CountMin = { a.merge(b); a }
-  override def eval(buf: CountMin): Any = buf.toBytes
-  override def serialize(buf: CountMin): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): CountMin = CountMin.fromBytes(bytes)
+  override protected def parse(bytes: Array[Byte]): CountMin = CountMin.fromBytes(bytes)
+  override protected def mergeCores(into: CountMin, from: CountMin): Unit = into.merge(from)
+  override protected def coreBytes(v: CountMin): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = new CountMin(depth, width).toBytes
   override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): CmsMergeAgg = copy(child = c)
@@ -164,27 +195,21 @@ case class BloomBuildAgg(
   override protected def withNewChildInternal(c: Expression): BloomBuildAgg = copy(child = c)
 }
 
-/** bloom_merge(sketch BINARY) -> OR-merged Bloom bytes. */
+/** bloom_merge(sketch BINARY) -> OR-merged Bloom bytes (param adoption). */
 case class BloomMergeAgg(
     child: Expression,
     numHashes: Int = BloomFilter.DefaultHashes,
     log2Bits: Int = BloomFilter.DefaultLog2Bits,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends SketchAggBase[BloomFilter] with UnaryLike[Expression] {
+  extends SketchMergeAggBase[BloomFilter] {
 
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "bloom_merge"
-  override def createAggregationBuffer(): BloomFilter = new BloomFilter(numHashes, log2Bits)
-  override def update(buf: BloomFilter, row: InternalRow): BloomFilter = {
-    val v = child.eval(row)
-    if (v != null) buf.merge(BloomFilter.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
-  }
-  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.merge(b); a }
-  override def eval(buf: BloomFilter): Any = buf.toBytes
-  override def serialize(buf: BloomFilter): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): BloomFilter = BloomFilter.fromBytes(bytes)
+  override protected def parse(bytes: Array[Byte]): BloomFilter = BloomFilter.fromBytes(bytes)
+  override protected def mergeCores(into: BloomFilter, from: BloomFilter): Unit = into.merge(from)
+  override protected def coreBytes(v: BloomFilter): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] =
+    new BloomFilter(numHashes, log2Bits).toBytes
   override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BloomMergeAgg = copy(child = c)
@@ -217,26 +242,19 @@ case class TDigestBuildAgg(
   override protected def withNewChildInternal(c: Expression): TDigestBuildAgg = copy(child = c)
 }
 
-/** tdigest_merge(sketch BINARY) -> merged t-digest bytes. */
+/** tdigest_merge(sketch BINARY) -> merged t-digest bytes (param adoption). */
 case class TDigestMergeAgg(
     child: Expression,
     compression: Double = TDigest.DefaultCompression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends SketchAggBase[TDigest] with UnaryLike[Expression] {
+  extends SketchMergeAggBase[TDigest] {
 
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "tdigest_merge"
-  override def createAggregationBuffer(): TDigest = new TDigest(compression)
-  override def update(buf: TDigest, row: InternalRow): TDigest = {
-    val v = child.eval(row)
-    if (v != null) buf.merge(TDigest.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
-  }
-  override def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
-  override def eval(buf: TDigest): Any = buf.toBytes
-  override def serialize(buf: TDigest): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+  override protected def parse(bytes: Array[Byte]): TDigest = TDigest.fromBytes(bytes)
+  override protected def mergeCores(into: TDigest, from: TDigest): Unit = into.merge(from)
+  override protected def coreBytes(v: TDigest): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = new TDigest(compression).toBytes
   override def withNewMutableAggBufferOffset(o: Int): TDigestMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): TDigestMergeAgg = copy(child = c)
@@ -269,26 +287,19 @@ case class KllBuildAgg(
   override protected def withNewChildInternal(c: Expression): KllBuildAgg = copy(child = c)
 }
 
-/** kll_merge(sketch BINARY) -> merged KLL bytes. */
+/** kll_merge(sketch BINARY) -> merged KLL bytes (param adoption). */
 case class KllMergeAgg(
     child: Expression,
     k: Int = Kll.DefaultK,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends SketchAggBase[Kll] with UnaryLike[Expression] {
+  extends SketchMergeAggBase[Kll] {
 
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def prettyName: String = "kll_merge"
-  override def createAggregationBuffer(): Kll = new Kll(k)
-  override def update(buf: Kll, row: InternalRow): Kll = {
-    val v = child.eval(row)
-    if (v != null) buf.merge(Kll.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
-  }
-  override def merge(a: Kll, b: Kll): Kll = { a.merge(b); a }
-  override def eval(buf: Kll): Any = buf.toBytes
-  override def serialize(buf: Kll): Array[Byte] = buf.toBytes
-  override def deserialize(bytes: Array[Byte]): Kll = Kll.fromBytes(bytes)
+  override protected def parse(bytes: Array[Byte]): Kll = Kll.fromBytes(bytes)
+  override protected def mergeCores(into: Kll, from: Kll): Unit = into.merge(from)
+  override protected def coreBytes(v: Kll): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = new Kll(k).toBytes
   override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): KllMergeAgg = copy(child = c)

@@ -118,6 +118,37 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(d.cdf(med) - 0.5) < 0.02)
   }
 
+  test("TDigest: cdf tail interpolates toward hi (no discontinuous jump)") {
+    val d = TDigest()
+    (1 to 1000).foreach(i => d.add(i.toDouble))
+    // walk x through the tail segment: cdf must be monotone and continuous
+    // (the old code returned a flat 1.0 for any x past the last mean)
+    val xs = (9900 to 10000).map(_ / 10.0)
+    val cdfs = xs.map(d.cdf)
+    assert(cdfs.zip(cdfs.tail).forall { case (a, b) => b >= a }, "monotone")
+    assert(d.cdf(1000.0) === 1.0)
+    // just past the last centroid mean, cdf must NOT already be 1.0
+    val lastMean = xs.map(identity).head
+    assert(d.cdf(lastMean) < 1.0, s"cdf($lastMean) jumped to 1.0")
+    // continuity at the last mean: values straddling it stay close
+    val eps = 1e-6
+    val below = d.cdf(999.0 - eps)
+    val above = d.cdf(999.0 + eps)
+    assert(math.abs(above - below) < 1e-3, s"jump at tail: $below -> $above")
+  }
+
+  test("Bloom/CountMin fromBytes validates headers before allocating") {
+    // 8-byte input claiming log2Bits=36 previously attempted an 8 GiB alloc
+    val bloomAttack = Array[Byte]('B', 'F', 1, 7, 36, 0, 0, 0)
+    val e1 = intercept[IllegalArgumentException](BloomFilter.fromBytes(bloomAttack))
+    assert(e1.getMessage.contains("log2Bits"))
+
+    val bb = java.nio.ByteBuffer.allocate(9)
+    bb.put('C'.toByte).put('M'.toByte).put(1.toByte).put(64.toByte).putInt(Int.MaxValue)
+    val e2 = intercept[IllegalArgumentException](CountMin.fromBytes(bb.array()))
+    assert(e2.getMessage.contains("CountMin"))
+  }
+
   // ---------------- KLL ----------------
 
   test("Kll: rank error within ~1.65/k bound; merge across splits; roundtrip") {

@@ -100,6 +100,33 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kll_med") === 1.0)
   }
 
+  test("*_merge adopts non-default sketch parameters from its inputs") {
+    // sketches serialized at NON-default params: the merge buffer must adopt
+    // them (SQL cannot parameterize the merge function)
+    val h1 = new graft.core.sketch.Hll(12, 5)
+    val h2 = new graft.core.sketch.Hll(12, 5)
+    (1L to 500L).foreach(v => h1.addRaw(graft.core.hash.XXH3.hashString(s"a$v")))
+    (1L to 500L).foreach(v => h2.addRaw(graft.core.hash.XXH3.hashString(s"b$v")))
+    val mergedHll = Seq(h1.toBytes, h2.toBytes).toDF("sk")
+      .agg(hll_merge($"sk").as("m")).select(hll_est($"m")).collect()(0).getLong(0)
+    val direct = { h1.union(h2); h1.estimate }
+    assert(mergedHll === direct)
+
+    val k1 = new graft.core.sketch.Kll(128)
+    (1 to 1000).foreach(v => k1.update(v.toDouble))
+    val viaSql = Seq(k1.toBytes, k1.toBytes).toDF("sk")
+      .agg(kll_merge($"sk").as("m")).select(kll_quantile($"m", lit(0.5))).collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 500.0) < 50.0)
+
+    // mixing DIFFERENT params must still error
+    val hBad = new graft.core.sketch.Hll(14, 5)
+    hBad.addRaw(42L)
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(h2.toBytes, hBad.toBytes).toDF("sk").agg(hll_merge($"sk")).collect()
+    }
+    assert(e.getCause != null)
+  }
+
   test("extract_text(wrap(text)) is byte-identical across repartitionings") {
     val texts = (1 to 500).map(i => s"doc $i body text äö ${"x" * (i % 50)}")
     val df = texts.toDF("text")
