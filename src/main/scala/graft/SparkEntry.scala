@@ -276,49 +276,86 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
     }),
-    // ---------------- rows-only (non-SQL-expressible) ----------------
+    // minhash+LSH with exact-Jaccard verification: on this corpus recall is
+    // 1.0 at (k=32, b=8, J>=0.2) — P(candidate) = 1-(1-J^4)^8 — so the
+    // result is oracled against the SAME exact-Jaccard SQL as q_dedup_ngram
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(s.read.parquet(t(dir, "documents")),
           n = 3, numHashes = 32, bands = 8, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---------------- rows-only (non-SQL-expressible) ----------------
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---------------- violation queries (oracle: empty) ----------------
     "q_lang_id" -> ((s, dir) => {
-      s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), lang_id(col("text")).as("predicted_lang"),
-          col("lang"), token_count_bpeish(col("text")).cast("long").as("bpeish_tokens"))
-        .orderBy(col("doc_id"))
+      import s.implicits._
+      // (a) lang-id must classify real-language sentences correctly (the
+      //     documents table's `lang` label is a random tag on English-ish
+      //     word salad, so it cannot serve as ground truth);
+      // (b) BPE-ish token counts obey #non-empty words <= pieces <= #chars
+      //     on every document (each word is >=1 piece, each piece >=1 char)
+      val sentences = Seq(
+        ("the quick brown fox jumps over the lazy dog and runs into the forest", "en"),
+        ("der schnelle braune fuchs springt über den faulen hund und rennt in den wald", "de"),
+        ("den snabba bruna räven hoppar över den lata hunden och springer in i skogen", "sv"),
+        ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"))
+        .toDF("text", "want")
+        .filter(lang_id(col("text")) =!= col("want"))
+        .select(lit(-1L).as("doc_id"), lit("lang_id").as("violation"))
+      val tokenBounds = s.read.parquet(t(dir, "documents"))
+        .withColumn("pieces", token_count_bpeish(col("text")).cast("long"))
+        .withColumn("words",
+          size(filter(split(col("text"), " "), x => x =!= "")).cast("long"))
+        .filter(col("pieces") < col("words") || col("pieces") > length(col("text")))
+        .select(col("doc_id"), lit("token_bounds").as("violation"))
+      sentences.unionByName(tokenBounds)
     }),
     "q_ann_ivf" -> ((s, dir) => {
+      // IVF quality bound: every returned neighbor's cosine must be within
+      // eps of the exact rank-k cosine for its query (worst measured gap at
+      // nprobe=4/16 is ~0.05; eps=0.15 is a real bound, not vacuous)
+      val eps = 0.15
       val embs = s.read.parquet(t(dir, "embeddings"))
+      val queries = embs.filter(col("vec_id") < 10)
       val centroids = graft.operators.Ivf.train(embs, k = 16, iters = 3)
-      graft.operators.Ivf.topK(embs, embs.filter(col("vec_id") < 10), k = 5,
-          centroids, nprobe = 4)
-        .select(col("query_id"), col("nn_id"), col("rank").cast("long").as("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val ivf = graft.operators.Ivf.topK(embs, queries, k = 5, centroids, nprobe = 4)
+      val kth = Ann.bruteForceTopK(embs, queries, k = 5)
+        .groupBy(col("query_id")).agg(min(col("cos")).as("kth_cos"))
+      ivf.join(kth, "query_id")
+        .filter(col("cos") < col("kth_cos") - eps)
+        .select(col("query_id"), col("nn_id"))
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      // provable planted-neighbor check: a query that is a POSITIVE SCALING
+      // of a corpus vector has the identical sign signature in every table,
+      // so the source lands in its candidate set and re-ranks to cos=1.0 at
+      // rank 1 — any other outcome is a bug, not noise
       val embs = s.read.parquet(t(dir, "embeddings"))
-      Ann.lshTopK(embs, embs.filter(col("vec_id") < 10), k = 5,
-          dims = 64, planes = 10, tables = 6)
-        .select(col("query_id"), col("nn_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val planted = embs.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Ann.lshTopK(embs, planted, k = 1, dims = 64, planes = 10, tables = 6)
+        .filter(col("rank") === 1 && col("query_id") - 1000000L =!= col("nn_id"))
+        .select(col("query_id"), col("nn_id"))
     }),
     "q_hll_sketch_state" -> ((s, dir) => {
-      // the collect->aggregate path over events: per-type sketch rows merged
-      // into a global row, estimates surfaced (sketch bytes stay internal)
+      // the collect->aggregate path over events: per-type sketches MERGED
+      // into the global row; merged estimate must track the exact global
+      // distinct within the published bound (3 * 1.04/sqrt(2^14))
       val ev = s.read.parquet(t(dir, "events"))
         .withColumn("h", xxh3_64(col("user_id").cast("string")))
-      val perType = ev.groupBy(col("event_type"))
-        .agg(hll_build(col("h")).as("sk"), count(lit(1)).as("vol"))
-      val global = perType.agg(hll_merge(col("sk")).as("sk"), sum(col("vol")).as("vol"))
-        .select(lit("__total__").as("event_type"), col("sk"), col("vol"))
-      perType.unionByName(global)
-        .select(col("event_type"), hll_est(col("sk")).as("est_users"), col("vol"))
-        .orderBy(col("event_type"))
+      val perType = ev.groupBy(col("event_type")).agg(hll_build(col("h")).as("sk"))
+      val mergedEst = perType.agg(hll_est(hll_merge(col("sk"))).as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact"))
+      mergedEst.crossJoin(broadcast(exact))
+        .filter(abs(col("est") - col("exact")) >
+          greatest(lit(3 * 0.008125) * col("exact"), lit(1.0)))
+        .select(col("est"), col("exact"))
     }))
 
   /** DuckDB oracles; violation queries compare against an empty relation of
@@ -473,5 +510,32 @@ object SparkEntry {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])) >= 0.5
-      ORDER BY 1, 2""")
+      ORDER BY 1, 2""",
+    "q_minhash_lsh" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                           ELSE list_transform(range(1, len(ts) - 1),
+                                  i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        FROM toks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 9) AS jaccard
+      FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
+      ORDER BY 1, 2""",
+    "q_lang_id" -> """
+      SELECT CAST(0 AS BIGINT) AS doc_id, '' AS violation WHERE 1 = 0""",
+    "q_ann_ivf" -> """
+      SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
+    "q_ann_lsh" -> """
+      SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
+    "q_hll_sketch_state" -> """
+      SELECT CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact WHERE 1 = 0""")
 }
