@@ -74,7 +74,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + sketchSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pages_n":$pagesN,"sketch_build_sec":$sketchSec%.3f,"pages_per_sec":$pagesPerSec%.0f}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pages_n":$pagesN,"sketch_build_sec":$sketchSec%.3f,"pages_per_sec":$pagesPerSec%.0f}"""
+    println(json)
+    // stdout interleaves with sbt log noise, which broke the driver's JSON
+    // parse in round 1 — also write the line to a file (and stderr)
+    System.err.println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -17,9 +17,10 @@ case class MediaMeta(
 /**
  * Multimodal-column plumbing: image/audio/video travel as opaque `binary`
  * columns with typed metadata. The Spark side — schema, batch iteration,
- * partition-parallel decode — is real; the codec call itself is STUBBED
- * (this container has no image/audio libraries) behind [[decodeStub]],
- * which produces a deterministic fake so tests can pin exact outputs.
+ * partition-parallel decode — is real. IMAGE decode is real too (JDK
+ * ImageIO: PNG/JPEG/GIF/BMP dimensions need no external jar); audio/video
+ * decode remains STUBBED behind [[decodeStub]] (no codec libraries in this
+ * container), producing a deterministic fake so tests can pin outputs.
  *
  * Batch shape mirrors `mapInPandas`: each partition is processed as an
  * iterator of rows, the decoder is invoked once per blob inside the
@@ -28,12 +29,33 @@ case class MediaMeta(
  */
 object Multimodal {
 
-  /** REAL DECODER SEAM: swap this for an actual codec (e.g. TwelveMonkeys
-    * ImageIO / JCodec) when available. Deterministic fake: dimensions are a
-    * pure function of the checksum, so results are stable across partitions
+  /** Real image decode via the JDK's ImageIO: returns (width, height, 1)
+    * for blobs whose container ImageIO can read; None otherwise. Header
+    * decode only — `getWidth/getHeight` read the metadata, not the pixels. */
+  private[operators] def decodeImage(blob: Array[Byte]): Option[(Int, Int, Int)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          Some((reader.getWidth(0), reader.getHeight(0), 1))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: Exception => None // corrupt/truncated image: fall to the stub
+    } finally in.close()
+  }
+
+  /** REMAINING DECODER SEAM (audio/video): swap for a real codec (e.g.
+    * JCodec) when available. Deterministic fake: dimensions are a pure
+    * function of the checksum, so results are stable across partitions
     * and retries. */
   private def decodeStub(blob: Array[Byte], checksum: Long): (Int, Int, Int) = {
-    // ??? <- real decode goes here; deterministic fake below
+    // ??? <- real audio/video decode goes here; deterministic fake below
     val w = 160 + (java.lang.Long.remainderUnsigned(checksum, 8L) * 80).toInt
     val h = 120 + (java.lang.Long.remainderUnsigned(checksum >>> 16, 6L) * 60).toInt
     val frames = 1 + (java.lang.Long.remainderUnsigned(checksum >>> 32, 24L)).toInt
@@ -69,9 +91,12 @@ object Multimodal {
           MediaMeta(id, 0L, "", "none", 0, 0, 0)
         } else {
           val ck = XXH3.hash(blob)
-          val (w, h, f) = decodeStub(blob, ck)
-          MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
-            sniffKind(blob), w, h, f)
+          val kind = sniffKind(blob)
+          // real ImageIO decode for image containers; stub for the rest
+          val (w, h, f) =
+            (if (kind == "png" || kind == "jpeg") decodeImage(blob) else None)
+              .getOrElse(decodeStub(blob, ck))
+          MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck), kind, w, h, f)
         }
       }
     }

@@ -25,6 +25,13 @@ import graft.functions.GraftFunctions._
  */
 object DnsMagnitude {
 
+  /** Schema version of the parquet sketch_state table. Carried as a column
+    * so a future format change is detectable at merge time — the reference
+    * refuses to aggregate datasets of unknown versions
+    * (/root/reference/internal/dataset.go:238-247); the CBOR boundary
+    * enforces the same in DnsMagCodec. */
+  final val StateVersion = 1L
+
   /** collect: records -> sketch state, ONE scan, ONE aggregation: root "."
     * and invalid domains fold into a NULL group key; global totals are
     * derived at report time by merging all groups (HLL union of per-group
@@ -44,12 +51,25 @@ object DnsMagnitude {
         lit(null).cast("string")).otherwise(col("domain")).as("domain"))
       .agg(hll_build(col("hash")).as("hll"), sum(col("cnt")).as("queries"))
       .withColumn("date", lit(date))
-      .select(col("date"), col("domain"), col("hll"), col("queries"))
+      .withColumn("version", lit(StateVersion))
+      .select(col("date"), col("domain"), col("hll"), col("queries"), col("version"))
   }
 
-  /** aggregate with the reference's strict-date contract. */
+  /** aggregate with the reference's strict-date contract and version check
+    * (states written before the version column existed count as v1). */
   def aggregate(states: Seq[DataFrame], forceDate: Option[java.sql.Date] = None): DataFrame = {
-    val all0 = states.reduce(_.unionByName(_))
+    val all0 = states
+      .map(s => if (s.columns.contains("version")) s
+                else s.withColumn("version", lit(StateVersion)))
+      .reduce(_.unionByName(_))
+    // version + date validation run over the DISTINCT rows of the (tiny)
+    // state — one driver-side action, not a source scan
+    val badVersions = all0.select(col("version")).distinct().collect()
+      .map(_.getLong(0)).filterNot(_ == StateVersion)
+    if (badVersions.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported sketch_state version(s) ${badVersions.mkString(", ")} " +
+        s"(supported: $StateVersion) — refusing to merge")
     val all = forceDate match {
       case Some(d) => all0.withColumn("date", lit(d))
       case None =>
@@ -61,6 +81,7 @@ object DnsMagnitude {
     }
     all.groupBy(col("date"), col("domain"))
       .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+      .withColumn("version", lit(StateVersion))
   }
 
   /** report rows in reference order; estimates finalised here

@@ -159,6 +159,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.frameSamplePositions(100, 4) === Seq(0, 25, 50, 75))
   }
 
+  test("multimodal: REAL ImageIO decode of PNG/JPEG dimensions through the Spark path") {
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 37, 23)),
+      (2L, imageBytes("jpg", 128, 64)),
+      (3L, "not an image at all".getBytes)) // falls back to the stub
+    val df = rows.toDF("doc_id", "media")
+    val metas = Multimodal.mediaMeta(df).collect().sortBy(_.doc_id)
+    assert(metas(0).kind === "png" && metas(0).width === 37 && metas(0).height === 23)
+    assert(metas(0).n_frames === 1)
+    assert(metas(1).kind === "jpeg" && metas(1).width === 128 && metas(1).height === 64)
+    assert(metas(2).kind === "bin")
+    // corrupt png: magic says png but body is garbage -> stub, not a crash
+    val corrupt = Seq((4L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)))
+      .toDF("doc_id", "media")
+    assert(Multimodal.mediaMeta(corrupt).collect().head.kind === "png")
+  }
+
   test("IVF: deterministic training; recall vs brute force on clustered embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val c1 = Ivf.train(embs, k = 16, iters = 4)

@@ -44,6 +44,20 @@ class DnsMagnitudeSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("aggregate refuses sketch_state of an unknown version; legacy states count as v1") {
+    import org.apache.spark.sql.functions._
+    val recs = RecordsCsv.read(spark, res("test2.tsv"), tsv = true)
+    val s1 = DnsMagnitude.collect(recs, d1)
+    val e = intercept[IllegalArgumentException] {
+      DnsMagnitude.aggregate(Seq(s1, s1.withColumn("version", lit(99L)))).collect()
+    }
+    assert(e.getMessage.contains("version"))
+    // legacy state (no version column) merges as v1
+    val legacy = s1.drop("version")
+    val merged = DnsMagnitude.aggregate(Seq(s1, legacy))
+    assert(merged.agg(sum(col("queries"))).collect()(0).getLong(0) === 400L)
+  }
+
   test("test3.tsv: garbage escaped domains count globally, no domain rows") {
     val recs = RecordsCsv.read(spark, res("test3.tsv"), tsv = true)
     val state = DnsMagnitude.collect(recs, d1)
