@@ -100,8 +100,15 @@ object DnsMag {
         require(inputs.nonEmpty, "--input required (repeatable)")
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
         val force = arg(rest, "--force-date").map(java.sql.Date.valueOf)
-        writeState(
-          DnsMagnitude.aggregate(inputs.map(readState(spark, _)), forceDate = force), out)
+        val states = inputs.map(readState(spark, _))
+        // default: exact order-free merge; --chunked replays the reference
+        // CLI's sequential fold with between-chunk --top truncation
+        val merged =
+          if (rest.contains("--chunked"))
+            DnsMagnitude.aggregateChunked(states,
+              topN = arg(rest, "--top").map(_.toInt).getOrElse(2500), forceDate = force)
+          else DnsMagnitude.aggregate(states, forceDate = force)
+        writeState(merged, out)
 
       case "report" =>
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))

@@ -84,6 +84,70 @@ object DnsMagnitude {
       .withColumn("version", lit(StateVersion))
   }
 
+  /**
+   * A4 — the reference's CHUNKED incremental aggregation: datasets fold in
+   * sequence with a top-N truncation between chunks (DatasetSequence
+   * .addDataset, /root/reference/internal/store.go:176-207 + Truncate,
+   * dataset.go:137-153; the `aggregate` CLI always runs this with
+   * --top 2500). This is an order-DEPENDENT approximation — a domain
+   * dropped early cannot re-enter with its early clients — offered for
+   * behavioural parity with chunked CLI runs; [[aggregate]] is the exact,
+   * order-free path and remains the default.
+   *
+   * Divergence-free globals: the reference keeps AllClientsHll/AllQueries
+   * outside the truncated domains map, so truncation never affects totals.
+   * Our state derives totals by merging all rows, so dropped domain rows
+   * fold into the NULL bucket — totals stay exact by HLL mergeability.
+   *
+   * Each step materializes to the driver: the truncated state is bounded by
+   * topN+1 rows per date (the same in-memory bound the reference CLI
+   * carries), which also keeps the per-step Spark plan shallow.
+   */
+  def aggregateChunked(states: Seq[DataFrame], topN: Int = 2500,
+                       forceDate: Option[java.sql.Date] = None): DataFrame = {
+    require(states.nonEmpty, "aggregateChunked needs at least one state")
+    states.reduceLeft { (acc, next) =>
+      materialize(truncateState(aggregate(Seq(acc, next), forceDate), topN))
+    }
+  }
+
+  /** Keep the top-N domains per date by the reference's truncation order —
+    * ascending (int(magnitude*1000), domain), keep the LAST N
+    * (dataset.go:106-153) — folding dropped rows into the NULL bucket. */
+  def truncateState(state: DataFrame, topN: Int): DataFrame = {
+    if (topN <= 0) return state
+    val doms = state.filter(col("domain").isNotNull)
+    val global = state.groupBy(col("date"))
+      .agg(hll_est(hll_merge(col("hll"))).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("date"))
+      .orderBy(floor(magnitude(hll_est(col("hll")), col("__total")) * 1000).desc,
+        col("domain").desc)
+    val ranked = doms.join(broadcast(global), "date")
+      .withColumn("__r", row_number().over(w))
+    val kept = ranked.filter(col("__r") <= topN)
+      .select(col("date"), col("domain"), col("hll"), col("queries"), col("version"))
+    val residual = ranked.filter(col("__r") > topN)
+      .select(col("date"), col("domain"), col("hll"), col("queries"), col("version"))
+      .unionByName(state.filter(col("domain").isNull))
+      .groupBy(col("date"))
+      .agg(hll_merge(col("hll")).as("hll"), sum(col("queries")).as("queries"))
+      .select(col("date"), lit(null).cast("string").as("domain"),
+        col("hll"), col("queries"), lit(StateVersion).as("version"))
+    kept.unionByName(residual)
+  }
+
+  /** Driver-side materialization of a (bounded) state — used between
+    * chunked-aggregation steps to keep plans shallow. */
+  private def materialize(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val cols = Seq("date", "domain", "hll", "queries", "version")
+    val rows = state.select(cols.map(col): _*).collect()
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      state.select(cols.map(col): _*).schema)
+  }
+
   /** report rows in reference order; estimates finalised here
     * (finaliseStats analogue). */
   def report(state: DataFrame, topN: Int = 0): DataFrame = {

@@ -58,6 +58,37 @@ class DnsMagnitudeSpec extends AnyFunSuite {
     assert(merged.agg(sum(col("queries"))).collect()(0).getLong(0) === 400L)
   }
 
+  test("chunked aggregation: no-truncation fold == exact; truncation keeps top-N, totals exact") {
+    import org.apache.spark.sql.functions._
+    val s1 = DnsMagnitude.collect(RecordsCsv.read(spark, res("test2.tsv"), tsv = true), d1)
+    val s2 = DnsMagnitude.collect(RecordsCsv.read(spark, res("test2.tsv"), tsv = true), d1)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      DnsMagnitude.report(df).collect().map(r =>
+        (r.getAs[String]("domain"), r.getAs[Long]("uniqueClients"),
+         r.getAs[Long]("queryVolume"), r.getAs[Long]("totalUniqueClients"),
+         r.getAs[Long]("totalQueryVolume"))).sortBy(_.toString).toSeq
+
+    // topN above the domain count: chunked == exact, byte-for-byte
+    assert(canon(DnsMagnitude.aggregateChunked(Seq(s1, s2), topN = 100)) ===
+      canon(DnsMagnitude.aggregate(Seq(s1, s2))))
+
+    // truncating fold: 3 domain rows survive (highest (floor(mag*1000),
+    // domain)), and GLOBAL totals stay exactly those of the full merge
+    val truncated = DnsMagnitude.aggregateChunked(Seq(s1, s2), topN = 3)
+    val rep = DnsMagnitude.report(truncated).collect()
+    assert(rep.length === 3)
+    val exactRep = DnsMagnitude.report(DnsMagnitude.aggregate(Seq(s1, s2))).collect()
+    assert(rep.head.getAs[Long]("totalUniqueClients") ===
+      exactRep.head.getAs[Long]("totalUniqueClients"))
+    assert(rep.head.getAs[Long]("totalQueryVolume") ===
+      exactRep.head.getAs[Long]("totalQueryVolume"))
+    // kept set = reference truncation order: last 3 of ascending order
+    val expectedKept = exactRep.map(r => (math.floor(r.getAs[Double]("magnitude") * 1000),
+      r.getAs[String]("domain"))).sortBy(identity).takeRight(3).map(_._2).toSet
+    assert(rep.map(_.getAs[String]("domain")).toSet === expectedKept)
+  }
+
   test("test3.tsv: garbage escaped domains count globally, no domain rows") {
     val recs = RecordsCsv.read(spark, res("test3.tsv"), tsv = true)
     val state = DnsMagnitude.collect(recs, d1)
