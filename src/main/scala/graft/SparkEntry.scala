@@ -240,6 +240,15 @@ object SparkEntry {
           round(punct_ratio(col("text")), 9).as("punct_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_gopher" -> ((s, dir) => {
+      // Gopher-style repetition/shape quality signals (Rae et al. 2021)
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          round(stopword_ratio(col("text")), 9).as("stopword_ratio"),
+          round(mean_word_len(col("text")), 9).as("mean_word_len"),
+          round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
+        .orderBy(col("doc_id"))
+    }),
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -481,6 +490,22 @@ object SparkEntry {
              round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r]', '', 'g')) AS DOUBLE)
                    / length(text), 9) AS punct_ratio
       FROM documents ORDER BY doc_id""",
+    "q_text_gopher" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      ne AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      cnts AS (SELECT doc_id, t, count(*) AS c FROM ne GROUP BY 1, 2),
+      agg AS (SELECT doc_id, sum(c) AS n,
+                     sum(CASE WHEN t IN ('the','a','an','and','or','of','to',
+                                         'in','is','that','with','for')
+                         THEN c ELSE 0 END) AS sw,
+                     sum(len(t) * c) AS chars, max(c) AS maxc
+              FROM cnts GROUP BY 1)
+      SELECT doc_id,
+             round(CAST(sw AS DOUBLE) / n, 9) AS stopword_ratio,
+             round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
+             round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
+      FROM agg ORDER BY doc_id""",
     "q_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n, CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value

@@ -145,6 +145,64 @@ object TextOps {
 
   /** Quality heuristics: fraction of alphabetic chars, fraction of
     * punctuation, mean token length — the standard webtext quality inputs. */
+  /** Gopher-style quality signals (Rae et al. 2021 §A1.1; also the C4
+    * heuristics): repetition and shape statistics over whitespace tokens.
+    * Definitions chosen to be SQL-reproducible for the oracle gate. */
+
+  /** English stopword set used by [[stopwordRatio]] — a small, fixed list
+    * (the Gopher rule only needs "contains common English function words"
+    * semantics, not a full list). */
+  final val Stopwords: Set[String] =
+    Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "that", "with", "for")
+
+  /** Fraction of non-empty tokens that are stopwords (0 for empty text). */
+  def stopwordRatio(text: String): Double = {
+    val ts = tokens(text)
+    var n = 0; var hits = 0
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).nonEmpty) {
+        n += 1
+        if (Stopwords.contains(ts(i))) hits += 1
+      }
+      i += 1
+    }
+    if (n == 0) 0.0 else hits.toDouble / n
+  }
+
+  /** Mean length of non-empty tokens (0 for empty text). */
+  def meanWordLen(text: String): Double = {
+    val ts = tokens(text)
+    var n = 0; var chars = 0L
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).nonEmpty) { n += 1; chars += ts(i).length }
+      i += 1
+    }
+    if (n == 0) 0.0 else chars.toDouble / n
+  }
+
+  /** Frequency of the most common non-empty token over the token count —
+    * the Gopher "fraction of text in the most common word" repetition
+    * signal (high values mark degenerate/boilerplate docs). Ties don't
+    * matter: only the max count is used. */
+  def maxTokenRatio(text: String): Double = {
+    val ts = tokens(text)
+    if (ts.isEmpty) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var n = 0
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).nonEmpty) { n += 1; counts.merge(ts(i), 1, Integer.sum) }
+      i += 1
+    }
+    if (n == 0) return 0.0
+    var max = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) max = math.max(max, it.next())
+    max.toDouble / n
+  }
+
   def alphaRatio(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     var a = 0

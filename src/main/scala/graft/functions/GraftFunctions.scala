@@ -43,6 +43,9 @@ object GraftFunctions {
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
+  def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
+  def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
+  def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
 
   // ----- estimators -----
   def hll_est(sketch: Column): Column = column(HllEst(expression(sketch)))
@@ -96,6 +99,9 @@ object GraftFunctions {
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),
+    "stopword_ratio" -> (e => StopwordRatio(e.head)),
+    "mean_word_len" -> (e => MeanWordLen(e.head)),
+    "max_token_ratio" -> (e => MaxTokenRatio(e.head)),
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),

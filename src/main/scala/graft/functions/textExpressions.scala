@@ -123,6 +123,34 @@ object WordShingles {
   }
 }
 
+/** Gopher-style quality signals (SQL-reproducible definitions). */
+case class StopwordRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "stopword_ratio"
+  override protected def fn: String = "stopwordRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.stopwordRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): StopwordRatio = copy(child = c)
+}
+
+case class MeanWordLen(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "mean_word_len"
+  override protected def fn: String = "meanWordLen"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.meanWordLen(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): MeanWordLen = copy(child = c)
+}
+
+case class MaxTokenRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_token_ratio"
+  override protected def fn: String = "maxTokenRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.maxTokenRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): MaxTokenRatio = copy(child = c)
+}
+
 /** Fraction of alphabetic characters. */
 case class AlphaRatio(child: Expression) extends TextUnary {
   override def dataType: DataType = DoubleType

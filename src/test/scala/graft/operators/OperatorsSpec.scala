@@ -146,6 +146,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("tc") === 6)
   }
 
+  test("Gopher quality signals: stopword ratio, mean word len, max-token repetition") {
+    val r = Seq(("the cat and the dog and the end", "spam spam spam spam ham"))
+      .toDF("normal", "repeated")
+      .select(stopword_ratio($"normal").as("sw"),
+        mean_word_len($"normal").as("mw"),
+        max_token_ratio($"normal").as("mtN"),
+        max_token_ratio($"repeated").as("mtR"),
+        stopword_ratio(lit("")).as("swEmpty")).collect()(0)
+    assert(r.getAs[Double]("sw") === 5.0 / 8) // the x3, and x2
+    assert(math.abs(r.getAs[Double]("mw") - 24.0 / 8) < 1e-12)
+    assert(r.getAs[Double]("mtN") === 3.0 / 8) // "the"
+    assert(r.getAs[Double]("mtR") === 4.0 / 5) // degenerate doc flagged
+    assert(r.getAs[Double]("swEmpty") === 0.0)
+  }
+
   test("multimodal: metadata extraction deterministic across partitionings") {
     val media = docs.limit(50)
       .select($"doc_id", $"text".cast("binary").as("media"))
