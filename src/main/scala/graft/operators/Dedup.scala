@@ -67,8 +67,15 @@ object Dedup {
    * even over 1e12 verified pairs; cross-pair collisions are harmless).
    */
   def verifyJaccardPairs(candidates: DataFrame, shh: DataFrame,
-                         minJaccard: Double): DataFrame = {
-    val sets = shh.groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs"))
+                         minJaccard: Double): DataFrame =
+    verifyJaccardPairsWithSets(candidates,
+      shh.groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs")),
+      minJaccard)
+
+  /** As [[verifyJaccardPairs]] but over a prebuilt (id, shs sorted array)
+    * set table (reused from candidate generation when available). */
+  def verifyJaccardPairsWithSets(candidates: DataFrame, sets: DataFrame,
+                                 minJaccard: Double): DataFrame = {
     candidates
       .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
@@ -121,19 +128,26 @@ object Dedup {
 
     val dfTab = shh.groupBy(col("h")).agg(count(lit(1)).as("df"))
 
-    // rarest-first prefix: row_number over (df, h); the doc size rides the
-    // same window exchange (count over the unordered frame) instead of a
-    // separate aggregation + join. ceil is computed with a 1e-9 slack so
-    // float error can only LENGTHEN the prefix (never breaks exactness,
-    // only admits a few extra candidates).
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("h"))
-    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val prefix = shh.join(dfTab, "h")
-      .withColumn("__rn", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(wSz))
-      .filter(col("__rn") <= col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("h"), col("sz"))
+    // ONE grouped pass builds the per-doc state everything else derives
+    // from: shingle hashes sorted rarest-first by (df, h) — struct sort is
+    // lexicographic, so sort_array gives the global prefix order — plus the
+    // prefix slice and the value-sorted set for verification. This replaces
+    // a row_number window (exchange + sort over every shingle occurrence)
+    // with the same groupBy-id exchange the set table needs anyway; the
+    // per-doc array ops run on corpus-cardinality rows. ceil is computed
+    // with a 1e-9 slack so float error can only LENGTHEN the prefix (never
+    // breaks exactness, only admits a few extra candidates).
+    val docSets = shh.join(dfTab, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("__dfh"))
+      .withColumn("sz", size(col("__dfh")).cast("long"))
+      .withColumn("__plen",
+        (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .withColumn("prefix", transform(slice(col("__dfh"), lit(1), col("__plen")), x => x("h")))
+      .withColumn("shs", sort_array(transform(col("__dfh"), x => x("h"))))
+      .select(col("id"), col("sz"), col("prefix"), col("shs"))
+
+    val prefix = docSets.select(col("id"), col("sz"), explode(col("prefix")).as("h"))
 
     // duplicate candidates (pairs sharing several prefix shingles) are NOT
     // deduped here: the verify side is two broadcast-sized lookups, so
@@ -146,7 +160,8 @@ object Dedup {
         col("a.sz") >= lit(minJaccard) * col("b.sz") - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
 
-    verifyJaccardPairs(candidates, shh, minJaccard)
+    val sets = docSets.select(col("id"), col("shs"))
+    verifyJaccardPairsWithSets(candidates, sets, minJaccard)
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -104,13 +104,16 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
-  test("prefix-filtered dedup joins only on prefix shingles (window + equi-join)") {
+  test("prefix-filtered dedup joins only on prefix shingles (grouped prefix, equi-joins)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan.take(2000))
-    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"), plan.take(2000))
+    // per-doc prefix state is one grouped aggregation (no window sort pass)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction"), "prefix must not need a window")
   }
 
   test("ANN brute force broadcasts the query side, never shuffles the corpus") {
