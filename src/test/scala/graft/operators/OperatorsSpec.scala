@@ -37,6 +37,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs === expected)
   }
 
+  test("prefix-filtered ngram join == brute force on random corpora (hot shingles, mixed sizes)") {
+    // randomized exactness check across thresholds: small vocab forces
+    // heavy shingle sharing; doc lengths vary so the length filter is live
+    (0 until 3).foreach { seed =>
+      val rnd = new java.util.Random(100 + seed)
+      val corpus = (0 until 120).map { i =>
+        val len = 5 + rnd.nextInt(40)
+        (i.toLong, Array.fill(len)(s"v${rnd.nextInt(60)}").mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      def shingleSet(text: String): Set[String] = {
+        val toks = text.split(" ", -1)
+        if (toks.length < 3) Set(toks.mkString(" "))
+        else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+      }
+      Seq(0.15, 0.4, 0.7).foreach { t =>
+        val expected = (for {
+          (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+          sa = shingleSet(ta); sb = shingleSet(tb)
+          inter = sa.intersect(sb).size.toDouble
+          if inter / (sa.size + sb.size - inter) >= t
+        } yield (ia, ib)).toSet
+        val got = Dedup.ngramJaccardPairs(df, n = 3, minJaccard = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === expected, s"seed=$seed t=$t")
+      }
+    }
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -118,6 +147,28 @@ class OperatorsSpec extends AnyFunSuite {
     val approx = Ann.cosineNearDupPairsApprox(embs, minCos = tau, dims = 64, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.subsetOf(oracle), "verified approx pairs must all be true pairs")
+  }
+
+  test("cluster-pruned near-dup exact on random vectors across thresholds and block counts") {
+    val rnd = new java.util.Random(7)
+    val vecs = (0 until 150).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      graft.core.vector.VectorOps.cosineF(a, b)
+    // tau=0.1 yields MANY pairs (dense output); tau=0.6 few — both must be exact
+    Seq(0.1, 0.6).foreach { tau =>
+      val expected = (for {
+        (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+        if cosD(va, vb) >= tau
+      } yield (ia, ib)).toSet
+      Seq(3, 10).foreach { blocks =>
+        val got = Ann.cosineNearDupPairs(df, minCos = tau, dims = 16, blocks = blocks)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === expected, s"tau=$tau blocks=$blocks " +
+          s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      }
+    }
   }
 
   test("text ops: lang_id on real sentences; fingerprint collision-free vs text equality") {
