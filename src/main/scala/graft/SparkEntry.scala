@@ -352,6 +352,72 @@ object SparkEntry {
         .filter(col("rank") === 1 && col("query_id") - 1000000L =!= col("nn_id"))
         .select(col("query_id"), col("nn_id"))
     }),
+    "q_page_sketches" -> ((s, dir) => {
+      // the north_star's one-pass page sketch suite + mergeable rollup,
+      // checked for ALL FIVE families at once: documents mapped to the
+      // pages shape (40 hosts, 3 days), daily sketch rows rolled up via the
+      // *_merge aggregates, then every family's published bound verified
+      // against exact SQL-computable statistics. Any row is a regression.
+      val pages = s.read.parquet(t(dir, "documents")).select(
+        concat(lit("https://h"), pmod(col("doc_id"), lit(40)),
+          lit(".example/p/"), col("doc_id")).as("url"),
+        date_add(to_date(lit("2000-01-01")),
+          pmod(col("doc_id"), lit(3)).cast("int")).cast("timestamp").as("warc_ts"),
+        col("text"))
+      val total = graft.pipelines.PageSketches.merge(
+        graft.pipelines.PageSketches.build(pages))
+
+      def v(check: String, observed: org.apache.spark.sql.Column, bound: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        struct(lit(check).as("check"), observed.cast("double").as("observed"),
+          bound.cast("double").as("bound"))
+
+      // HLL: merged distinct-url estimate within 3 sigma of exact
+      val exactTot = pages.agg(countDistinct(col("url")).as("n_urls"),
+        count(lit(1)).as("n"))
+      val hllV = total.crossJoin(broadcast(exactTot))
+        .select(v("hll", abs(hll_est(col("url_hll")) - col("n_urls")),
+          greatest(lit(3 * 0.008125) * col("n_urls"), lit(1.0))).as("r"))
+        .filter(col("r.observed") > col("r.bound"))
+
+      // CM: per-host frequency never under, over by <= e/width * N
+      val hostExact = pages.groupBy(xxh3_64(host_of_url(col("url"))).as("hh"))
+        .agg(count(lit(1)).as("exact"))
+      val cmsV = hostExact.crossJoin(broadcast(total.select(col("host_freq_cms"))))
+        .crossJoin(broadcast(exactTot))
+        .withColumn("est", cms_est(col("host_freq_cms"), col("hh")))
+        .select(v("cms",
+          when(col("est") < col("exact"), lit(-1.0))
+            .otherwise(col("est") - col("exact")),
+          lit(math.E / 2048.0) * col("n")).as("r"))
+        .filter(col("r.observed") > col("r.bound") || col("r.observed") < 0)
+
+      // Bloom: no false negatives over every crawled url
+      val bloomV = pages.select(xxh3_64(col("url")).as("uh")).distinct()
+        .crossJoin(broadcast(total.select(col("url_bloom"))))
+        .filter(!bloom_contains(col("url_bloom"), col("uh")))
+        .select(v("bloom", lit(1.0), lit(0.0)).as("r"))
+
+      // KLL + t-digest: rolled-up text-length quantiles hold their rank bounds
+      val qs = Seq(0.25, 0.5, 0.75)
+      val quantiles = total.select(explode(array(qs.map(q =>
+          struct(lit(q).as("q"),
+            kll_quantile(col("text_len_kll"), lit(q)).as("kll_est"),
+            tdigest_quantile(col("text_len_tdigest"), lit(q)).as("td_est"))): _*)).as("e"))
+        .select(col("e.q").as("q"), col("e.kll_est"), col("e.td_est"))
+      val lens = pages.select(length(col("text")).cast("double").as("x"))
+      val rankV = quantiles.crossJoin(lens).crossJoin(broadcast(exactTot))
+        .groupBy(col("q"), col("kll_est"), col("td_est"), col("n"))
+        .agg(sum(when(col("x") <= col("kll_est"), 1L).otherwise(0L)).as("kll_below"),
+          sum(when(col("x") <= col("td_est"), 1L).otherwise(0L)).as("td_below"))
+        .select(explode(array(
+          v("kll", abs(col("kll_below") / col("n") - col("q")), lit(0.025)),
+          v("tdigest", abs(col("td_below") / col("n") - col("q")), lit(0.02)))).as("r"))
+        .filter(col("r.observed") > col("r.bound"))
+
+      hllV.unionByName(cmsV).unionByName(bloomV).unionByName(rankV)
+        .select(col("r.check").as("check"), col("r.observed").as("observed"),
+          col("r.bound").as("bound"))
+    }),
     "q_hll_sketch_state" -> ((s, dir) => {
       // the collect->aggregate path over events: per-type sketches MERGED
       // into the global row; merged estimate must track the exact global
@@ -562,5 +628,8 @@ object SparkEntry {
     "q_ann_lsh" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_hll_sketch_state" -> """
-      SELECT CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact WHERE 1 = 0""")
+      SELECT CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact WHERE 1 = 0""",
+    "q_page_sketches" -> """
+      SELECT '' AS check, CAST(0 AS DOUBLE) AS observed, CAST(0 AS DOUBLE) AS bound
+      WHERE 1 = 0""")
 }
