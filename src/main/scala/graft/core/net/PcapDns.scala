@@ -9,11 +9,14 @@ import java.nio.charset.StandardCharsets
  * packets whose source IP can't be extracted count as invalid records.
  *
  * Supported framing, matching what DNS captures actually contain: classic
- * pcap (both endiannesses, micro/nanosecond magics), gzip by magic bytes,
- * link types Ethernet (1, incl. 802.1Q VLAN tags) and raw IP (101/12),
- * IPv4/IPv6 (with the skippable v6 extension headers), UDP port 53. DNS
- * names follow RFC 1035 labels with compression pointers; bytes are
- * preserved 1:1 (ISO-8859-1) for the downstream escape/normalize pass.
+ * pcap (both endiannesses, micro/nanosecond magics) AND pcapng (SHB/IDB/
+ * EPB/SPB blocks, per-section endianness, if_tsresol option), gzip by
+ * magic bytes, link types Ethernet (1, incl. 802.1Q VLAN tags) and raw IP
+ * (101/12), IPv4/IPv6 (with the skippable v6 extension headers), DNS over
+ * UDP port 53 and over TCP port 53 (2-byte length framing, unsegmented
+ * messages). DNS names follow RFC 1035 labels with compression pointers;
+ * bytes are preserved 1:1 (ISO-8859-1) for the downstream
+ * escape/normalize pass.
  *
  * Deliberately a per-file decoder: pcap is not a splittable format (records
  * are not self-synchronizing), so distribution happens at file granularity
@@ -31,6 +34,11 @@ object PcapDns {
     val data =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
       else raw
+    require(data.length >= 12, "pcap: truncated header")
+    // pcapng starts with an SHB block type 0x0A0D0D0A
+    if ((data(0) & 0xff) == 0x0a && (data(1) & 0xff) == 0x0d &&
+        (data(2) & 0xff) == 0x0d && (data(3) & 0xff) == 0x0a)
+      return decodePcapng(data)
     require(data.length >= 24, "pcap: truncated global header")
 
     val magic = ((data(0) & 0xffL) << 24) | ((data(1) & 0xffL) << 16) |
@@ -68,6 +76,88 @@ object PcapDns {
         decodePacket(data, pos, incl, linkType, micros, out)
         pos += incl
       }
+    }
+    out.result()
+  }
+
+  // ------------------------------ pcapng ------------------------------
+
+  /** pcapng: Section Header (endianness per section), Interface Description
+    * (link type + if_tsresol), Enhanced/Simple Packet blocks; every other
+    * block type is skipped by its length. */
+  private def decodePcapng(data: Array[Byte]): Seq[Record] = {
+    val out = Seq.newBuilder[Record]
+    var pos = 0
+    var le = true
+    // per-interface (linkType, ticksPerSecond exponent handling)
+    var ifaces = Vector.empty[(Int, Long)] // (linkType, ticksPerSec)
+    def u16(p: Int): Int =
+      if (le) (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+      else ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le)
+        (data(p) & 0xffL) | ((data(p + 1) & 0xffL) << 8) |
+          ((data(p + 2) & 0xffL) << 16) | ((data(p + 3) & 0xffL) << 24)
+      else
+        ((data(p) & 0xffL) << 24) | ((data(p + 1) & 0xffL) << 16) |
+          ((data(p + 2) & 0xffL) << 8) | (data(p + 3) & 0xffL)
+
+    while (pos + 12 <= data.length) {
+      // block type is endianness-sensitive EXCEPT the SHB's palindrome
+      val rawType = ((data(pos) & 0xffL) << 24) | ((data(pos + 1) & 0xffL) << 16) |
+        ((data(pos + 2) & 0xffL) << 8) | (data(pos + 3) & 0xffL)
+      val isShb = rawType == 0x0a0d0d0aL
+      if (isShb) {
+        // byte-order magic decides this section's endianness
+        val bom = ((data(pos + 8) & 0xffL) << 24) | ((data(pos + 9) & 0xffL) << 16) |
+          ((data(pos + 10) & 0xffL) << 8) | (data(pos + 11) & 0xffL)
+        le = bom == 0x4d3c2b1aL // 0x1A2B3C4D stored little-endian
+        require(le || bom == 0x1a2b3c4dL, f"pcapng: bad byte-order magic 0x$bom%08x")
+        ifaces = Vector.empty
+      }
+      val totalLen = u32(pos + 4).toInt
+      require(totalLen >= 12 && (totalLen & 3) == 0 && pos + totalLen <= data.length,
+        s"pcapng: bad block length $totalLen at $pos")
+      val blockType = u32(pos).toInt
+      blockType match {
+        case 0x00000001 => // IDB: linktype(2) reserved(2) snaplen(4) options
+          val link = u16(pos + 8)
+          var ticks = 1000000L // default resolution 10^-6
+          var op = pos + 16
+          val end = pos + totalLen - 4
+          var done = false
+          while (!done && op + 4 <= end) {
+            val code = u16(op); val olen = u16(op + 2)
+            if (code == 0) done = true
+            else {
+              if (code == 9 && olen >= 1) { // if_tsresol
+                val b = data(op + 4) & 0xff
+                ticks =
+                  if ((b & 0x80) == 0) math.pow(10, b & 0x7f).toLong
+                  else 1L << (b & 0x7f)
+              }
+              op += 4 + ((olen + 3) & ~3)
+            }
+          }
+          ifaces = ifaces :+ (link, ticks)
+        case 0x00000006 => // EPB: ifid(4) tsHigh(4) tsLow(4) capLen(4) origLen(4) data
+          val ifId = u32(pos + 8).toInt
+          val ts = (u32(pos + 12) << 32) | u32(pos + 16)
+          val capLen = u32(pos + 20).toInt
+          val (link, ticks) =
+            if (ifId >= 0 && ifId < ifaces.size) ifaces(ifId) else (1, 1000000L)
+          val micros =
+            if (ticks == 1000000L) ts
+            else ((ts.toDouble / ticks) * 1e6).toLong
+          if (capLen >= 0 && pos + 28 + capLen <= data.length)
+            decodePacket(data, pos + 28, capLen, link, micros, out)
+        case 0x00000003 => // SPB: origLen(4) data (no timestamp)
+          val capLen = totalLen - 16
+          val link = ifaces.headOption.map(_._1).getOrElse(1)
+          if (capLen > 0) decodePacket(data, pos + 12, capLen, link, 0L, out)
+        case _ => () // SHB, name resolution, statistics, unknown: skip
+      }
+      pos += totalLen
     }
     out.result()
   }
@@ -121,11 +211,26 @@ object PcapDns {
       case _ => return
     }
 
-    if (proto != 17 || end - p < 8) return // UDP only (fixture + typical DNS)
-    val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
-    val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
-    p += 8
-    if (sport != 53 && dport != 53) return // no DNS layer
+    if (proto == 17) { // UDP
+      if (end - p < 8) return
+      val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+      val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+      p += 8
+      if (sport != 53 && dport != 53) return // no DNS layer
+    } else if (proto == 6) { // TCP: DNS rides a 2-byte length prefix
+      if (end - p < 20) return
+      val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+      val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+      val dataOff = ((d(p + 12) & 0xf0) >> 4) * 4
+      if (dataOff < 20 || end - p < dataOff) return
+      p += dataOff
+      if (sport != 53 && dport != 53) return
+      if (end - p < 2) return // empty segment (SYN/ACK etc.)
+      val msgLen = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+      p += 2
+      // only complete, unsegmented messages (no cross-packet reassembly)
+      if (msgLen < 12 || p + msgLen > end) return
+    } else return
 
     // DNS header + questions. A packet with a DNS layer but no parseable
     // source IP becomes one invalid record (pcap.go:45-49); with our layer

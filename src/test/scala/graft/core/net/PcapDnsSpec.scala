@@ -1,0 +1,151 @@
+package graft.core.net
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+
+/** Synthesized-capture tests for the pcapng framing and TCP DNS paths (the
+  * golden classic-pcap fixture is covered by RecordsPcapSpec). Packets and
+  * blocks are hand-built from the public formats, little-endian pcapng. */
+class PcapDnsSpec extends AnyFunSuite {
+
+  // ------------- little-endian byte building -------------
+  private class B {
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): B = { out.write(v & 0xff); this }
+    def u16le(v: Int): B = { out.write(v & 0xff); out.write((v >> 8) & 0xff); this }
+    def u32le(v: Long): B = { (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt)); this }
+    def u16be(v: Int): B = { out.write((v >> 8) & 0xff); out.write(v & 0xff); this }
+    def raw(b: Array[Byte]): B = { out.write(b, 0, b.length); this }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def dnsQuery(name: String): Array[Byte] = {
+    val b = new B
+    b.u16be(0x1234).u16be(0x0100).u16be(1).u16be(0).u16be(0).u16be(0)
+    name.split('.').filter(_.nonEmpty).foreach { l =>
+      b.u8(l.length); b.raw(l.getBytes("ISO-8859-1"))
+    }
+    b.u8(0).u16be(1).u16be(1)
+    b.bytes
+  }
+
+  private def udpV4Packet(srcIp: Array[Int], name: String): Array[Byte] = {
+    val dns = dnsQuery(name)
+    val b = new B
+    // ethernet
+    b.raw(Array.fill(12)(0.toByte)).u16be(0x0800)
+    // ipv4, ihl 5, proto 17
+    b.u8(0x45).u8(0).u16be(20 + 8 + dns.length).u16be(0).u16be(0)
+      .u8(64).u8(17).u16be(0)
+    srcIp.foreach(b.u8)
+    b.u8(10).u8(0).u8(0).u8(53) // dst
+    // udp
+    b.u16be(40000).u16be(53).u16be(8 + dns.length).u16be(0)
+    b.raw(dns)
+    b.bytes
+  }
+
+  private def tcpV6Packet(srcTail: Int, name: String): Array[Byte] = {
+    val dns = dnsQuery(name)
+    val b = new B
+    b.raw(Array.fill(12)(0.toByte)).u16be(0x86dd)
+    // ipv6: ver/class/flow, payloadLen, next=6 (TCP), hop
+    b.u32le(0x60L) // 0x60 in first byte via LE trick? build explicitly:
+    val hdrFix = b.bytes
+    val b2 = new B
+    b2.raw(hdrFix.slice(0, 14))
+    b2.u8(0x60).u8(0).u8(0).u8(0)
+    b2.u16be(20 + 2 + dns.length).u8(6).u8(64)
+    // src: 2001:db8::<tail>
+    b2.u8(0x20).u8(0x01).u8(0x0d).u8(0xb8)
+    b2.raw(Array.fill(11)(0.toByte)).u8(srcTail)
+    // dst ::1
+    b2.raw(Array.fill(15)(0.toByte)).u8(1)
+    // tcp: sport, dport=53, seq, ack, dataOffset=5
+    b2.u16be(40001).u16be(53).u32le(0).u32le(0)
+      .u8(0x50).u8(0x18).u16be(1024).u16be(0).u16be(0)
+    // 2-byte DNS length framing + message
+    b2.u16be(dns.length).raw(dns)
+    b2.bytes
+  }
+
+  private def pcapng(packets: Seq[Array[Byte]], tsresol: Option[Int] = None): Array[Byte] = {
+    val b = new B
+    // SHB
+    b.u32le(0x0a0d0d0aL).u32le(28).u32le(0x1a2b3c4dL).u16le(1).u16le(0)
+      .u32le(0xffffffffL).u32le(0xffffffffL).u32le(28)
+    // IDB (linktype 1, optional if_tsresol option)
+    tsresol match {
+      case None =>
+        b.u32le(1).u32le(20).u16le(1).u16le(0).u32le(0x40000).u32le(20)
+      case Some(r) =>
+        // opt 9 len 1 value r (padded), opt_end
+        b.u32le(1).u32le(32).u16le(1).u16le(0).u32le(0x40000)
+        b.u16le(9).u16le(1).u8(r).u8(0).u8(0).u8(0)
+        b.u16le(0).u16le(0)
+        b.u32le(32)
+    }
+    packets.zipWithIndex.foreach { case (p, i) =>
+      val padded = (p.length + 3) & ~3
+      val total = 32 + padded
+      val tsMicros = 946684800000000L + i // 2000-01-01 + i us
+      b.u32le(6).u32le(total).u32le(0)
+      b.u32le(tsMicros >>> 32).u32le(tsMicros & 0xffffffffL)
+      b.u32le(p.length).u32le(p.length)
+      b.raw(p)
+      (p.length until padded).foreach(_ => b.u8(0))
+      b.u32le(total)
+    }
+    b.bytes
+  }
+
+  test("pcapng EPB blocks decode: UDP v4, TCP v6, timestamps, unknown blocks skipped") {
+    val pkts = Seq(
+      udpV4Packet(Array(192, 168, 1, 7), "example.com"),
+      udpV4Packet(Array(192, 168, 2, 9), "sub.example.org"),
+      tcpV6Packet(0x42, "tcp.example.net"))
+    val recs = PcapDns.decode(pcapng(pkts))
+    assert(recs.map(_.qname) === Seq("example.com", "sub.example.org", "tcp.example.net"))
+    assert(recs(0).srcIp === "192.168.1.7")
+    assert(recs(1).srcIp === "192.168.2.9")
+    assert(recs(2).srcIp === "2001:db8:0:0:0:0:0:42")
+    // EPB timestamps carried through at microsecond default resolution
+    assert(recs(0).tsMicros === 946684800000000L)
+    assert(recs(1).tsMicros === 946684800000001L)
+  }
+
+  test("pcapng if_tsresol option honored (millisecond resolution)") {
+    val b = new B
+    b.u32le(0x0a0d0d0aL).u32le(28).u32le(0x1a2b3c4dL).u16le(1).u16le(0)
+      .u32le(0xffffffffL).u32le(0xffffffffL).u32le(28)
+    b.u32le(1).u32le(32).u16le(1).u16le(0).u32le(0x40000)
+    b.u16le(9).u16le(1).u8(3).u8(0).u8(0).u8(0).u16le(0).u16le(0).u32le(32)
+    val p = udpV4Packet(Array(10, 1, 2, 3), "a.com")
+    val padded = (p.length + 3) & ~3
+    b.u32le(6).u32le(32 + padded).u32le(0).u32le(0).u32le(5000) // 5000 ms
+    b.u32le(p.length).u32le(p.length).raw(p)
+    (p.length until padded).foreach(_ => b.u8(0))
+    b.u32le(32 + padded)
+    val rec = PcapDns.decode(b.bytes).head
+    assert(rec.tsMicros === 5000000L) // 5000 ms -> 5e6 us
+  }
+
+  test("TCP segments without DNS payload (handshake) and non-53 ports are skipped") {
+    // SYN-like: TCP to port 53 with no payload
+    val dnsLess = {
+      val b = new B
+      b.raw(Array.fill(12)(0.toByte)).u16be(0x0800)
+      b.u8(0x45).u8(0).u16be(40).u16be(0).u16be(0).u8(64).u8(6).u16be(0)
+      Array(10, 0, 0, 1).foreach(b.u8)
+      Array(10, 0, 0, 2).foreach(b.u8)
+      b.u16be(40001).u16be(53).u32le(0).u32le(0)
+        .u8(0x50).u8(0x02).u16be(1024).u16be(0).u16be(0)
+      b.bytes
+    }
+    val wrongPort = udpV4Packet(Array(10, 0, 0, 3), "x.com")
+    wrongPort(14 + 20 + 2) = 0x30 // dst port 53 -> 12341-ish (corrupt the port)
+    val recs = PcapDns.decode(pcapng(Seq(dnsLess, wrongPort,
+      udpV4Packet(Array(10, 0, 0, 4), "ok.com"))))
+    assert(recs.map(_.qname) === Seq("ok.com"))
+  }
+}
