@@ -82,6 +82,7 @@ object GraftFunctions {
   def bloom_merge(sketch: Column): Column = agg(BloomMergeAgg(expression(sketch)))
   def tdigest_merge(sketch: Column): Column = agg(TDigestMergeAgg(expression(sketch)))
   def kll_merge(sketch: Column): Column = agg(KllMergeAgg(expression(sketch)))
+  def vec_sum(v: Column): Column = agg(VecSumAgg(expression(v)))
 
   /** All SQL-callable names -> expression builders. */
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -124,7 +125,8 @@ object GraftFunctions {
     "tdigest_build" -> (e => TDigestBuildAgg(e.head).toAggregateExpression()),
     "tdigest_merge" -> (e => TDigestMergeAgg(e.head).toAggregateExpression()),
     "kll_build" -> (e => KllBuildAgg(e.head).toAggregateExpression()),
-    "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression()))
+    "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression()),
+    "vec_sum" -> (e => VecSumAgg(e.head).toAggregateExpression()))
 
   /** Register every function for SQL use in this session. */
   def registerAll(spark: SparkSession): Unit =

@@ -260,6 +260,72 @@ case class TDigestMergeAgg(
   override protected def withNewChildInternal(c: Expression): TDigestMergeAgg = copy(child = c)
 }
 
+// ---------------------------- vector sum ----------------------------
+
+/** vec_sum(array<float|double>) -> array<double> element-wise sum — the
+  * embedding-pooling / centroid-update primitive. One buffer per group
+  * (dims doubles) instead of exploding dims rows per vector through the
+  * shuffle; inputs of differing lengths sum over the shorter prefix. */
+case class VecSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_sum requires array<float|double>, got ${other.catalogString}")
+    }
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+  override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+    val v = child.eval(row)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = if (isFloat) {
+      val f = arr.toFloatArray()
+      val t = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { t(i) = f(i); i += 1 }
+      t
+    } else arr.toDoubleArray()
+    merge(buf, d)
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val (into, from) = if (a.length >= b.length) (a, b) else (b, a)
+    var i = 0
+    while (i < from.length) { into(i) += from(i); i += 1 }
+    into
+  }
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getDouble)
+  }
+  override def withNewMutableAggBufferOffset(o: Int): VecSumAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VecSumAgg = copy(child = c)
+}
+
 // -------------------------------- KLL --------------------------------
 
 /** kll_build(x DOUBLE) -> KLL sketch bytes. */

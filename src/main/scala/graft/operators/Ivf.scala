@@ -45,14 +45,22 @@ object Ivf {
     while (it < iters) {
       val assigned = base.withColumn("cluster",
         element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+      // centroid update as ONE vector-sum buffer per cluster: the previous
+      // posexplode formulation shuffled dims rows PER VECTOR (a 64x row
+      // blowup per Lloyd iteration at 64 dims); vec_sum carries dims
+      // doubles per group through the partial-agg merge instead
       val updated = assigned
-        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(graft.functions.GraftFunctions.vec_sum(col("vec")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
       updated.foreach { r =>
-        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
+        val s = r.getAs[scala.collection.Seq[Double]]("s")
+        val n = r.getAs[Long]("n").toDouble
+        val c = r.getAs[Int]("cluster")
+        var d = 0
+        while (d < s.length && d < next(c).length) { next(c)(d) = s(d) / n; d += 1 }
       }
       centroids = next
       it += 1
