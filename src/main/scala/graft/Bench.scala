@@ -62,13 +62,24 @@ object Bench {
     val salts = sys.env.getOrElse("SPARK_GRAFT_SALTS", "1").toInt
     // best-of-reps = steady-state throughput (first rep pays JIT warmup)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // stage-level attribution of the final rep (SPARK_GRAFT_STAGE_METRICS=0
+    // to silence): names the scan / partial-agg / exchange stage a
+    // regression lives in instead of one wall-clock number
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val sketchSec = (1 to reps).map { r =>
+      if (r == reps) metrics.clear()
       val t0 = System.nanoTime()
       force(graft.pipelines.Magnitude.collect(pages, salts = salts))
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] sketch-build rep $r: $sec%.2fs")
       sec
     }.min
+    if (!sys.env.get("SPARK_GRAFT_STAGE_METRICS").contains("0")) {
+      Thread.sleep(200) // listener bus drain
+      System.err.println("[bench] sketch-build stage attribution (last rep):")
+      System.err.println(metrics.summary())
+    }
     val pagesPerSec = pagesN / sketchSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
