@@ -224,6 +224,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_groups" -> ((s, dir) => {
+      // near-dup clustering: connected components over the exact-Jaccard
+      // pair list (A~B, B~C collapse even though A~C was never emitted);
+      // oracled against a DuckDB recursive-CTE transitive closure
+      val pairs = Dedup.ngramJaccardPairs(s.read.parquet(t(dir, "documents")),
+        n = 3, minJaccard = 0.2)
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("component"))
+        .orderBy(col("id"))
+    }),
     "q_token_stats" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
@@ -543,6 +553,31 @@ object SparkEntry {
       FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
       ORDER BY 1, 2""",
+    "q_dedup_groups" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                           ELSE list_transform(range(1, len(ts) - 1),
+                                  i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        FROM toks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+      SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""",
     "q_token_stats" -> """
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,

@@ -211,6 +211,75 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list — the step that turns
+   * pairwise matches into KEEP/DROP decisions (docs A~B and B~C must
+   * collapse to one survivor even though A~C was never emitted). Label
+   * propagation to the minimum reachable id with POINTER JUMPING: every
+   * round a vertex takes the smallest component among itself and its
+   * neighbors, then compresses one indirection (component := component of
+   * component). Neighbor steps alone converge in O(diameter) rounds (a
+   * long chain would need one round per hop); the jump halves label-chain
+   * depth each round, giving O(log diameter) convergence — the
+   * pointer-doubling idea of the MapReduce connected-components
+   * literature (Kiveris et al. large-star/small-star family).
+   *
+   * Scale shape: each round is one equi-join (edges x labels, keyed by
+   * vertex id) + one min-aggregation; labels materialize per round
+   * (localCheckpoint) so the plan does not nest across iterations and a
+   * lost executor replays from the last round, not from round zero.
+   *
+   * Returns (id, component) where component = min id of the cluster.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // materialize + re-root a frame: localCheckpoint cuts lineage;
+    // createDataFrame mints fresh attribute ids so each round's plan can
+    // reference the previous labels several times (self-union of the same
+    // attribute ids trips Catalyst's Union constraint rewrite)
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().toJavaRDD, df.schema)
+    // undirected edge list, both directions
+    val edges = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct())
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per vertex = min(own, neighbors' components)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val afterMin = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      // pointer jump: component := component's component (labels only ever
+      // decrease and component <= id, so the jump is always a contraction)
+      val next = pin(afterMin.as("a")
+        .join(afterMin.select(col("id").as("component"), col("component").as("cc")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("cc"), col("component")).as("component")))
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one survivor (the smallest id) per near-duplicate cluster: docs
+    * that appear in no pair survive untouched; clustered docs keep only
+    * their component representative. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance <= maxHamming (< 16).
    * Blocking: 4 bands of 16 bits; any pair within hamming<=3 must agree on
    * at least one band (pigeonhole), so candidates come from 4 equi-joins,

@@ -66,6 +66,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components + dropNearDuplicates: chains collapse, singletons survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val allDocs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L)
+      .toDF("doc_id").withColumn("text", lit("x"))
+    val kept = Dedup.dropNearDuplicates(allDocs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 10L, 20L)) // survivors + untouched 5
+
+    // a longer chain exercises multiple propagation rounds
+    val chain = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val chainComps = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainComps.forall(_._2 == 0L), "whole chain collapses to min id 0")
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
