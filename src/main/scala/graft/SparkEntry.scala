@@ -224,6 +224,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_url_canon" -> ((s, dir) => {
+      // crawl-dedup URL canonicalization over deterministically messy URLs
+      // (mixed-case scheme/host, default and non-default ports, fragments);
+      // the oracle states the EXPECTED canonical strings independently
+      val d = col("doc_id")
+      val messy = concat(
+        when(pmod(d, lit(2)) === 0, lit("HtTpS")).otherwise(lit("HtTp")),
+        lit("://WWW.Site"), pmod(d, lit(7)).cast("string"), lit(".ExAmPle"),
+        when(pmod(d, lit(3)) === 0,
+          when(pmod(d, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+          .when(pmod(d, lit(3)) === 1, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/Path/"), d.cast("string"),
+        when(pmod(d, lit(2)) === 0, lit("#Frag")).otherwise(lit("?q=X")))
+      s.read.parquet(t(dir, "documents"))
+        .select(d, canonicalize_url(messy).as("canon_url"))
+        .orderBy(d)
+    }),
     "q_dedup_groups" -> ((s, dir) => {
       // near-dup clustering: connected components over the exact-Jaccard
       // pair list (A~B, B~C collapse even though A~C was never emitted);
@@ -553,6 +571,15 @@ object SparkEntry {
       FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
       ORDER BY 1, 2""",
+    "q_url_canon" -> """
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END,
+               '://www.site', doc_id % 7, '.example',
+               CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END,
+               '/Path/', doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN '' ELSE '?q=X' END) AS canon_url
+      FROM documents ORDER BY doc_id""",
     "q_dedup_groups" -> """
       WITH RECURSIVE toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

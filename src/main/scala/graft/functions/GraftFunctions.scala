@@ -43,6 +43,7 @@ object GraftFunctions {
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
+  def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
@@ -100,6 +101,7 @@ object GraftFunctions {
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),
+    "canonicalize_url" -> (e => CanonicalizeUrl(e.head)),
     "stopword_ratio" -> (e => StopwordRatio(e.head)),
     "mean_word_len" -> (e => MeanWordLen(e.head)),
     "max_token_ratio" -> (e => MaxTokenRatio(e.head)),

@@ -123,6 +123,21 @@ object WordShingles {
   }
 }
 
+/** canonicalize_url: scheme/host lowercase, fragment strip, default-port
+  * strip (graft.core.net.UrlUtil — the crawl-dedup normalization). */
+case class CanonicalizeUrl(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonicalize_url"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.core.net.UrlUtil.canonicalize(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.net.UrlUtil.canonicalize($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): CanonicalizeUrl = copy(child = c)
+}
+
 /** Gopher-style quality signals (SQL-reproducible definitions). */
 case class StopwordRatio(child: Expression) extends TextUnary {
   override def dataType: DataType = DoubleType

@@ -117,8 +117,12 @@ object DnsMag {
         val st = arg(rest, "--source-type").getOrElse(sys.error("--source-type required"))
         val top = arg(rest, "--top").map(_.toInt).getOrElse(2500)
         val docs = DnsMagnitude.reportJson(readState(spark, input), source, st, top)
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-          docs.mkString("\n") + "\n")
+        // Hadoop FS write: report files land on HDFS/object stores too
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(p, true)
+        try os.write((docs.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally os.close()
 
       case "view" =>
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))

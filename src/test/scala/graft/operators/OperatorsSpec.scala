@@ -297,6 +297,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 19, s"planted IVF hits $hits/20")
   }
 
+  test("canonicalize_url: scheme/host lower, fragment/default-port strip, rest preserved") {
+    import graft.core.net.UrlUtil.canonicalize
+    assert(canonicalize("HtTpS://WWW.Example.COM:443/A/B?q=X#frag") ===
+      "https://www.example.com/A/B?q=X")
+    assert(canonicalize("HTTP://Host.org:80/") === "http://host.org/")
+    assert(canonicalize("http://host.org:8080/x") === "http://host.org:8080/x")
+    assert(canonicalize("https://User:Pw@Host.NET/p") === "https://User:Pw@host.net/p")
+    assert(canonicalize("https://[2001:DB8::1]:443/x") === "https://[2001:db8::1]/x")
+    assert(canonicalize("https://[2001:DB8::1]:8443/x") === "https://[2001:db8::1]:8443/x")
+    assert(canonicalize("no-scheme/path#f") === "no-scheme/path#f") // unchanged
+    assert(canonicalize("ftp://Host.com:21/f") === "ftp://host.com:21/f") // unknown default kept
+    assert(canonicalize("https://host#only-frag") === "https://host")
+    // idempotence
+    val u = "HtTp://A.B:80/p?q#z"
+    assert(canonicalize(canonicalize(u)) === canonicalize(u))
+  }
+
   test("hostOfUrlUTF8 equals the String implementation on tricky urls") {
     import org.apache.spark.unsafe.types.UTF8String
     val urls = Seq(
