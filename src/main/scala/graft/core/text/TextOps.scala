@@ -106,6 +106,50 @@ object TextOps {
     min
   }
 
+  /**
+   * Full winnowing fingerprint set (Schleimer et al. 2003): hash every
+   * char k-gram, slide a window of `w` hashes, keep each window's minimum
+   * (rightmost minimum on ties — the winnowing rule that bounds density).
+   * GUARANTEE: any substring match of length >= w + k - 1 chars shares at
+   * least one fingerprint — the local plagiarism/quotation detector the
+   * min-only [[winnowMin64]] blocker cannot provide. Returns the distinct
+   * fingerprints sorted ascending.
+   */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length <= k) return Array(XXH3.hash(bytes))
+    val nh = bytes.length - k + 1
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) { hs(i) = XXH3.hash(bytes, i, k); i += 1 }
+    if (nh <= w) {
+      var min = hs(0); i = 1
+      while (i < nh) { if (hs(i) <= min) min = hs(i); i += 1 }
+      return Array(min)
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var minIdx = -1
+    var j = 0
+    while (j + w <= nh) {
+      if (minIdx < j) { // previous minimum slid out: rescan the window
+        minIdx = j
+        var m = j + 1
+        while (m < j + w) { if (hs(m) <= hs(minIdx)) minIdx = m; m += 1 }
+        sel.add(hs(minIdx))
+      } else if (hs(j + w - 1) <= hs(minIdx)) { // new right edge wins ties
+        minIdx = j + w - 1
+        sel.add(hs(minIdx))
+      }
+      j += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   // ----- language id: tiny trigram profiles for {en, de, sv, fr} -----
   // Profiles are hand-picked high-frequency function-word trigrams per
   // language (public linguistic knowledge, Cavnar & Trenkle style n-gram

@@ -44,6 +44,8 @@ object GraftFunctions {
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
   def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
+  def winnow_set(c: Column, k: Int = 8, w: Int = 4): Column =
+    column(WinnowSet(expression(c), k, w))
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))

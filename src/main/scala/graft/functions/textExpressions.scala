@@ -123,6 +123,23 @@ object WordShingles {
   }
 }
 
+/** winnow_set(text, k, w) -> sorted array<long> of winnowing fingerprints
+  * (Schleimer et al. 2003); any >= w+k-1-char substring match shares one. */
+case class WinnowSet(child: Expression, k: Int, w: Int) extends TextUnary {
+  require(k >= 2 && w >= 1, "winnow needs k >= 2 and w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_set"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.text.TextOps.winnow(v.asInstanceOf[UTF8String].toString, k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.core.text.TextOps.winnow($c.toString(), $k, $w))")
+  override protected def withNewChildInternal(c: Expression): WinnowSet = copy(child = c)
+}
+
 /** canonicalize_url: scheme/host lowercase, fragment strip, default-port
   * strip (graft.core.net.UrlUtil — the crawl-dedup normalization). */
 case class CanonicalizeUrl(child: Expression) extends TextUnary {

@@ -211,6 +211,28 @@ object Dedup {
   }
 
   /**
+   * Winnowing overlap pairs — LOCAL duplication detection (shared passages,
+   * quotations, boilerplate blocks) that whole-document Jaccard misses:
+   * docs sharing >= `minShared` winnowing fingerprints. By the winnowing
+   * guarantee, ANY common substring of w+k-1 chars or more shares at least
+   * one fingerprint, so passage copies are always candidates. Shape: one
+   * fingerprint explode, inverted-index equi-join, pair count — identical
+   * scale behaviour to the shingle join (fingerprint density ~ 2/(w+1)
+   * per char, so the index is a fraction of the corpus size).
+   */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2,
+                         k: Int = 8, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      explode(graft.functions.GraftFunctions.winnow_set(col(textCol), k, w)).as("f"))
+    fp.as("a").join(fp.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Connected components over a near-dup pair list — the step that turns
    * pairwise matches into KEEP/DROP decisions (docs A~B and B~C must
    * collapse to one survivor even though A~C was never emitted). Label

@@ -297,6 +297,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 19, s"planted IVF hits $hits/20")
   }
 
+  test("winnowing: substring-match guarantee; overlap pairs find shared passages") {
+    import graft.core.text.TextOps
+    val rnd = new java.util.Random(5)
+    def randText(n: Int) = Array.fill(n)(s"z${rnd.nextInt(1000000)}").mkString(" ")
+    val passage = "this exact shared passage of considerable length appears verbatim in both documents"
+    // guarantee: any >= w+k-1-char common substring shares a fingerprint
+    val a = randText(30) + " " + passage + " " + randText(30)
+    val b = randText(30) + " " + passage + " " + randText(30)
+    val fa = TextOps.winnow(a).toSet
+    val fb = TextOps.winnow(b).toSet
+    assert(fa.intersect(fb).nonEmpty, "shared passage must share a fingerprint")
+    // determinism + sortedness
+    val again = TextOps.winnow(a)
+    assert(again.toSeq === again.sorted.toSeq && again.toSet === fa)
+
+    val docsDf = Seq((1L, a), (2L, b), (3L, randText(80)), (4L, randText(80)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docsDf, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "passage-sharing docs must pair")
+    assert(!pairs.exists(p => p._1 >= 3L), "unrelated docs must not pair")
+  }
+
   test("canonicalize_url: scheme/host lower, fragment/default-port strip, rest preserved") {
     import graft.core.net.UrlUtil.canonicalize
     assert(canonicalize("HtTpS://WWW.Example.COM:443/A/B?q=X#frag") ===
