@@ -130,6 +130,28 @@ class PcapDnsSpec extends AnyFunSuite {
     assert(rec.tsMicros === 5000000L) // 5000 ms -> 5e6 us
   }
 
+  test("malformed inputs fail fast or degrade safely, never hang or overrun") {
+    // garbage magic
+    intercept[IllegalArgumentException](PcapDns.decode(Array.fill(64)(0x41.toByte)))
+    // truncated global header
+    intercept[IllegalArgumentException](PcapDns.decode(Array[Byte](0xd4.toByte, 0xc3.toByte, 0xb2.toByte)))
+    // valid header, truncated trailing record: parsed records kept, tail dropped
+    val good = pcapng(Seq(udpV4Packet(Array(10, 0, 0, 9), "ok.org")))
+    assert(PcapDns.decode(good).map(_.qname) === Seq("ok.org"))
+    // pcapng with a lying block length
+    val lying = good.clone()
+    lying(4) = 0x03 // SHB total length corrupted
+    intercept[IllegalArgumentException](PcapDns.decode(lying))
+    // DNS name with a self-pointing compression pointer must not loop
+    val selfLoop = {
+      val p = udpV4Packet(Array(10, 0, 0, 1), "aa")
+      // question name starts at eth(14)+ip(20)+udp(8)+dnshdr(12) = 54
+      p(54) = 0xc0.toByte; p(55) = 12 // pointer to itself (offset 12 = name start)
+      p
+    }
+    assert(PcapDns.decode(pcapng(Seq(selfLoop))).isEmpty) // malformed -> skipped
+  }
+
   test("TCP segments without DNS payload (handshake) and non-53 ports are skipped") {
     // SYN-like: TCP to port 53 with no payload
     val dnsLess = {
