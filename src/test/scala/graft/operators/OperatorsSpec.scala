@@ -337,6 +337,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(canonicalize(canonicalize(u)) === canonicalize(u))
   }
 
+  test("PQ: deterministic codes; ADC recall vs brute force; planted copies found") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val model = Pq.train(embs, dims = 64, m = 16, ks = 32, iters = 3)
+    assert(model.codebooks.length === 16 && model.codebooks.forall(_.length === 32))
+    val m2 = Pq.train(embs, dims = 64, m = 16, ks = 32, iters = 3)
+    assert(model.codebooks.flatten.flatten.toSeq === m2.codebooks.flatten.flatten.toSeq,
+      "training must be deterministic")
+
+    val codes = embs.select($"vec_id", Pq.encode($"embedding", model).as("pq_code")).cache()
+    val a = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = codes.repartition(7).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a === b, "codes deterministic across partitionings")
+
+    // recall@10 vs exact top-10 (PQ is lossy; require a meaningful floor)
+    val queries = embs.limit(10)
+    val exact = Ann.bruteForceTopK(embs, queries, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    val adc = Pq.adcTopK(codes, queries, k = 10, model).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("nn_id")).toSet).toMap
+    val recalls = exact.toSeq.map { case (q, e) =>
+      adc.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    val recall = recalls.sum / recalls.length
+    assert(recall >= 0.3, s"PQ ADC recall@10 = $recall (m=16, ks=32 on random 64-dim)")
+
+    // planted exact copies (id shifted) must be retrieved at rank 1: the
+    // copy's code equals the source's code, so its ADC score is maximal
+    import org.apache.spark.sql.functions._
+    val planted = embs.limit(20).select(($"vec_id" + 500000).as("vec_id"), $"embedding")
+    val hits = Pq.adcTopK(codes, planted, k = 1, model).collect()
+      .count(r => r.getAs[Long]("query_id") - 500000 == r.getAs[Long]("nn_id"))
+    assert(hits >= 16, s"planted-copy ADC hits $hits/20")
+  }
+
   test("hostOfUrlUTF8 equals the String implementation on tricky urls") {
     import org.apache.spark.unsafe.types.UTF8String
     val urls = Seq(
