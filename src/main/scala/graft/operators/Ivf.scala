@@ -74,6 +74,22 @@ object Ivf {
       graft.functions.NearestCentroids(
         org.apache.spark.sql.graftshim.shims.expression(vec), centroids, nprobe))
 
+  /**
+   * IVFADC top-k (Jégou et al.) — the billion-scale composition: corpus
+   * vectors live as (IVF list id, PQ code) rows; a query probes `nprobe`
+   * lists and scores ONLY those rows by PQ asymmetric distance (m array
+   * reads each). Raw vectors appear nowhere in the search path — the scan
+   * touches dims/m-compressed codes of 1/nlists of the corpus.
+   */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[Array[Double]], model: Pq.Model, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lists = corpus.select(col(idCol).as("nn_id"),
+        element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"),
+        Pq.encode(col(vecCol), model).as("pq_code"))
+    Pq.adcTopKProbed(lists, queries, k, model, centroids, nprobe, idCol, vecCol)
+  }
+
   /** IVF top-k: assign corpus to lists (1 probe), probe queries into
     * `nprobe` lists, exact cosine re-rank inside the probed lists. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,

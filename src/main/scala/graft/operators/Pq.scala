@@ -87,6 +87,41 @@ object Pq {
     Ann.topKPerQuery(scored, k)
   }
 
+  /** IVFADC scoring half: `lists` carries (nn_id, cluster, pq_code); each
+    * query joins only its `nprobe` nearest lists (bucket equi-join — the
+    * corpus is never scanned whole), then scores candidates by ADC. */
+  private[operators] def adcTopKProbed(lists: DataFrame, queries: DataFrame, k: Int,
+                                       model: Model, centroids: Array[Array[Double]],
+                                       nprobe: Int, idCol: String, vecCol: String): DataFrame = {
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).collect()
+    val luts = qRows.map { r =>
+      val q = r.getAs[scala.collection.Seq[Any]]("q_vec").map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+      lut(q, model)
+    }
+    val probeRows = qRows.zipWithIndex.flatMap { case (r, i) =>
+      val q = r.getAs[scala.collection.Seq[Any]]("q_vec").map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+      graft.functions.NearestCentroids.nearestD(q, centroids, nprobe)
+        .map(c => (r.getAs[Long]("query_id"), i, c))
+    }.toSeq
+    val probes = lists.sparkSession.createDataFrame(probeRows)
+      .toDF("query_id", "__qi", "cluster")
+    lists
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cos", org.apache.spark.sql.graftshim.shims.column(
+        graft.functions.PqAdcScore(
+          org.apache.spark.sql.graftshim.shims.expression(col("pq_code")),
+          org.apache.spark.sql.graftshim.shims.expression(col("__qi")),
+          luts, normSqTable(model))))
+      .transform(Ann.topKPerQuery(_, k))
+  }
+
   /** Per-query lookup table: lut(j)(c) = dot(q_subj, codebook(j)(c)) / |q|.
     * Scores become approximate cosine once divided by the reconstruction
     * norm (from [[normSqTable]]) at scoring time. */

@@ -371,6 +371,14 @@ class OperatorsSpec extends AnyFunSuite {
     val hits = Pq.adcTopK(codes, planted, k = 1, model).collect()
       .count(r => r.getAs[Long]("query_id") - 500000 == r.getAs[Long]("nn_id"))
     assert(hits >= 16, s"planted-copy ADC hits $hits/20")
+
+    // IVFADC composition: probing nprobe lists with PQ scoring still finds
+    // planted copies (same code AND same nearest list as the source)
+    val ivfCentroids = Ivf.train(embs, k = 8, iters = 2)
+    val ivfHits = Ivf.adcTopK(embs, planted, k = 1, ivfCentroids, model, nprobe = 3)
+      .collect()
+      .count(r => r.getAs[Long]("query_id") - 500000 == r.getAs[Long]("nn_id"))
+    assert(ivfHits >= 16, s"planted-copy IVFADC hits $ivfHits/20")
   }
 
   test("hostOfUrlUTF8 equals the String implementation on tricky urls") {
