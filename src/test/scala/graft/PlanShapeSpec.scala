@@ -116,6 +116,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("RunningWindowFunction"), "prefix must not need a window")
   }
 
+  test("bucketed sketch-state tables join with NO exchange (co-located merge)") {
+    // the recurring-aggregation layout at scale: states bucketed by the
+    // merge key join/merge without shuffling either side
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.mode("overwrite").bucketBy(4, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/t_a").saveAsTable("graft_bucket_a")
+    docs.write.mode("overwrite").bucketBy(4, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/t_b").saveAsTable("graft_bucket_b")
+    try {
+      val joined = spark.table("graft_bucket_a").as("a")
+        .join(spark.table("graft_bucket_b").as("b"), "doc_id")
+        .groupBy(col("a.lang")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not exchange: bucketing pre-partitioned both
+      // sides on the key (only the final small aggregation may shuffle)
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").last
+      assert(!joinPart.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed join must not re-shuffle on the bucket key:\n${plan.take(2500)}")
+      assert(joined.collect().map(_.getAs[Long]("n")).sum === docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("ANN brute force broadcasts the query side, never shuffles the corpus") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = operators.Ann.bruteForceTopK(embs, embs.limit(5), 3)
