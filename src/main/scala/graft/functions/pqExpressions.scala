@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 /** pq_encode(vec) -> array<int> of m sub-space code ids. The codebooks are
   * plan-embedded (addReferenceObj) like NearestCentroids. */
-case class PqEncode(child: Expression, model: graft.operators.Pq.Model)
+case class PqEncode(child: Expression, model: graft.operators.PqModel)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -33,7 +33,7 @@ case class PqEncode(child: Expression, model: graft.operators.Pq.Model)
     new GenericArrayData(PqEncode.encode(d, model))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mRef = ctx.addReferenceObj("pqModel", model, "graft.operators.Pq.Model")
+    val mRef = ctx.addReferenceObj("pqModel", model, "graft.operators.PqModel")
     val conv = if (isFloat) "toFloatArray" else "toDoubleArray"
     val fn = if (isFloat) "encodeF" else "encode"
     defineCodeGen(ctx, ev, v =>
@@ -44,13 +44,13 @@ case class PqEncode(child: Expression, model: graft.operators.Pq.Model)
 }
 
 object PqEncode {
-  def encodeF(v: Array[Float], model: graft.operators.Pq.Model): Array[Int] = {
+  def encodeF(v: Array[Float], model: graft.operators.PqModel): Array[Int] = {
     val d = new Array[Double](v.length)
     var i = 0
     while (i < v.length) { d(i) = v(i); i += 1 }
     encode(d, model)
   }
-  def encode(v: Array[Double], model: graft.operators.Pq.Model): Array[Int] = {
+  def encode(v: Array[Double], model: graft.operators.PqModel): Array[Int] = {
     val sub = model.subDims
     val out = new Array[Int](model.m)
     var j = 0

@@ -82,7 +82,7 @@ object Ivf {
    * touches dims/m-compressed codes of 1/nlists of the corpus.
    */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroids: Array[Array[Double]], model: Pq.Model, nprobe: Int = 4,
+              centroids: Array[Array[Double]], model: PqModel, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val lists = corpus.select(col(idCol).as("nn_id"),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"),

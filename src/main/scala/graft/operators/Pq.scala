@@ -24,20 +24,21 @@ import org.apache.spark.sql.functions._
  * hash-seeded k-means as IVF, so the index is reproducible with no stored
  * model.
  */
-object Pq {
-
-  /** Trained PQ model: `m` codebooks of `ks` centroids over dims/m-wide
-    * sub-vectors. */
-  final case class Model(dims: Int, m: Int, ks: Int,
+/** Trained PQ model: `m` codebooks of `ks` centroids over dims/m-wide
+  * sub-vectors. Top-level (not nested in the object) so generated code can
+  * name the type in Java source. */
+final case class PqModel(dims: Int, m: Int, ks: Int,
                          codebooks: Array[Array[Array[Double]]]) extends Serializable {
-    require(dims % m == 0, s"dims $dims must divide into m=$m sub-spaces")
-    def subDims: Int = dims / m
-  }
+  require(dims % m == 0, s"dims $dims must divide into m=$m sub-spaces")
+  def subDims: Int = dims / m
+}
+
+object Pq {
 
   /** Train per-sub-space codebooks (deterministic k-means each). */
   def train(corpus: DataFrame, dims: Int, m: Int = 8, ks: Int = 16,
             iters: Int = 3,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
     require(dims % m == 0, s"dims $dims must divide into m=$m sub-spaces")
     val sub = dims / m
     val books = (0 until m).map { j =>
@@ -45,11 +46,11 @@ object Pq {
         slice(col(vecCol), j * sub + 1, sub).as(vecCol))
       Ivf.train(subDf, ks, iters, idCol, vecCol)
     }.toArray
-    Model(dims, m, ks, books)
+    PqModel(dims, m, ks, books)
   }
 
   /** Code column: array<int> of length m (nearest sub-space centroid each). */
-  def encode(vec: Column, model: Model): Column =
+  def encode(vec: Column, model: PqModel): Column =
     org.apache.spark.sql.graftshim.shims.column(
       graft.functions.PqEncode(
         org.apache.spark.sql.graftshim.shims.expression(vec), model))
@@ -62,7 +63,7 @@ object Pq {
    * (query, vector) — no vectors move, nothing shuffles before the
    * two-phase top-k.
    */
-  def adcTopK(codes: DataFrame, queries: DataFrame, k: Int, model: Model,
+  def adcTopK(codes: DataFrame, queries: DataFrame, k: Int, model: PqModel,
               idCol: String = "vec_id", vecCol: String = "embedding",
               codeCol: String = "pq_code"): DataFrame = {
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).collect()
@@ -91,7 +92,7 @@ object Pq {
     * query joins only its `nprobe` nearest lists (bucket equi-join — the
     * corpus is never scanned whole), then scores candidates by ADC. */
   private[operators] def adcTopKProbed(lists: DataFrame, queries: DataFrame, k: Int,
-                                       model: Model, centroids: Array[Array[Double]],
+                                       model: PqModel, centroids: Array[Array[Double]],
                                        nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).collect()
     val luts = qRows.map { r =>
@@ -125,7 +126,7 @@ object Pq {
   /** Per-query lookup table: lut(j)(c) = dot(q_subj, codebook(j)(c)) / |q|.
     * Scores become approximate cosine once divided by the reconstruction
     * norm (from [[normSqTable]]) at scoring time. */
-  private[operators] def lut(q: Array[Double], model: Model): Array[Array[Double]] = {
+  private[operators] def lut(q: Array[Double], model: PqModel): Array[Array[Double]] = {
     var nq = 0.0
     q.foreach(x => nq += x * x)
     val qn = if (nq == 0) 1.0 else math.sqrt(nq)
@@ -146,7 +147,7 @@ object Pq {
 
   /** normSq(j)(c) = |codebook(j)(c)|^2 — the reconstruction's squared norm
     * decomposes as the sum over sub-spaces. */
-  private[operators] def normSqTable(model: Model): Array[Array[Double]] =
+  private[operators] def normSqTable(model: PqModel): Array[Array[Double]] =
     Array.tabulate(model.m) { j =>
       Array.tabulate(model.ks) { c =>
         var s = 0.0
