@@ -52,6 +52,8 @@ object DnsMagCbor {
       Row(date, name, d.hll, d.queries)
     }
     val residualQueries = ds.allQueriesCount - ds.domains.valuesIterator.map(_.queries).sum
+    require(residualQueries >= 0,
+      s"dnsmag: corrupt dataset ${ds.id}: per-domain query counts exceed all_queries_count")
     domainRows :+ Row(date, null, ds.allClientsHll, residualQueries)
   }
 
