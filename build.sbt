@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output must reach stdout RAW (no sbt "[info] " logger
+// prefix): the bench driver parses the final stdout JSON line of
+// `sbt "runMain graft.Bench"`, and LoggedOutput mangles it.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,13 +86,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + sketchSec
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pages_n":$pagesN,"sketch_build_sec":$sketchSec%.3f,"pages_per_sec":$pagesPerSec%.0f}"""
-    println(json)
-    // stdout interleaves with sbt log noise, which broke the driver's JSON
-    // parse in round 1 — also write the line to a file (and stderr)
+    // belt and braces for the driver's JSON parse: a file, stderr, and —
+    // with build.sbt's StdoutOutput strategy (no sbt logger prefix) — the
+    // bare line as the LAST stdout output of the program (after stop(), so
+    // no Spark shutdown logging can interleave)
     System.err.println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
