@@ -33,6 +33,8 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     graft.pipelines.Magnitude.tune(spark)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =

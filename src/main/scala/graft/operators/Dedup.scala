@@ -246,20 +246,38 @@ object Dedup {
    * literature (Kiveris et al. large-star/small-star family).
    *
    * Scale shape: each round is one equi-join (edges x labels, keyed by
-   * vertex id) + one min-aggregation; labels materialize per round
-   * (localCheckpoint) so the plan does not nest across iterations and a
-   * lost executor replays from the last round, not from round zero.
+   * vertex id) + one min-aggregation; labels materialize per round via a
+   * RELIABLE checkpoint (when `sc.setCheckpointDir` points at a shared
+   * filesystem — which any real cluster deployment must do), so the plan
+   * does not nest across iterations AND a lost executor recovers by
+   * re-reading the last round's checkpoint files rather than failing the
+   * job. `localCheckpoint` would be the wrong tool here: it truncates
+   * lineage but keeps blocks only on executors, so one lost executor makes
+   * the labels RDD unrecoverable mid-iteration — precisely the event a
+   * multi-hour 100-TB clustering run will see. Sessions with no checkpoint
+   * dir configured (ad-hoc local work) fall back to localCheckpoint with a
+   * warning. Checkpoint data is O(|vertices|) small (two longs per row) per
+   * round; Spark reclaims it with
+   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or at teardown.
    *
    * Returns (id, component) where component = min id of the cluster.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    // materialize + re-root a frame: localCheckpoint cuts lineage;
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    if (!reliable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "connectedComponents: no spark checkpoint dir configured; falling " +
+          "back to localCheckpoint (NOT fault-tolerant — executor loss fails " +
+          "the job). Call sc.setCheckpointDir on a shared filesystem.")
+    // materialize + re-root a frame: checkpoint cuts lineage;
     // createDataFrame mints fresh attribute ids so each round's plan can
     // reference the previous labels several times (self-union of the same
     // attribute ids trips Catalyst's Union constraint rewrite)
-    def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().toJavaRDD, df.schema)
+    def pin(df: DataFrame): DataFrame = {
+      val cut = if (reliable) df.checkpoint() else df.localCheckpoint()
+      spark.createDataFrame(cut.toJavaRDD, df.schema)
+    }
     // undirected edge list, both directions
     val edges = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

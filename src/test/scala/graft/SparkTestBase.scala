@@ -15,6 +15,8 @@ object SparkTestBase {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     graft.pipelines.Magnitude.tune(s)
     graft.functions.GraftFunctions.registerAll(s)
     s

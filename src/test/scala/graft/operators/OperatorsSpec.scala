@@ -87,6 +87,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chainComps.forall(_._2 == 0L), "whole chain collapses to min id 0")
   }
 
+  test("connected components recovers from lost executor blocks (reliable checkpoint)") {
+    // fault-tolerance contract: labels pin via RELIABLE checkpoint into the
+    // session checkpoint dir, so losing every executor-resident block (what
+    // executor failure does to cached/localCheckpoint state) must not lose
+    // the result — recomputation re-reads the last round's checkpoint files
+    // instead of failing or replaying from round zero. Under the old
+    // localCheckpoint pinning this collect threw "Checkpoint block not
+    // found" once the blocks were gone.
+    assert(spark.sparkContext.getCheckpointDir.isDefined,
+      "test session must configure a checkpoint dir")
+    val chain = (0 until 60).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+    // simulate executor loss: drop EVERY block-manager-resident RDD block
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 61)
+    assert(comps.forall(_._2 == 0L), "whole chain collapses to min id 0")
+    // and the per-round checkpoints really live on the (shared) filesystem
+    val p = new org.apache.hadoop.fs.Path(spark.sparkContext.getCheckpointDir.get)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(p).nonEmpty, "reliable checkpoint files written")
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
