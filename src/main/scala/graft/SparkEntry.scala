@@ -351,6 +351,24 @@ object SparkEntry {
         .select(col("doc_id"), lit("token_bounds").as("violation"))
       sentences.unionByName(tokenBounds)
     }),
+    "q_winnow_overlap" -> ((s, dir) => {
+      // winnowing guarantee (Schleimer et al. 2003): any common substring
+      // of >= w+k-1 chars shares at least one fingerprint. Plant a shared
+      // passage (a deterministic slice of each document) into a derived
+      // pair — A carries it as a prefix, B buried after a unique head —
+      // then SELECT the planted pairs winnowOverlapPairs MISSES: must be
+      // empty, and every row is a broken guarantee, not noise.
+      val docs = s.read.parquet(t(dir, "documents"))
+      val passage = substring(col("text"), 1, 80) // >= 44 chars at every SF
+      val a = docs.select((col("doc_id") * 2).as("doc_id"),
+        concat(passage, lit(" tail_a_"), col("doc_id").cast("string")).as("text"))
+      val b = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
+        concat(lit("head_b_"), col("doc_id").cast("string"), lit(" "), passage).as("text"))
+      val found = Dedup.winnowOverlapPairs(a.unionByName(b), minShared = 1, k = 8, w = 4)
+      docs.select((col("doc_id") * 2).as("id_a"), (col("doc_id") * 2 + 1).as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"))
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF quality bound: every returned neighbor's cosine must be within
       // eps of the exact rank-k cosine for its query (worst measured gap at
@@ -685,6 +703,8 @@ object SparkEntry {
       ORDER BY 1, 2""",
     "q_lang_id" -> """
       SELECT CAST(0 AS BIGINT) AS doc_id, '' AS violation WHERE 1 = 0""",
+    "q_winnow_overlap" -> """
+      SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b WHERE 1 = 0""",
     "q_ann_ivf" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_ann_lsh" -> """

@@ -219,12 +219,29 @@ object Dedup {
    * fingerprint explode, inverted-index equi-join, pair count — identical
    * scale behaviour to the shingle join (fingerprint density ~ 2/(w+1)
    * per char, so the index is a fraction of the corpus size).
+   *
+   * `maxFingerprintDf` (0 = off) is the skew guard: a fingerprint shared by
+   * d docs emits d^2/2 join rows, and winnowing fingerprints of boilerplate
+   * (cookie banners, license blocks, nav text) are shared by millions of
+   * pages in a real crawl — an unguarded self-join is a skewed quadratic
+   * shuffle. Capping fingerprint document-frequency drops exactly those
+   * keys BEFORE the join (one extra df aggregation + semi join, both on
+   * 8-byte keys). This is a documented approximation, mirroring
+   * [[ngramJaccardPairs]]'s `maxShingleDf`: pairs whose only overlap is
+   * over-cap boilerplate fall below `minShared` — usually the intended
+   * outcome, since corpus-ubiquitous passages are not evidence of copying.
    */
   def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2,
                          k: Int = 8, w: Int = 4,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxFingerprintDf: Int = 0): DataFrame = {
+    val fp0 = docs.select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.winnow_set(col(textCol), k, w)).as("f"))
+    val fp = if (maxFingerprintDf > 0) {
+      val keep = fp0.groupBy(col("f")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxFingerprintDf).select("f")
+      fp0.join(keep, "f")
+    } else fp0
     fp.as("a").join(fp.as("b"),
         col("a.f") === col("b.f") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

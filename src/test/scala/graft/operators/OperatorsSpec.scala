@@ -343,6 +343,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 3L), "unrelated docs must not pair")
   }
 
+  test("winnow overlap soak: hot boilerplate fingerprint capped out of the join (100k docs)") {
+    // the real-crawl failure mode: one boilerplate passage in 20% of 100k
+    // docs. Uncapped, its fingerprints alone join into ~30 * 20k^2/2 = 6e9
+    // rows on a handful of keys — a skewed quadratic shuffle. With
+    // maxFingerprintDf the hot keys drop out BEFORE the join, the run
+    // completes in seconds, and only the genuinely rare planted overlap
+    // survives (its fingerprints have df=2).
+    val boiler = "this website uses cookies to improve your experience " +
+      "please accept our terms of service and privacy policy to continue"
+    val rare = "a genuinely rare shared passage that appears in exactly two documents"
+    def mix64(z0: Long): Long = { // splitmix64 finalizer: full avalanche, so
+      var z = z0 + 0x9E3779B97F4A7C15L // hex words of related ids share no
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L // structural substrings
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def mix(i: Long): String =
+      f"${mix64(i)}%016x ${mix64(i + 1000000)}%016x ${mix64(i + 2000000)}%016x"
+    val n = 100000
+    val rows = (0 until n).map { i =>
+      val body = mix(i.toLong)
+      val text =
+        if (i == 77) s"$rare $body" // planted pair (77, 99555)
+        else if (i == 99555) s"$body $rare"
+        else if (i % 5 == 0) s"$boiler $body" // 20k hot docs
+        else body
+      (i.toLong, text)
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+      .repartition(8)
+    val pairs = Dedup.winnowOverlapPairs(df, minShared = 3, maxFingerprintDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((77L, 99555L)), "rare planted overlap must survive")
+    // every other surviving pair is boiler-boiler: docs that DO share a long
+    // verbatim passage (true positives — boundary-window winnow selection
+    // gives some boilerplate fingerprints a df under the cap), just not the
+    // quadratic 20k^2/2 of them: the hot keys are out of the join, so the
+    // candidate count collapses from ~2e8 to a few hundred
+    val extras = pairs - ((77L, 99555L))
+    assert(extras.forall(p => p._1 % 5 == 0 && p._2 % 5 == 0),
+      "non-planted survivors must all be genuine boilerplate sharers")
+    assert(pairs.size < 10000, s"skew guard must collapse the pair count, got ${pairs.size}")
+  }
+
   test("canonicalize_url: scheme/host lower, fragment/default-port strip, rest preserved") {
     import graft.core.net.UrlUtil.canonicalize
     assert(canonicalize("HtTpS://WWW.Example.COM:443/A/B?q=X#frag") ===
