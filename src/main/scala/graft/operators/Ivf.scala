@@ -24,48 +24,75 @@ import graft.core.hash.XXH3
  */
 object Ivf {
 
-  /** Train k centroids; returns the centroid matrix (k x dims). */
-  def train(corpus: DataFrame, k: Int, iters: Int = 5,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // deterministic seed sample: k smallest xxh3(id)
-    val seeds = base
-      .withColumn("__h", graft.functions.GraftFunctions.xxh3_64(col("id").cast("string")))
-      .orderBy(col("__h"))
-      .limit(k)
-      .select(col("vec"))
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Any]]("vec").map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+  /** Default training-sample bound: k-means coarse quantizers and PQ
+    * codebooks are standard-practice trained on <= ~1M vectors; beyond that
+    * the centroids stop moving but every Lloyd pass still costs a corpus
+    * scan. 128k keeps driver collects trivial while being >> k*ks. */
+  val defaultTrainSample: Int = 1 << 17
 
-    var centroids = seeds
-    var it = 0
-    while (it < iters) {
-      val assigned = base.withColumn("cluster",
-        element_at(nearestCentroids(col("vec"), centroids, 1), 1))
-      // centroid update as ONE vector-sum buffer per cluster: the previous
-      // posexplode formulation shuffled dims rows PER VECTOR (a 64x row
-      // blowup per Lloyd iteration at 64 dims); vec_sum carries dims
-      // doubles per group through the partial-agg merge instead
-      val updated = assigned
-        .groupBy(col("cluster"))
-        .agg(graft.functions.GraftFunctions.vec_sum(col("vec")).as("s"),
-          count(lit(1)).as("n"))
+  /**
+   * Train k centroids; returns the centroid matrix (k x dims).
+   *
+   * Scale shape: training runs over a CACHED deterministic sample (the
+   * `sampleSize` smallest xxh3(id) rows — stable under any partitioning;
+   * one distributed top-n pass over the corpus), so the source is scanned
+   * ONCE no matter how many Lloyd iterations run. `sampleSize = 0` trains
+   * on the full corpus (still one scan: the cache holds it). Null vectors
+   * are excluded up front (they carry no training signal and would bias
+   * the mean toward zero through the row count), and rows whose length
+   * differs from the seeds' dimensionality are dropped from the update
+   * (silently summing a shorter prefix would corrupt centroids).
+   */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            sampleSize: Int = defaultTrainSample): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(col("vec").isNotNull)
+      .withColumn("__h", graft.functions.GraftFunctions.xxh3_64(col("id").cast("string")))
+    val sample = (if (sampleSize > 0) base.orderBy(col("__h")).limit(sampleSize) else base)
+      .repartition(math.max(2, math.min(64, spark.sparkContext.defaultParallelism)))
+      .cache()
+    try {
+      // deterministic seeds: k smallest xxh3(id) — the sample is the
+      // sampleSize smallest hashes, so these are the global smallest too
+      val seeds = sample.orderBy(col("__h")).limit(k)
+        .select(col("vec"))
         .collect()
-      val next = centroids.map(_.clone())
-      updated.foreach { r =>
-        val s = r.getAs[scala.collection.Seq[Double]]("s")
-        val n = r.getAs[Long]("n").toDouble
-        val c = r.getAs[Int]("cluster")
-        var d = 0
-        while (d < s.length && d < next(c).length) { next(c)(d) = s(d) / n; d += 1 }
+        .map(_.getAs[scala.collection.Seq[Any]]("vec").map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      val dim = seeds.headOption.map(_.length).getOrElse(0)
+      val clean = sample.filter(size(col("vec")) === dim)
+
+      var centroids = seeds
+      var it = 0
+      while (it < iters) {
+        val assigned = clean.withColumn("cluster",
+          element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+        // centroid update as ONE vector-sum buffer per cluster: the previous
+        // posexplode formulation shuffled dims rows PER VECTOR (a 64x row
+        // blowup per Lloyd iteration at 64 dims); vec_sum carries dims
+        // doubles per group through the partial-agg merge instead
+        val updated = assigned
+          .groupBy(col("cluster"))
+          .agg(graft.functions.GraftFunctions.vec_sum(col("vec")).as("s"),
+            count(col("vec")).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        updated.foreach { r =>
+          val s = r.getAs[scala.collection.Seq[Double]]("s")
+          val n = r.getAs[Long]("n").toDouble
+          val c = r.getAs[Int]("cluster")
+          var d = 0
+          while (d < s.length && d < next(c).length) { next(c)(d) = s(d) / n; d += 1 }
+        }
+        centroids = next
+        it += 1
       }
-      centroids = next
-      it += 1
-    }
-    centroids
+      centroids
+    } finally sample.unpersist(false)
   }
 
   /** Column of the `nprobe` nearest centroid ids for a vector column. */
@@ -83,25 +110,30 @@ object Ivf {
    */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroids: Array[Array[Double]], model: PqModel, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeSelf: Boolean = true): DataFrame = {
     val lists = corpus.select(col(idCol).as("nn_id"),
         element_at(nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"),
         Pq.encode(col(vecCol), model).as("pq_code"))
-    Pq.adcTopKProbed(lists, queries, k, model, centroids, nprobe, idCol, vecCol)
+    Pq.adcTopKProbed(lists, queries, k, model, centroids, nprobe, idCol, vecCol,
+      excludeSelf)
   }
 
   /** IVF top-k: assign corpus to lists (1 probe), probe queries into
-    * `nprobe` lists, exact cosine re-rank inside the probed lists. */
+    * `nprobe` lists, exact cosine re-rank inside the probed lists.
+    * `excludeSelf`: see [[Pq.adcTopK]] — only set when queries share the
+    * corpus id namespace. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            centroids: Array[Array[Double]], nprobe: Int = 4,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           excludeSelf: Boolean = true): DataFrame = {
     val lists = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("cluster", element_at(nearestCentroids(col("nn_vec"), centroids, 1), 1))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster", explode(nearestCentroids(col("q_vec"), centroids, nprobe)))
 
     val scored = lists.join(broadcast(probes), Seq("cluster"))
-      .filter(col("nn_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("nn_id") =!= col("query_id") else lit(true))
       .dropDuplicates("query_id", "nn_id")
       .withColumn("cos", Ann.cosine(col("q_vec"), col("nn_vec")))
     Ann.topKPerQuery(scored, k)

@@ -4,6 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
+/** Top-level so the product Encoder resolves (local case classes can't). */
+case class EmbRow(vec_id: Long, embedding: Array[Float])
+
 class OperatorsSpec extends AnyFunSuite {
 
   lazy val spark = graft.SparkTestBase.spark
@@ -446,6 +449,49 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
       .count(r => r.getAs[Long]("query_id") - 500000 == r.getAs[Long]("nn_id"))
     assert(ivfHits >= 16, s"planted-copy IVFADC hits $ivfHits/20")
+  }
+
+  test("PQ and IVF training scan the source once, independent of m and iters") {
+    // every physical read of a corpus row bumps the accumulator via a typed
+    // map over the source — training must sample/cache so Lloyd iterations
+    // never return to the source. The old Pq.train read m*(iters+1)*n rows
+    // (64n at m=16/iters=3); the sampled trainer reads n once.
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = embs.count()
+    val pqReads = spark.sparkContext.longAccumulator("pq-source-reads")
+    val pqCorpus = embs.as[EmbRow].map { e => pqReads.add(1); e }.toDF()
+    val model = Pq.train(pqCorpus, dims = 64, m = 16, ks = 32, iters = 3)
+    assert(model.codebooks.length === 16)
+    assert(pqReads.value >= n, "sanity: the source was read at all")
+    assert(pqReads.value <= 2 * n,
+      s"PQ training read ${pqReads.value} source rows (n=$n); sampled training must read n, old impl read ${16 * 4 * n}")
+
+    val ivfReads = spark.sparkContext.longAccumulator("ivf-source-reads")
+    val ivfCorpus = embs.as[EmbRow].map { e => ivfReads.add(1); e }.toDF()
+    val cents = Ivf.train(ivfCorpus, k = 16, iters = 4)
+    assert(cents.length === 16)
+    assert(ivfReads.value >= n && ivfReads.value <= 2 * n,
+      s"IVF training read ${ivfReads.value} source rows (n=$n); old impl read ${5 * n}")
+  }
+
+  test("PQ ADC accepts Int ids and can keep numerically-coinciding self ids") {
+    // Int id columns must widen, not ClassCastException; and a query batch
+    // from a DISTINCT corpus whose ids coincide with corpus ids keeps its
+    // legitimate neighbors when excludeSelf=false
+    val rnd = new java.util.Random(11)
+    val vecs = (0 until 40).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val model = Pq.train(corpus, dims = 8, m = 4, ks = 8, iters = 2)
+    val codes = corpus.select($"vec_id", Pq.encode($"embedding", model).as("pq_code"))
+    // same numeric id 7, unrelated query corpus: with excludeSelf=false the
+    // corpus vector 7 is still eligible as a neighbor of query 7
+    val queries = Seq((7, vecs(7)._2)).toDF("vec_id", "embedding")
+    val withSelf = Pq.adcTopK(codes, queries, k = 1, model, excludeSelf = false).collect()
+    assert(withSelf.length === 1 && withSelf.head.getAs[Long]("nn_id") === 7L,
+      "identical vector must rank 1 when self-exclusion is off")
+    val without = Pq.adcTopK(codes, queries, k = 1, model).collect()
+    assert(without.head.getAs[Long]("nn_id") !== 7L,
+      "default self-exclusion drops the coinciding id")
   }
 
   test("hostOfUrlUTF8 equals the String implementation on tricky urls") {
