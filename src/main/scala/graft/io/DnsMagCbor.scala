@@ -61,11 +61,25 @@ object DnsMagCbor {
     * dataset per date, CBOR sequence if several dates). Deliberately
     * driver-side: dataset files are the reference CLI's in-memory,
     * top-N-truncated exchange format — cap the state with
-    * Magnitude/DnsMagnitude top-N before exporting huge states. */
+    * Magnitude/DnsMagnitude top-N before exporting huge states.
+    *
+    * `maxExportRows` enforces that contract: exporting an untruncated
+    * crawl-scale state would OOM the driver with an opaque error, so the
+    * collect is bounded (limit cap+1 — at most cap+1 rows ever reach the
+    * driver) and over-cap states fail fast with an actionable message. At
+    * the default 100k rows a worst-case all-dense state is ~1.6 GB of HLL
+    * bytes — within a default driver heap. */
   def write(state: DataFrame, path: String,
-            generator: String = "graft-spark 0.1.0"): Unit = {
+            generator: String = "graft-spark 0.1.0",
+            maxExportRows: Int = 100000): Unit = {
     val rows = state.select(col("date"), col("domain"), col("hll"), col("queries"))
+      .limit(maxExportRows + 1)
       .collect()
+    require(rows.length <= maxExportRows,
+      s"dnsmag export: state has more than $maxExportRows rows — .dnsmag is " +
+        "the reference CLI's in-memory top-N exchange format, not a bulk " +
+        "store. Truncate first (aggregate --chunked --top N / " +
+        "DnsMagnitude.truncateState) or raise maxExportRows.")
     val datasets = rows.groupBy(_.getAs[java.sql.Date]("date")).toSeq
       .sortBy(_._1.toString).map { case (date, rs) =>
         val (nullRows, domRows) = rs.partition(_.isNullAt(1))

@@ -162,6 +162,52 @@ class DnsMagnitudeSpec extends AnyFunSuite {
     assert(txt.contains("Total queries: 200"))
   }
 
+  test("report JSON conforms to the reference JSON Schema (types/required/bounds)") {
+    // structural validation against /root/reference/schema/report-schema.yaml
+    // (the reference ships tools/validate-report.py for the same purpose):
+    // required fields (yaml:4-7), date pattern (yaml:17), sourceType enum
+    // (yaml:30-32), non-negative totals (yaml:33-44), magnitudeData items
+    // with required domain+magnitude and 0<=magnitude<=10 (yaml:54-67),
+    // uniqueItems (yaml:47). Parsed with a real JSON parser, not substring
+    // checks. The magnitude scalar is unclamped by design (reference quirk);
+    // on any self-consistent dataset it satisfies the schema bound because
+    // no domain can have more unique clients than the total.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val recs1 = RecordsCsv.read(spark, res("test2.tsv"), tsv = true)
+    // a two-date state (one report document per date) is a plain union
+    val multi = DnsMagnitude.collect(recs1, d1)
+      .unionByName(DnsMagnitude.collect(recs1, d2))
+    val docs = DnsMagnitude.reportJson(multi, source = "test2", sourceType = "recursive")
+    assert(docs.length === 2, "one report document per date")
+    docs.foreach { doc =>
+      val n = mapper.readTree(doc)
+      for (f <- Seq("date", "source", "magnitudeData")) // required, yaml:4-7
+        assert(n.has(f), s"required field $f")
+      assert(n.get("date").isTextual &&
+        n.get("date").asText.matches("""\d{4}-\d{2}-\d{2}"""))
+      java.util.UUID.fromString(n.get("id").asText) // uuid format, yaml:12
+      assert(n.get("generator").isTextual)
+      assert(n.get("source").isTextual)
+      assert(Set("authoritative", "recursive")(n.get("sourceType").asText))
+      for (f <- Seq("totalUniqueClients", "totalQueryVolume")) {
+        assert(n.get(f).isNumber, s"$f numeric")
+        assert(n.get(f).asDouble >= 0, s"$f >= 0")
+      }
+      val md = n.get("magnitudeData")
+      assert(md.isArray && md.size > 0)
+      val seen = scala.collection.mutable.Set[String]()
+      md.forEach { item =>
+        assert(item.has("domain") && item.get("domain").isTextual)
+        assert(item.has("magnitude") && item.get("magnitude").isNumber)
+        val mag = item.get("magnitude").asDouble
+        assert(mag >= 0 && mag <= 10, s"magnitude bound: $mag")
+        for (f <- Seq("uniqueClients", "queryVolume"))
+          if (item.has(f)) assert(item.get(f).isNumber && item.get(f).asDouble >= 0)
+        assert(seen.add(item.toString), "uniqueItems (yaml:47)")
+      }
+    }
+  }
+
   test("header-row heuristic: 'ip,domain,queries' first line silently dropped") {
     val tmp = java.nio.file.Files.createTempFile("hdr", ".csv")
     java.nio.file.Files.writeString(tmp,
