@@ -21,12 +21,75 @@ import graft.sources.RecordsCsv
  * §2.1 S6/S7 mapping). Paths ending in `.dnsmag` are read/written as the
  * reference's CBOR dataset files instead ([[graft.io.DnsMagCbor]]), so
  * state interchanges 1:1 with existing dnsmag deployments.
+ *
+ * `--input -` reads that input from stdin (records for collect, a CBOR
+ * dataset sequence for aggregate/report/view), spooled to a driver-local
+ * temp file — the reference CLI's convention (cmd/common.go:38-65).
+ * Collect inputs route to the pcap or csv reader by MAGIC BYTES of the
+ * first file, not by extension.
  */
 object DnsMag {
 
   private def readState(spark: SparkSession, path: String) =
     if (path.endsWith(".dnsmag")) graft.io.DnsMagCbor.read(spark, path)
     else spark.read.parquet(path)
+
+  /** `-` = read this input from stdin, the reference CLI convention
+    * (/root/reference/cmd/common.go:38-65). A cluster engine needs a file
+    * executor tasks can open, so stdin spools to a driver-local temp file;
+    * `baseSuffix` matches the extension-routed readers (".dnsmag" for state,
+    * ".csv" for records) and a gzip magic appends ".gz" so the csv reader
+    * decompresses. */
+  private[graft] def spoolStdin(in: java.io.InputStream, baseSuffix: String): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_stdin_", ".spool")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try in.transferTo(out) finally out.close()
+    val head = {
+      val s = java.nio.file.Files.newInputStream(tmp)
+      try s.readNBytes(2) finally s.close()
+    }
+    val gz = head.length == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+    val suffix = baseSuffix + (if (gz && baseSuffix != ".dnsmag") ".gz" else "")
+    val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + suffix)
+    java.nio.file.Files.move(tmp, named)
+    named.toString
+  }
+
+  private def resolveStateInput(path: String): String =
+    if (path == "-") spoolStdin(System.in, ".dnsmag") else path
+
+  // classic pcap (both endiannesses, micro+nano) and pcapng SHB magics
+  private val PcapMagics =
+    Set(0xd4c3b2a1, 0xa1b2c3d4, 0x4d3cb2a1, 0xa1b23c4d, 0x0a0d0d0a)
+
+  private def isPcapMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && PcapMagics.contains(
+      ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 8) | (b(3) & 0xff))
+
+  /** Route collect input by CONTENT, not extension: read the first file's
+    * magic bytes (through gzip if needed) — .pcapng/.cap captures and
+    * oddly-named files all land on the right reader instead of silently
+    * falling through to the CSV parser. */
+  private[graft] def sniffPcap(spark: SparkSession, input: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(input)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val first = matched
+      .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile) else Array(s))
+      .sortBy(_.getPath.getName).headOption
+    first.exists { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val head = new Array[Byte](4)
+        val n = in.read(head)
+        if (n >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+          in.seek(0)
+          isPcapMagic(new java.util.zip.GZIPInputStream(in).readNBytes(4))
+        } else isPcapMagic(head.take(math.max(0, n)))
+      } catch { case _: java.io.IOException => false }
+      finally in.close()
+    }
+  }
 
   private def writeState(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     if (path.endsWith(".dnsmag")) graft.io.DnsMagCbor.write(df, path)
@@ -57,22 +120,30 @@ object DnsMag {
     val rest = argv.drop(1)
     cmd match {
       case "collect" =>
-        val input = arg(rest, "--input").getOrElse(sys.error("--input required"))
+        val input0 = arg(rest, "--input").getOrElse(sys.error("--input required"))
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
-        val isPcap = input.endsWith(".pcap") || input.endsWith(".pcap.gz")
+        val input = if (input0 == "-") spoolStdin(System.in, ".csv") else input0
+        val isPcap = sniffPcap(spark, input)
         val recs =
           if (isPcap) graft.sources.RecordsPcap.read(spark, input)
           else RecordsCsv.read(spark, input, tsv = rest.contains("--tsv"))
         val date = arg(rest, "--date").map(java.sql.Date.valueOf).getOrElse {
           // pcap carries packet timestamps: like the reference, default the
           // dataset date from the capture itself (earliest packet's UTC day,
-          // pcap.go:36-41); CSV has no timestamps, so --date stays required
+          // pcap.go:36-41); CSV has no timestamps, so --date stays required.
+          // Deriving the default costs ONE extra decode pass over the
+          // capture (an aggregate can't feed a literal of its own plan) —
+          // pass --date explicitly to skip it on big captures.
           if (!isPcap)
             sys.error("--date YYYY-MM-DD required for csv/tsv (no wall-clock defaults in jobs)")
-          recs.agg(org.apache.spark.sql.functions.min(
+          val d = recs.agg(org.apache.spark.sql.functions.min(
               org.apache.spark.sql.functions.to_date(
                 org.apache.spark.sql.functions.col("ts"))).as("d"))
             .collect()(0).getAs[java.sql.Date]("d")
+          if (d == null)
+            sys.error(s"empty capture: $input has no decodable DNS records " +
+              "to derive the dataset date from (pass --date explicitly)")
+          d
         }
         // reference semantics: invalid records (negative count, bad IP past
         // the header heuristic) abort the collect
@@ -100,7 +171,7 @@ object DnsMag {
         require(inputs.nonEmpty, "--input required (repeatable)")
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
         val force = arg(rest, "--force-date").map(java.sql.Date.valueOf)
-        val states = inputs.map(readState(spark, _))
+        val states = inputs.map(p => readState(spark, resolveStateInput(p)))
         // default: exact order-free merge; --chunked replays the reference
         // CLI's sequential fold with between-chunk --top truncation
         val merged =
@@ -116,7 +187,8 @@ object DnsMag {
         val source = arg(rest, "--source").getOrElse(sys.error("--source required"))
         val st = arg(rest, "--source-type").getOrElse(sys.error("--source-type required"))
         val top = arg(rest, "--top").map(_.toInt).getOrElse(2500)
-        val docs = DnsMagnitude.reportJson(readState(spark, input), source, st, top)
+        val docs = DnsMagnitude.reportJson(
+          readState(spark, resolveStateInput(input)), source, st, top)
         // Hadoop FS write: report files land on HDFS/object stores too
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -127,11 +199,12 @@ object DnsMag {
       case "view" =>
         val input = arg(rest, "--input").getOrElse(sys.error("--input required"))
         val top = arg(rest, "--top").map(_.toInt).getOrElse(20)
+        val in = resolveStateInput(input)
         // scalastyle:off println — the view command's purpose is stdout
         if (rest.contains("--json"))
-          println(DnsMagnitude.statsJson(readState(spark, input)))
+          println(DnsMagnitude.statsJson(readState(spark, in)))
         else
-          println(DnsMagnitude.statsText(readState(spark, input), top))
+          println(DnsMagnitude.statsText(readState(spark, in), top))
 
       case other => sys.error(s"unknown command '$other' (collect|aggregate|report|view)")
     }
