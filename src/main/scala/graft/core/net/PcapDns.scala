@@ -13,10 +13,12 @@ import java.nio.charset.StandardCharsets
  * EPB/SPB blocks, per-section endianness, if_tsresol option), gzip by
  * magic bytes, link types Ethernet (1, incl. 802.1Q VLAN tags) and raw IP
  * (101/12), IPv4/IPv6 (with the skippable v6 extension headers), DNS over
- * UDP port 53 and over TCP port 53 (2-byte length framing, unsegmented
- * messages). DNS names follow RFC 1035 labels with compression pointers;
- * bytes are preserved 1:1 (ISO-8859-1) for the downstream
- * escape/normalize pass.
+ * UDP port 53 and over TCP port 53 (2-byte length framing, WITH cross-
+ * segment reassembly: per-flow byte streams rebuilt in sequence-number
+ * order within a capture, so messages split across TCP segments decode —
+ * the reference's per-packet gopacket loop drops those). DNS names follow
+ * RFC 1035 labels with compression pointers; bytes are preserved 1:1
+ * (ISO-8859-1) for the downstream escape/normalize pass.
  *
  * Deliberately a per-file decoder: pcap is not a splittable format (records
  * are not self-synchronizing), so distribution happens at file granularity
@@ -40,6 +42,10 @@ object PcapDns {
         (data(2) & 0xff) == 0x0d && (data(3) & 0xff) == 0x0a)
       return decodePcapng(data)
     require(data.length >= 24, "pcap: truncated global header")
+    decodeClassic(data)
+  }
+
+  private def decodeClassic(data: Array[Byte]): Seq[Record] = {
 
     val magic = ((data(0) & 0xffL) << 24) | ((data(1) & 0xffL) << 16) |
       ((data(2) & 0xffL) << 8) | (data(3) & 0xffL)
@@ -63,6 +69,7 @@ object PcapDns {
 
     val linkType = u32(20).toInt
     val out = Seq.newBuilder[Record]
+    val flows = new TcpFlows
     var pos = 24
     while (pos + 16 <= data.length) {
       val ts = u32(pos)
@@ -73,10 +80,11 @@ object PcapDns {
         pos = data.length // truncated trailing record: stop
       } else {
         val micros = ts * 1000000L + (if (nanos) tsSub / 1000 else tsSub)
-        decodePacket(data, pos, incl, linkType, micros, out)
+        decodePacket(data, pos, incl, linkType, micros, out, flows)
         pos += incl
       }
     }
+    flows.flush(out)
     out.result()
   }
 
@@ -87,10 +95,11 @@ object PcapDns {
     * block type is skipped by its length. */
   private def decodePcapng(data: Array[Byte]): Seq[Record] = {
     val out = Seq.newBuilder[Record]
+    val flows = new TcpFlows
     var pos = 0
     var le = true
-    // per-interface (linkType, ticksPerSecond exponent handling)
-    var ifaces = Vector.empty[(Int, Long)] // (linkType, ticksPerSec)
+    // per-interface (linkType, ticksPerSec, snaplen 0=unlimited)
+    var ifaces = Vector.empty[(Int, Long, Long)]
     def u16(p: Int): Int =
       if (le) (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
       else ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
@@ -122,6 +131,7 @@ object PcapDns {
       blockType match {
         case 0x00000001 => // IDB: linktype(2) reserved(2) snaplen(4) options
           val link = u16(pos + 8)
+          val snap = u32(pos + 12)
           var ticks = 1000000L // default resolution 10^-6
           var op = pos + 16
           val end = pos + totalLen - 4
@@ -139,33 +149,44 @@ object PcapDns {
               op += 4 + ((olen + 3) & ~3)
             }
           }
-          ifaces = ifaces :+ (link, ticks)
+          ifaces = ifaces :+ ((link, ticks, snap))
         case 0x00000006 => // EPB: ifid(4) tsHigh(4) tsLow(4) capLen(4) origLen(4) data
           val ifId = u32(pos + 8).toInt
           val ts = (u32(pos + 12) << 32) | u32(pos + 16)
           val capLen = u32(pos + 20).toInt
-          val (link, ticks) =
-            if (ifId >= 0 && ifId < ifaces.size) ifaces(ifId) else (1, 1000000L)
+          val (link, ticks, _) =
+            if (ifId >= 0 && ifId < ifaces.size) ifaces(ifId) else (1, 1000000L, 0L)
           val micros =
             if (ticks == 1000000L) ts
             else ((ts.toDouble / ticks) * 1e6).toLong
-          if (capLen >= 0 && pos + 28 + capLen <= data.length)
-            decodePacket(data, pos + 28, capLen, link, micros, out)
+          // packet data is bounded by the BLOCK (28 header + 4 trailing
+          // length), not the file: a corrupt capLen must not read into
+          // following blocks
+          if (capLen >= 0 && capLen <= totalLen - 32)
+            decodePacket(data, pos + 28, capLen, link, micros, out, flows)
         case 0x00000003 => // SPB: origLen(4) data (no timestamp)
-          val capLen = totalLen - 16
-          val link = ifaces.headOption.map(_._1).getOrElse(1)
-          if (capLen > 0) decodePacket(data, pos + 12, capLen, link, 0L, out)
+          val (link, _, snap) = ifaces.headOption.getOrElse((1, 1000000L, 0L))
+          // data region is totalLen-16 INCLUDING up to 3 bytes of 32-bit
+          // padding; the real packet length is min(origLen, snaplen) —
+          // feeding padding into the DNS parser corrupts trailing questions
+          val origLen = u32(pos + 8)
+          var capLen = math.min(origLen, (totalLen - 16).toLong)
+          if (snap > 0) capLen = math.min(capLen, snap)
+          if (capLen > 0)
+            decodePacket(data, pos + 12, capLen.toInt, link, 0L, out, flows)
         case _ => () // SHB, name resolution, statistics, unknown: skip
       }
       pos += totalLen
     }
+    flows.flush(out)
     out.result()
   }
 
   // ---------------------------- packet layers ----------------------------
 
   private def decodePacket(d: Array[Byte], start: Int, len: Int, linkType: Int,
-                           micros: Long, out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
+                           micros: Long, out: scala.collection.mutable.Builder[Record, Seq[Record]],
+                           flows: TcpFlows): Unit = {
     var p = start
     val end = start + len
     var etherType = -1
@@ -185,6 +206,7 @@ object PcapDns {
     }
 
     var srcIp: String = null
+    var dstIp: String = null
     var proto = -1
     etherType match {
       case 0x0800 => // IPv4
@@ -193,11 +215,13 @@ object PcapDns {
         if (ihl < 20 || end - p < ihl) return
         proto = d(p + 9) & 0xff
         srcIp = s"${d(p + 12) & 0xff}.${d(p + 13) & 0xff}.${d(p + 14) & 0xff}.${d(p + 15) & 0xff}"
+        dstIp = s"${d(p + 16) & 0xff}.${d(p + 17) & 0xff}.${d(p + 18) & 0xff}.${d(p + 19) & 0xff}"
         p += ihl
       case 0x86dd => // IPv6
         if (end - p < 40) return
         proto = d(p + 6) & 0xff
         srcIp = ipv6Text(d, p + 8)
+        dstIp = ipv6Text(d, p + 24)
         p += 40
         // skippable extension headers: hop-by-hop(0), routing(43), dstopts(60)
         var guard = 0
@@ -217,24 +241,33 @@ object PcapDns {
       val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
       p += 8
       if (sport != 53 && dport != 53) return // no DNS layer
+      parseDnsQuestions(d, p, end, micros, srcIp, out)
     } else if (proto == 6) { // TCP: DNS rides a 2-byte length prefix
       if (end - p < 20) return
       val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
       val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+      val seq = ((d(p + 4) & 0xffL) << 24) | ((d(p + 5) & 0xffL) << 16) |
+        ((d(p + 6) & 0xffL) << 8) | (d(p + 7) & 0xffL)
       val dataOff = ((d(p + 12) & 0xf0) >> 4) * 4
       if (dataOff < 20 || end - p < dataOff) return
       p += dataOff
       if (sport != 53 && dport != 53) return
-      if (end - p < 2) return // empty segment (SYN/ACK etc.)
-      val msgLen = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
-      p += 2
-      // only complete, unsegmented messages (no cross-packet reassembly)
-      if (msgLen < 12 || p + msgLen > end) return
-    } else return
+      if (end <= p) return // empty segment (SYN/ACK etc.)
+      // buffer the payload for per-flow reassembly: the length-framed
+      // message stream parses after the packet walk, so messages split
+      // across segments decode too (see TcpFlows)
+      flows.add(s"$srcIp|$dstIp|$sport|$dport", seq, micros, srcIp,
+        java.util.Arrays.copyOfRange(d, p, end))
+    }
+  }
 
-    // DNS header + questions. A packet with a DNS layer but no parseable
-    // source IP becomes one invalid record (pcap.go:45-49); with our layer
-    // walk srcIp is always set by now, but keep the contract explicit.
+  /** DNS header + questions of the message at [p, end): one record per
+    * question. A packet with a DNS layer but no parseable source IP becomes
+    * one invalid record (pcap.go:45-49); with our layer walk srcIp is always
+    * set by now, but keep the contract explicit. */
+  private def parseDnsQuestions(d: Array[Byte], p: Int, end: Int, micros: Long,
+                                srcIp: String,
+                                out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
     if (end - p < 12) return
     val qd = ((d(p + 4) & 0xff) << 8) | (d(p + 5) & 0xff)
     var q = p + 12
@@ -245,6 +278,80 @@ object PcapDns {
       out += Record(micros, srcIp, name)
       q = nextPos + 4 // skip qtype + qclass
       i += 1
+    }
+  }
+
+  /**
+   * Per-flow TCP reassembly WITHIN one capture file. Segments buffer by
+   * (src, dst, sport, dport); at flush each flow's payloads sort by
+   * sequence number (relative to the first-seen segment, signed so
+   * out-of-order earlier segments and 32-bit wraparound inside a ±2 GiB
+   * window order correctly), duplicate-seq retransmissions keep the first
+   * copy, and the contiguous prefix of the stream parses as the RFC 1035
+   * 2-byte-length-framed message sequence. Parsing stops at the first gap
+   * (a hole makes every later length prefix unreliable). Each message gets
+   * the timestamp of the segment its first byte arrived in. Memory is
+   * bounded by the capture's TCP/53 payload bytes — the decoder already
+   * holds the whole (per-task) file.
+   */
+  private final class TcpFlows {
+    private val flows = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long, String, Array[Byte])]]
+
+    def add(key: String, seq: Long, micros: Long, srcIp: String, payload: Array[Byte]): Unit =
+      flows.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) +=
+        ((seq, micros, srcIp, payload))
+
+    def flush(out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
+      flows.valuesIterator.foreach { segs =>
+        val base = segs.head._1
+        // signed relative offset from the first-seen seq (handles wrap)
+        def rel(seq: Long): Long = {
+          val r = (seq - base) & 0xffffffffL
+          if (r > 0x7fffffffL) r - 0x100000000L else r
+        }
+        val ordered = segs.sortBy(s => rel(s._1))
+        val bytes = new java.io.ByteArrayOutputStream()
+        // (streamOffset, micros) of each appended segment, for message ts
+        val marks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var expected = rel(ordered.head._1)
+        var srcIp: String = ordered.head._3
+        var stop = false
+        ordered.foreach { case (seq, micros, sip, payload) =>
+          if (!stop) {
+            val r = rel(seq)
+            if (r == expected) { // next contiguous segment
+              marks += ((bytes.size, micros))
+              bytes.write(payload)
+              expected = r + payload.length
+              srcIp = sip
+            } else if (r < expected) {
+              // retransmission / overlap: keep the first copy, append any
+              // genuinely new suffix
+              val skip = (expected - r).toInt
+              if (skip < payload.length) {
+                marks += ((bytes.size, micros))
+                bytes.write(payload, skip, payload.length - skip)
+                expected = r + payload.length
+              }
+            } else stop = true // gap: later lengths are unreliable
+          }
+        }
+        val d = bytes.toByteArray
+        def tsAt(off: Int): Long =
+          marks.takeWhile(_._1 <= off).lastOption.map(_._2).getOrElse(0L)
+        var p = 0
+        while (p + 2 <= d.length) {
+          val msgLen = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+          val msgStart = p + 2
+          if (msgLen < 12 || msgStart + msgLen > d.length) { p = d.length }
+          else {
+            parseDnsQuestions(d, msgStart, msgStart + msgLen, tsAt(p), srcIp, out)
+            p = msgStart + msgLen
+          }
+        }
+      }
+      flows.clear()
     }
   }
 

@@ -69,6 +69,25 @@ class PcapDnsSpec extends AnyFunSuite {
     b2.bytes
   }
 
+  /** One TCP/53 segment over IPv6 with an explicit sequence number and raw
+    * payload bytes (no DNS framing added — callers split the framed stream). */
+  private def tcpV6Segment(srcTail: Int, seq: Long, payload: Array[Byte]): Array[Byte] = {
+    val b = new B
+    b.raw(Array.fill(12)(0.toByte)).u16be(0x86dd)
+    b.u8(0x60).u8(0).u8(0).u8(0)
+    b.u16be(20 + payload.length).u8(6).u8(64)
+    b.u8(0x20).u8(0x01).u8(0x0d).u8(0xb8)
+    b.raw(Array.fill(11)(0.toByte)).u8(srcTail)
+    b.raw(Array.fill(15)(0.toByte)).u8(1)
+    // tcp: sport, dport=53, seq (big-endian), ack, dataOffset=5, flags PSH+ACK
+    b.u16be(40001).u16be(53)
+    b.u8(((seq >> 24) & 0xff).toInt).u8(((seq >> 16) & 0xff).toInt)
+      .u8(((seq >> 8) & 0xff).toInt).u8((seq & 0xff).toInt)
+    b.u32le(0).u8(0x50).u8(0x18).u16be(1024).u16be(0).u16be(0)
+    b.raw(payload)
+    b.bytes
+  }
+
   private def pcapng(packets: Seq[Array[Byte]], tsresol: Option[Int] = None): Array[Byte] = {
     val b = new B
     // SHB
@@ -150,6 +169,40 @@ class PcapDnsSpec extends AnyFunSuite {
       p
     }
     assert(PcapDns.decode(pcapng(Seq(selfLoop))).isEmpty) // malformed -> skipped
+  }
+
+  test("TCP DNS reassembly: messages split across segments decode; gaps stop cleanly") {
+    val dns = dnsQuery("split.example.com")
+    val framed = { val b = new B; b.u16be(dns.length).raw(dns); b.bytes }
+    val cut = framed.length / 2
+    val s1 = tcpV6Segment(0x42, 1000, framed.slice(0, cut))
+    val s2 = tcpV6Segment(0x42, 1000 + cut, framed.slice(cut, framed.length))
+
+    // in-order split: one reassembled message, ts of the FIRST segment
+    val recs = PcapDns.decode(pcapng(Seq(s1, s2)))
+    assert(recs.map(_.qname) === Seq("split.example.com"))
+    assert(recs.head.srcIp === "2001:db8:0:0:0:0:0:42")
+    assert(recs.head.tsMicros === 946684800000000L)
+
+    // out-of-order arrival reorders by sequence number
+    assert(PcapDns.decode(pcapng(Seq(s2, s1))).map(_.qname) ===
+      Seq("split.example.com"))
+
+    // retransmission of a segment is deduplicated (first copy wins)
+    assert(PcapDns.decode(pcapng(Seq(s1, s1, s2))).map(_.qname) ===
+      Seq("split.example.com"))
+
+    // two messages over three arbitrary-cut segments of one flow
+    val dns2 = dnsQuery("second.example.org")
+    val stream = framed ++ { val b = new B; b.u16be(dns2.length).raw(dns2); b.bytes }
+    val cuts = Seq((0, 10), (10, 30), (30, stream.length))
+    val segs = cuts.map { case (a, z) => tcpV6Segment(0x43, 5000 + a, stream.slice(a, z)) }
+    assert(PcapDns.decode(pcapng(segs)).map(_.qname) ===
+      Seq("split.example.com", "second.example.org"))
+
+    // a hole in the stream (middle segment lost) stops parsing — no
+    // garbage records from misaligned length prefixes
+    assert(PcapDns.decode(pcapng(Seq(segs(0), segs(2)))).isEmpty)
   }
 
   test("TCP segments without DNS payload (handshake) and non-53 ports are skipped") {
