@@ -313,6 +313,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_sparse_cosine" -> ((s, dir) => {
+      // exact L2AP-prefix sparse cosine join over bag-of-words tf vectors,
+      // oracled 1:1 against a DuckDB tf/norm/dot computation
+      Dedup.sparseCosinePairs(s.read.parquet(t(dir, "documents")), minCos = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // minhash+LSH with exact-Jaccard verification: on this corpus recall is
     // 1.0 at (k=32, b=8, J>=0.2) — P(candidate) = 1-(1-J^4)^8 — so the
     // result is oracled against the SAME exact-Jaccard SQL as q_dedup_ngram
@@ -700,6 +706,19 @@ object SparkEntry {
              round(CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter), 9) AS jaccard
       FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
+      ORDER BY 1, 2""",
+    "q_sparse_cosine" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      ne AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM ne GROUP BY 1, 2),
+      nrm AS (SELECT doc_id, sqrt(sum(tf*tf)) AS nrm FROM tf GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf*b.tf) AS dot
+        FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 9) AS cos
+      FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+      WHERE round(dot/(na.nrm*nb.nrm), 9) >= 0.95
       ORDER BY 1, 2""",
     "q_lang_id" -> """
       SELECT CAST(0 AS BIGINT) AS doc_id, '' AS violation WHERE 1 = 0""",

@@ -49,6 +49,10 @@ object GraftFunctions {
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
+  def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
+    column(L2apPrefix(expression(keys), expression(weights), t))
+  def sorted_weighted_dot(ka: Column, wa: Column, kb: Column, wb: Column): Column =
+    column(SortedWeightedDot(expression(ka), expression(wa), expression(kb), expression(wb)))
 
   // ----- estimators -----
   def hll_est(sketch: Column): Column = column(HllEst(expression(sketch)))

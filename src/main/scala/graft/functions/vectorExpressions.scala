@@ -201,3 +201,94 @@ case class KllSplits(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllSplits =
     copy(left = l, right = r)
 }
+
+/** l2ap_prefix(keys, weights) -> array<struct<h:long, ub:double>> — the
+  * L2AP prefix (Anastasiu & Karypis 2014): features in global rarest-first
+  * order are kept while the running SUFFIX norm (of the unit-normalized
+  * weight vector) stays >= t; each kept feature carries that suffix norm as
+  * its Cauchy-Schwarz upper bound. A qualifying pair (cos >= t) must share
+  * a prefix feature of both sides, and cos <= ub_a * ub_b at the smallest
+  * shared feature — both used by the exact sparse similarity join. */
+case class L2apPrefix(left: Expression, right: Expression, t: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("ub", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "l2ap_prefix"
+  override def nullSafeEval(k: Any, w: Any): Any =
+    L2apPrefix.prefix(k.asInstanceOf[ArrayData].toLongArray(),
+      w.asInstanceOf[ArrayData].toDoubleArray(), t)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, w) =>
+      s"graft.functions.L2apPrefix.prefix($k.toLongArray(), $w.toDoubleArray(), $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2apPrefix =
+    copy(left = l, right = r)
+}
+
+object L2apPrefix {
+  def prefix(keys: Array[Long], w: Array[Double],
+             t: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = math.min(keys.length, w.length)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var s = 0.0 // sum of squares BEFORE position i
+    var i = 0
+    var go = true
+    while (go && i < n) {
+      val suffixSq = 1.0 - s
+      if (suffixSq < t * t) go = false
+      else {
+        val ub = math.sqrt(math.max(0.0, suffixSq))
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](keys(i), ub))
+        s += w(i) * w(i)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** sorted_weighted_dot(ka, wa, kb, wb) -> dot product of two sparse vectors
+  * given as key-sorted parallel arrays — the verification kernel of the
+  * exact sparse cosine join (one linear merge per candidate pair, no
+  * per-element allocation). */
+case class SortedWeightedDot(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false),
+      ArrayType(LongType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_weighted_dot"
+  override def nullSafeEval(ka: Any, wa: Any, kb: Any, wb: Any): Any =
+    SortedWeightedDot.dot(
+      ka.asInstanceOf[ArrayData].toLongArray(), wa.asInstanceOf[ArrayData].toDoubleArray(),
+      kb.asInstanceOf[ArrayData].toLongArray(), wb.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ka, wa, kb, wb) =>
+      s"graft.functions.SortedWeightedDot.dot($ka.toLongArray(), $wa.toDoubleArray(), " +
+      s"$kb.toLongArray(), $wb.toDoubleArray())")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression, d: Expression): SortedWeightedDot =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+object SortedWeightedDot {
+  def dot(ka: Array[Long], wa: Array[Double],
+          kb: Array[Long], wb: Array[Double]): Double = {
+    var i = 0; var j = 0; var s = 0.0
+    val na = math.min(ka.length, wa.length)
+    val nb = math.min(kb.length, wb.length)
+    while (i < na && j < nb) {
+      if (ka(i) < kb(j)) i += 1
+      else if (ka(i) > kb(j)) j += 1
+      else { s += wa(i) * wb(j); i += 1; j += 1 }
+    }
+    s
+  }
+}

@@ -23,6 +23,22 @@ import graft.functions.GraftFunctions._
  */
 object Dedup {
 
+  /** Materialize + re-root a frame. Catalyst re-expands a referenced
+    * subtree at EVERY reference (no cross-reference CSE), so a frame used k
+    * times recomputes k times unless pinned. Reliable checkpoint when the
+    * session has a checkpoint dir (the cluster deployment path — durable on
+    * the shared FS, survives executor loss); localCheckpoint otherwise.
+    * createDataFrame mints fresh attribute ids so the pinned frame can be
+    * referenced several times in one plan (self-joins/self-unions of the
+    * same attribute ids trip Catalyst's constraint rewrites). */
+  private[operators] def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cut =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    spark.createDataFrame(cut.toJavaRDD, df.schema)
+  }
+
   /** Exact dedup: keep the smallest id per identical text, keyed by a
     * 128-bit content signature (XXH3 + an independent rolling hash), so the
     * shuffle carries 16 bytes per row — never the text. Two distinct texts
@@ -166,6 +182,96 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs cosine similarity >= minCos over sparse bag-of-words TF
+   * vectors — the weighted sibling of [[ngramJaccardPairs]], after the L2AP
+   * family (Anastasiu & Karypis, "L2AP: Fast cosine similarity search with
+   * prefix L-2 norm bounds", ICDE 2014), re-expressed as the same
+   * inverted-prefix-index plan shape:
+   *
+   *  1. unit-normalized tf weights per doc (64-bit token hashes end-to-end —
+   *     token strings never leave the explode stage); global feature order
+   *     rarest-first by (df, h);
+   *  2. PREFIX = leading features while the running suffix norm stays
+   *     >= t. Soundness (Cauchy-Schwarz): if the globally smallest shared
+   *     feature of a pair sits at position j of A and j' of B, then
+   *     cos(A,B) <= ||A[j..]|| * ||B[j'..]|| — so a qualifying pair shares a
+   *     feature inside BOTH prefixes, and the per-position bound product
+   *     prunes candidates exactly;
+   *  3. candidates from the prefix inverted index. Stopword-class hot
+   *     tokens carry tiny weights AND sort last, so they drop out of the
+   *     join — the same hot-key immunity as the shingle join;
+   *  4. exact verification: codegen'd sorted-merge dot product over
+   *     (hash, weight) arrays, one linear pass per candidate.
+   *
+   * Hashing exactness caveat is the shingle join's: only within-pair 64-bit
+   * collisions could perturb a score (P ~ |A∪B|^2 / 2^65 per pair).
+   *
+   * Pruning power depends on the FEATURE SPACE: unigram features over a
+   * tiny vocabulary (this repo's synthetic corpus) are the worst case —
+   * nearly every pair shares "rare" features, so the join approaches the
+   * true pair count and the run is output-bound. Zipfian real-text
+   * vocabularies prune well; for aggressive pruning on word-salad corpora
+   * use n-gram set similarity ([[ngramJaccardPairs]]) whose trigram feature
+   * space is combinatorially larger.
+   */
+  def sparseCosinePairs(docs: DataFrame, minCos: Double = 0.8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
+    val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
+    import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
+
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("id"), xxh3_64(col("t")).as("h"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+    // ONE grouped pass builds all per-doc state: features rarest-first for
+    // the prefix, hash-sorted parallel arrays for the merge-dot kernel, the
+    // norm for unit scaling (array transforms are per-doc, not per-pair).
+    // The state is PINNED (checkpointed) because the plan references it
+    // three times (prefix + both verify sides) and Catalyst re-expands a
+    // referenced subtree at every reference — unpinned, the corpus would be
+    // tokenized and aggregated 5x (measured 33s -> 7s at sf0.1). At crawl
+    // scale this is the standard "write the linear state once, read it
+    // thrice" shape; with a checkpoint dir configured the write is a
+    // durable shared-FS table.
+    val state = pin(tf.join(dfTab, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"), col("tf")))).as("__dfh"),
+        sqrt(sum(col("tf") * col("tf"))).as("__nrm"))
+      .withColumn("__hw", sort_array(transform(col("__dfh"),
+        x => struct(x("h").as("h"), (x("tf") / col("__nrm")).as("w")))))
+      .withColumn("hk", transform(col("__hw"), x => x("h")))
+      .withColumn("wv", transform(col("__hw"), x => x("w")))
+      .withColumn("pref", l2ap_prefix(
+        transform(col("__dfh"), x => x("h")),
+        transform(col("__dfh"), x => x("tf") / col("__nrm")), tEff))
+      .select(col("id"), col("hk"), col("wv"), col("pref")))
+
+    val prefix = state.select(col("id"), explode(col("pref")).as("f"))
+      .select(col("id"), col("f.h").as("h"), col("f.ub").as("ub"))
+    // dedupe BEFORE verification, unlike the shingle join: here verify
+    // ships two (hash, weight) array pairs per row, so the ~2-3x duplicate
+    // factor of multi-shared-prefix pairs costs real shuffle volume, while
+    // the dedup itself shuffles only 16-byte id pairs
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("a.ub") * col("b.ub") >= tEff)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(state.select(col("id").as("id_a"), col("hk").as("hk_a"), col("wv").as("wv_a")), "id_a")
+      .join(state.select(col("id").as("id_b"), col("hk").as("hk_b"), col("wv").as("wv_b")), "id_b")
+      .withColumn("cos", round(
+        sorted_weighted_dot(col("hk_a"), col("wv_a"), col("hk_b"), col("wv_b")), 9))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /**
    * MinHash + LSH near-dup pairs. k min-hash signatures from one explode +
    * k min() aggregates (hash_i(s) = xxh3(s + "#" + i)); signatures cut into
    * `bands`; docs sharing any band bucket become candidates (one equi-join
@@ -287,14 +393,6 @@ object Dedup {
         "connectedComponents: no spark checkpoint dir configured; falling " +
           "back to localCheckpoint (NOT fault-tolerant — executor loss fails " +
           "the job). Call sc.setCheckpointDir on a shared filesystem.")
-    // materialize + re-root a frame: checkpoint cuts lineage;
-    // createDataFrame mints fresh attribute ids so each round's plan can
-    // reference the previous labels several times (self-union of the same
-    // attribute ids trips Catalyst's Union constraint rewrite)
-    def pin(df: DataFrame): DataFrame = {
-      val cut = if (reliable) df.checkpoint() else df.localCheckpoint()
-      spark.createDataFrame(cut.toJavaRDD, df.schema)
-    }
     // undirected edge list, both directions
     val edges = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

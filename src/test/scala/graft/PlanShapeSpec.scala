@@ -104,6 +104,17 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
+  test("sparse cosine join is equi-join only, no nested-loop/cartesian/window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Dedup.sparseCosinePairs(docs, minCos = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("RunningWindowFunction"), "per-doc state must not need a window")
+  }
+
   test("prefix-filtered dedup joins only on prefix shingles (grouped prefix, equi-joins)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)

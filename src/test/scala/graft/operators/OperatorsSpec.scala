@@ -113,6 +113,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fs.listStatus(p).nonEmpty, "reliable checkpoint files written")
   }
 
+  test("sparse cosine join (L2AP prefix) == brute force across thresholds and corpora") {
+    def bruteForce(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+      def tf(s: String): Map[String, Double] =
+        s.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+          .map { case (k, v) => k -> v.length.toDouble }
+      def norm(m: Map[String, Double]) = math.sqrt(m.values.map(x => x * x).sum)
+      (for {
+        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+        ma = tf(ta); mb = tf(tb)
+        dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
+        cos = BigDecimal(dot / (norm(ma) * norm(mb)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= t
+      } yield (ia, ib, cos)).toSet
+    }
+    // fixture corpus (planted near-dups) + random corpora with heavy token
+    // sharing so stopword-class hot features and the length spread are live
+    val fixture = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    Seq(0.5, 0.8, 0.95).foreach { t =>
+      val got = Dedup.sparseCosinePairs(docs, minCos = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteForce(fixture, t), s"fixture t=$t")
+    }
+    (0 until 2).foreach { seed =>
+      val rnd = new java.util.Random(40 + seed)
+      val corpus = (0 until 100).map { i =>
+        val len = 3 + rnd.nextInt(30)
+        (i.toLong, Array.fill(len)(s"v${rnd.nextInt(40)}").mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      Seq(0.3, 0.6, 0.9).foreach { t =>
+        val got = Dedup.sparseCosinePairs(df, minCos = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got === bruteForce(corpus, t), s"seed=$seed t=$t")
+      }
+    }
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
