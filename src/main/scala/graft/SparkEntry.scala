@@ -277,6 +277,21 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher repetition filters (dup-line fraction / dup-line char
+      // fraction, Rae et al. 2021) over deterministically synthesized
+      // multi-line docs (documents.text is single-line): lines 1 and 3
+      // repeat a 40-char slice, line 4 is unique per doc
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val multiline = concat_ws("\n", l1, l2, l1,
+        concat(lit("u"), col("doc_id").cast("string")))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          round(dup_line_ratio(multiline), 9).as("dup_line_ratio"),
+          round(dup_line_char_ratio(multiline), 9).as("dup_line_char_ratio"))
+        .orderBy(col("doc_id"))
+    }),
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -657,6 +672,21 @@ object SparkEntry {
              round(CAST(sw AS DOUBLE) / n, 9) AS stopword_ratio,
              round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
+      FROM agg ORDER BY doc_id""",
+    "q_text_repetition" -> """
+      WITH ml AS (
+        SELECT doc_id,
+               concat_ws(chr(10), substring(text, 1, 40), substring(text, 41, 40),
+                         substring(text, 1, 40), 'u' || doc_id) AS t2
+        FROM documents),
+      lines AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM ml),
+      per AS (SELECT doc_id, l, count(*) AS c, len(l) AS ln FROM lines GROUP BY 1, 2),
+      agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d,
+                     sum(ln * c) AS chars, sum(ln * (c - 1)) AS dupchars
+              FROM per GROUP BY 1)
+      SELECT doc_id,
+             round(CAST(n - d AS DOUBLE) / n, 9) AS dup_line_ratio,
+             round(CAST(dupchars AS DOUBLE) / chars, 9) AS dup_line_char_ratio
       FROM agg ORDER BY doc_id""",
     "q_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,

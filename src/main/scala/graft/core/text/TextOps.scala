@@ -226,6 +226,40 @@ object TextOps {
     if (n == 0) 0.0 else chars.toDouble / n
   }
 
+  /** Fraction of lines that are duplicates of an earlier line — the Gopher
+    * "duplicate line fraction" repetition signal (Rae et al. 2021,
+    * Table A1). Lines split on '\n'; empty lines count. */
+  def dupLineRatio(text: String): Double = {
+    val lines = text.split("\n", -1)
+    if (lines.isEmpty) return 0.0
+    val seen = new java.util.HashSet[String]()
+    var dups = 0
+    var i = 0
+    while (i < lines.length) {
+      if (!seen.add(lines(i))) dups += 1
+      i += 1
+    }
+    dups.toDouble / lines.length
+  }
+
+  /** Fraction of characters sitting in duplicate lines (occurrences beyond
+    * the first) over all line characters — the Gopher "duplicate line
+    * character fraction" (Rae et al. 2021). Newlines excluded from both
+    * sides; 0 when the text has no line characters at all. */
+  def dupLineCharRatio(text: String): Double = {
+    val lines = text.split("\n", -1)
+    val seen = new java.util.HashSet[String]()
+    var total = 0L
+    var dup = 0L
+    var i = 0
+    while (i < lines.length) {
+      total += lines(i).length
+      if (!seen.add(lines(i))) dup += lines(i).length
+      i += 1
+    }
+    if (total == 0) 0.0 else dup.toDouble / total
+  }
+
   /** Frequency of the most common non-empty token over the token count —
     * the Gopher "fraction of text in the most common word" repetition
     * signal (high values mark degenerate/boilerplate docs). Ties don't

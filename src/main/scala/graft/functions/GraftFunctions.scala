@@ -49,6 +49,8 @@ object GraftFunctions {
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
+  def dup_line_ratio(c: Column): Column = column(DupLineRatio(expression(c)))
+  def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
     column(L2apPrefix(expression(keys), expression(weights), t))
   def sorted_weighted_dot(ka: Column, wa: Column, kb: Column, wb: Column): Column =
@@ -111,6 +113,8 @@ object GraftFunctions {
     "stopword_ratio" -> (e => StopwordRatio(e.head)),
     "mean_word_len" -> (e => MeanWordLen(e.head)),
     "max_token_ratio" -> (e => MaxTokenRatio(e.head)),
+    "dup_line_ratio" -> (e => DupLineRatio(e.head)),
+    "dup_line_char_ratio" -> (e => DupLineCharRatio(e.head)),
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),

@@ -183,6 +183,26 @@ case class MaxTokenRatio(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): MaxTokenRatio = copy(child = c)
 }
 
+/** Gopher duplicate-line fraction (repetition filter, Rae et al. 2021). */
+case class DupLineRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_line_ratio"
+  override protected def fn: String = "dupLineRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.dupLineRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): DupLineRatio = copy(child = c)
+}
+
+/** Gopher duplicate-line character fraction (Rae et al. 2021). */
+case class DupLineCharRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_line_char_ratio"
+  override protected def fn: String = "dupLineCharRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.dupLineCharRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): DupLineCharRatio = copy(child = c)
+}
+
 /** Fraction of alphabetic characters. */
 case class AlphaRatio(child: Expression) extends TextUnary {
   override def dataType: DataType = DoubleType

@@ -428,6 +428,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.size < 10000, s"skew guard must collapse the pair count, got ${pairs.size}")
   }
 
+  test("Gopher repetition signals: duplicate line fraction and char fraction") {
+    import graft.core.text.TextOps
+    assert(TextOps.dupLineRatio("a\nb\nc") === 0.0)
+    assert(TextOps.dupLineRatio("a\nb\na") === 1.0 / 3)
+    assert(TextOps.dupLineRatio("a\na\na") === 2.0 / 3)
+    assert(TextOps.dupLineRatio("") === 0.0) // one empty line, no dup
+    assert(TextOps.dupLineRatio("\n") === 0.5) // two empty lines, one dup
+    assert(TextOps.dupLineCharRatio("abc\nz\nabc") === 3.0 / 7)
+    assert(TextOps.dupLineCharRatio("x\ny") === 0.0)
+    assert(TextOps.dupLineCharRatio("\n\n") === 0.0) // no line chars at all
+    // through the Spark expression + SQL registration
+    val df = Seq((1L, "dup\nuniq\ndup")).toDF("doc_id", "text")
+    val r = df.select(dup_line_ratio($"text"), dup_line_char_ratio($"text")).collect()(0)
+    assert(r.getDouble(0) === 1.0 / 3 && r.getDouble(1) === 3.0 / 10)
+    val sqlR = spark.sql("SELECT dup_line_ratio('a\na'), dup_line_char_ratio('a\na')").collect()(0)
+    assert(sqlR.getDouble(0) === 0.5 && sqlR.getDouble(1) === 0.5)
+  }
+
   test("canonicalize_url: scheme/host lower, fragment/default-port strip, rest preserved") {
     import graft.core.net.UrlUtil.canonicalize
     assert(canonicalize("HtTpS://WWW.Example.COM:443/A/B?q=X#frag") ===
