@@ -292,3 +292,62 @@ object SortedWeightedDot {
     s
   }
 }
+
+/** rotate_vec(vec) -> R^T * vec as array<double> — the OPQ rotation applied
+  * per row (Ge et al. 2013). The d x d orthonormal matrix is plan-embedded
+  * (addReferenceObj, row-major), the product a codegen'd tight loop; rows
+  * shorter than d are zero-padded, longer ones truncated. */
+case class RotateVec(child: Expression, rt: Array[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rotate_vec requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rotate_vec"
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val d =
+      if (isFloat) { val f = arr.toFloatArray(); Array.tabulate(f.length)(i => f(i).toDouble) }
+      else arr.toDoubleArray()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(RotateVec.apply(d, rt))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("opqRt", rt, "double[][]")
+    val (conv, fn) = if (isFloat) ("toFloatArray", "applyF") else ("toDoubleArray", "apply")
+    defineCodeGen(ctx, ev, v =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.functions.RotateVec.$fn($v.$conv(), $rRef))")
+  }
+  override protected def withNewChildInternal(c: Expression): RotateVec = copy(child = c)
+}
+
+object RotateVec {
+  def applyF(v: Array[Float], rt: Array[Array[Double]]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { d(i) = v(i); i += 1 }
+    apply(d, rt)
+  }
+  /** out[j] = sum_i rt[j][i] * v[i] (rt = R^T, row-major). */
+  def apply(v: Array[Double], rt: Array[Array[Double]]): Array[Double] = {
+    val dims = rt.length
+    val out = new Array[Double](dims)
+    var j = 0
+    while (j < dims) {
+      val row = rt(j)
+      var s = 0.0
+      var i = 0
+      val lim = math.min(row.length, v.length)
+      while (i < lim) { s += row(i) * v(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+}

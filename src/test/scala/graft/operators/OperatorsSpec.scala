@@ -507,6 +507,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfHits >= 16, s"planted-copy IVFADC hits $ivfHits/20")
   }
 
+  test("OPQ: orthonormal rotation, beats plain PQ on correlated data, ADC end-to-end") {
+    // anisotropic correlated corpus: 8 strong latent directions mixed
+    // across all 64 dims — the axis-aligned case PQ handles poorly and the
+    // learned rotation is for (Ge et al. 2013)
+    val rnd = new java.util.Random(7)
+    val dims = 64
+    val latent = 8
+    val mix = Array.fill(dims, latent)(rnd.nextGaussian())
+    val scale = Array.tabulate(latent)(k => 4.0 / (1 + k))
+    val vecs = (0 until 1500).map { i =>
+      val z = Array.tabulate(latent)(k => rnd.nextGaussian() * scale(k))
+      val x = Array.tabulate(dims) { d =>
+        var s = 0.0
+        var k = 0
+        while (k < latent) { s += mix(d)(k) * z(k); k += 1 }
+        (s + 0.05 * rnd.nextGaussian()).toFloat
+      }
+      (i.toLong, x)
+    }
+    val df = vecs.toDF("vec_id", "embedding").cache()
+
+    val opq = Opq.train(df, dims = dims, m = 16, ks = 16, iters = 3, opqIters = 6)
+    val opq2 = Opq.train(df, dims = dims, m = 16, ks = 16, iters = 3, opqIters = 6)
+    assert(opq.rt.flatten.toSeq === opq2.rt.flatten.toSeq, "training deterministic")
+
+    // R^T R == I (orthonormal)
+    for (a <- 0 until dims; b <- a until dims) {
+      var s = 0.0
+      for (r <- 0 until dims) s += opq.rt(r)(a) * opq.rt(r)(b)
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(s - want) < 1e-9, s"R^T R [$a][$b] = $s")
+    }
+
+    // opqIters = 0 degrades to plain PQ (identity rotation, same codebooks
+    // up to distributed-vs-sequential summation order)
+    val noRot = Opq.train(df, dims = dims, m = 16, ks = 16, iters = 3, opqIters = 0)
+    assert(noRot.rt.zipWithIndex.forall { case (row, i) =>
+      row.zipWithIndex.forall { case (v, j) => v == (if (i == j) 1.0 else 0.0) } })
+    val plain = Pq.train(df, dims = dims, m = 16, ks = 16, iters = 3)
+    val flatA: Seq[Double] = noRot.pq.codebooks.flatten.flatMap(_.toSeq).toSeq
+    val flatB: Seq[Double] = plain.codebooks.flatten.flatMap(_.toSeq).toSeq
+    val maxDiff = flatA.zip(flatB).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-9, s"opqIters=0 must reproduce Pq.train (maxDiff=$maxDiff)")
+
+    // quantization error: OPQ reconstruction must beat plain PQ's
+    def mse(model: OpqModel): Double = {
+      val errs = vecs.map { case (_, xf) =>
+        val x = xf.map(_.toDouble)
+        val y = graft.functions.RotateVec.apply(x, model.rt)
+        val code = graft.functions.PqEncode.encode(y, model.pq)
+        var e = 0.0
+        var j = 0
+        val sub = model.pq.subDims
+        while (j < model.pq.m) {
+          val cent = model.pq.codebooks(j)(code(j))
+          var d = 0
+          while (d < sub) { val dd = y(j * sub + d) - cent(d); e += dd * dd; d += 1 }
+          j += 1
+        }
+        e
+      }
+      errs.sum / errs.length
+    }
+    val ePq = mse(noRot)
+    val eOpq = mse(opq)
+    assert(eOpq < 0.9 * ePq, s"OPQ mse $eOpq must beat PQ mse $ePq by >=10%")
+
+    // end-to-end Spark path: planted exact copies retrieved at rank 1
+    // through rotate+encode (codegen) and the ADC scan
+    val codes = df.select($"vec_id", Opq.encode($"embedding", opq).as("pq_code"))
+    val planted = df.limit(20).select(($"vec_id" + 700000L).as("vec_id"), $"embedding")
+    val hits = Opq.adcTopK(codes, planted, k = 1, opq).collect()
+      .count(r => r.getAs[Long]("query_id") - 700000L == r.getAs[Long]("nn_id"))
+    assert(hits >= 16, s"planted-copy OPQ-ADC hits $hits/20")
+  }
+
   test("PQ and IVF training scan the source once, independent of m and iters") {
     // every physical read of a corpus row bumps the accumulator via a typed
     // map over the source — training must sample/cache so Lloyd iterations
