@@ -374,17 +374,27 @@ object SparkEntry {
     }),
     "q_winnow_overlap" -> ((s, dir) => {
       // winnowing guarantee (Schleimer et al. 2003): any common substring
-      // of >= w+k-1 chars shares at least one fingerprint. Plant a shared
-      // passage (a deterministic slice of each document) into a derived
-      // pair — A carries it as a prefix, B buried after a unique head —
-      // then SELECT the planted pairs winnowOverlapPairs MISSES: must be
-      // empty, and every row is a broken guarantee, not noise.
+      // of >= w+k-1 chars shares at least one fingerprint. Plant an
+      // 80-char shared passage into a derived pair — A carries it as a
+      // prefix, B buried after a unique head — then SELECT the planted
+      // pairs winnowOverlapPairs MISSES: must be empty, and every row is a
+      // broken guarantee, not noise. Passages are hash-hex derived from
+      // each document (per-pair-unique substrings), so the check isolates
+      // the GUARANTEE from cross-pair fingerprint sharing — corpus-hot
+      // boilerplate behaviour is covered by the skew-cap soak in ScalaTest.
       val docs = s.read.parquet(t(dir, "documents"))
-      val passage = substring(col("text"), 1, 80) // >= 44 chars at every SF
+      val passage = format_string("%016x%016x%016x%016x%016x",
+        xxh3_64(col("text")), xxh3_64(concat(col("text"), lit("a"))),
+        xxh3_64(concat(col("text"), lit("b"))), xxh3_64(concat(col("text"), lit("c"))),
+        xxh3_64(concat(col("text"), lit("d"))))
+      // affixes are hash-hex too: a shared literal like "tail_" would be a
+      // corpus-wide hot 8-gram — one fingerprint joining 10k docs
       val a = docs.select((col("doc_id") * 2).as("doc_id"),
-        concat(passage, lit(" tail_a_"), col("doc_id").cast("string")).as("text"))
+        concat(passage, lit(" "),
+          format_string("%016x", xxh3_64(concat(col("text"), lit("t"))))).as("text"))
       val b = docs.select((col("doc_id") * 2 + 1).as("doc_id"),
-        concat(lit("head_b_"), col("doc_id").cast("string"), lit(" "), passage).as("text"))
+        concat(format_string("%016x", xxh3_64(concat(col("text"), lit("h")))),
+          lit(" "), passage).as("text"))
       val found = Dedup.winnowOverlapPairs(a.unionByName(b), minShared = 1, k = 8, w = 4)
       docs.select((col("doc_id") * 2).as("id_a"), (col("doc_id") * 2 + 1).as("id_b"))
         .join(found, Seq("id_a", "id_b"), "left_anti")
