@@ -334,6 +334,12 @@ object SparkEntry {
       Dedup.sparseCosinePairs(s.read.parquet(t(dir, "documents")), minCos = 0.95)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_sparse_cosine_idf" -> ((s, dir) => {
+      // same join under smooth tf-idf weighting (the standard IR cosine)
+      Dedup.sparseCosinePairs(s.read.parquet(t(dir, "documents")), minCos = 0.9,
+          idf = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // minhash+LSH with exact-Jaccard verification: on this corpus recall is
     // 1.0 at (k=32, b=8, J>=0.2) — P(candidate) = 1-(1-J^4)^8 — so the
     // result is oracled against the SAME exact-Jaccard SQL as q_dedup_ngram
@@ -759,6 +765,23 @@ object SparkEntry {
       SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 9) AS cos
       FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
       WHERE round(dot/(na.nrm*nb.nrm), 9) >= 0.95
+      ORDER BY 1, 2""",
+    "q_sparse_cosine_idf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      ne AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM ne GROUP BY 1, 2),
+      dfv AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      w AS (SELECT doc_id, tf.t, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+            FROM tf JOIN dfv USING (t), nd),
+      nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w*b.w) AS dot
+        FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 9) AS cos
+      FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+      WHERE round(dot/(na.nrm*nb.nrm), 9) >= 0.9
       ORDER BY 1, 2""",
     "q_lang_id" -> """
       SELECT CAST(0 AS BIGINT) AS doc_id, '' AS violation WHERE 1 = 0""",

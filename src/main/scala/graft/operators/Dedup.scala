@@ -213,9 +213,15 @@ object Dedup {
    * vocabularies prune well; for aggressive pruning on word-salad corpora
    * use n-gram set similarity ([[ngramJaccardPairs]]) whose trigram feature
    * space is combinatorially larger.
+   *
+   * `idf = true` switches weights to smooth tf-idf
+   * (w = tf * (ln((1+N)/(1+df)) + 1), the sklearn convention): the standard
+   * IR similarity, and ALSO sharper prefixes — common tokens carry less
+   * norm, so suffix bounds fall faster. Exactness is weight-agnostic.
    */
   def sparseCosinePairs(docs: DataFrame, minCos: Double = 0.8,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        idf: Boolean = false): DataFrame = {
     require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
     val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
     import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
@@ -226,6 +232,11 @@ object Dedup {
       .groupBy(col("id"), xxh3_64(col("t")).as("h"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTab = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // tf-idf weighting (smooth idf, sklearn convention): common tokens
+    // carry less weight, so prefixes get MORE selective — the exactness of
+    // the suffix-norm bound is weight-agnostic. Doc count is one
+    // metadata-cheap count() of the input.
+    val nDocs = if (idf) docs.count() else 0L
 
     // ONE grouped pass builds all per-doc state: features rarest-first for
     // the prefix, hash-sorted parallel arrays for the merge-dot kernel, the
@@ -238,16 +249,19 @@ object Dedup {
     // thrice" shape; with a checkpoint dir configured the write is a
     // durable shared-FS table.
     val state = pin(tf.join(dfTab, "h")
+      .withColumn("w0",
+        if (idf) col("tf") * (log((lit(1.0) + nDocs.toDouble) / (lit(1.0) + col("df"))) + lit(1.0))
+        else col("tf"))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h"), col("tf")))).as("__dfh"),
-        sqrt(sum(col("tf") * col("tf"))).as("__nrm"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"), col("w0")))).as("__dfh"),
+        sqrt(sum(col("w0") * col("w0"))).as("__nrm"))
       .withColumn("__hw", sort_array(transform(col("__dfh"),
-        x => struct(x("h").as("h"), (x("tf") / col("__nrm")).as("w")))))
+        x => struct(x("h").as("h"), (x("w0") / col("__nrm")).as("w")))))
       .withColumn("hk", transform(col("__hw"), x => x("h")))
       .withColumn("wv", transform(col("__hw"), x => x("w")))
       .withColumn("pref", l2ap_prefix(
         transform(col("__dfh"), x => x("h")),
-        transform(col("__dfh"), x => x("tf") / col("__nrm")), tEff))
+        transform(col("__dfh"), x => x("w0") / col("__nrm")), tEff))
       .select(col("id"), col("hk"), col("wv"), col("pref")))
 
     val prefix = state.select(col("id"), explode(col("pref")).as("f"))

@@ -114,14 +114,21 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("sparse cosine join (L2AP prefix) == brute force across thresholds and corpora") {
-    def bruteForce(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def bruteForce(corpus: Seq[(Long, String)], t: Double,
+                   idf: Boolean = false): Set[(Long, Long, Double)] = {
       def tf(s: String): Map[String, Double] =
         s.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
           .map { case (k, v) => k -> v.length.toDouble }
+      val tfs = corpus.map { case (i, s) => i -> tf(s) }
+      val dfm = tfs.flatMap(_._2.keys).groupBy(identity).map { case (k, v) => k -> v.size }
+      val n = corpus.size.toDouble
+      def weight(m: Map[String, Double]): Map[String, Double] =
+        if (!idf) m
+        else m.map { case (k, v) => k -> v * (math.log((1.0 + n) / (1.0 + dfm(k))) + 1.0) }
       def norm(m: Map[String, Double]) = math.sqrt(m.values.map(x => x * x).sum)
       (for {
-        (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
-        ma = tf(ta); mb = tf(tb)
+        (ia, ma0) <- tfs; (ib, mb0) <- tfs if ia < ib
+        ma = weight(ma0); mb = weight(mb0)
         dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
         cos = BigDecimal(dot / (norm(ma) * norm(mb)))
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -147,6 +154,9 @@ class OperatorsSpec extends AnyFunSuite {
         val got = Dedup.sparseCosinePairs(df, minCos = t)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         assert(got === bruteForce(corpus, t), s"seed=$seed t=$t")
+        val gotIdf = Dedup.sparseCosinePairs(df, minCos = t, idf = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(gotIdf === bruteForce(corpus, t, idf = true), s"idf seed=$seed t=$t")
       }
     }
   }
