@@ -328,6 +328,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // GPT-3-style n-gram decontamination against a "benchmark" slice of
+      // the corpus (every 50th doc), oracled by an independent DuckDB
+      // shingle semi-join. n=5 fits the short synthetic docs (the standard
+      // 13-gram rule assumes paragraph-length text).
+      val docs = s.read.parquet(t(dir, "documents"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      Dedup.contaminatedDocs(docs, bench, n = 5, minShared = 1)
+        .orderBy(col("doc_id"))
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // deterministic sampling contracts as a violation query: exact
+      // per-stratum quotas; selection invariant under repartitioning (the
+      // reproducibility claim — hash order, not partition order); hash
+      // sampling within a generous rate bound. Any row is a bug.
+      val docs = s.read.parquet(t(dir, "documents"))
+      val s1 = graft.operators.Sampling.stratified(docs, "lang", 0.2)
+      val s2 = graft.operators.Sampling.stratified(docs.repartition(7), "lang", 0.2)
+      val want = docs.groupBy(col("lang"))
+        .agg(ceil(count(lit(1)) * 0.2).cast("long").as("want"))
+      val got = s1.groupBy(col("lang")).agg(count(lit(1)).as("got"))
+      val quotaV = want.join(got, Seq("lang"), "full_outer")
+        .filter(coalesce(col("got"), lit(0L)) =!= coalesce(col("want"), lit(0L)))
+        .select(col("lang"), lit("quota").as("violation"))
+      val detV = s1.select(col("doc_id"), col("lang"))
+        .exceptAll(s2.select(col("doc_id"), col("lang")))
+        .select(col("lang"), lit("determinism").as("violation"))
+      val rateV = graft.operators.Sampling.byHash(docs, 0.3)
+        .agg(count(lit(1)).as("n")).crossJoin(docs.agg(count(lit(1)).as("total")))
+        .filter(abs(col("n") - col("total") * 0.3) > col("total") * 0.15)
+        .select(lit("byhash").as("lang"), lit("rate").as("violation"))
+      quotaV.unionByName(detV).unionByName(rateV).orderBy(col("lang"), col("violation"))
+    }),
     "q_sparse_cosine" -> ((s, dir) => {
       // exact L2AP-prefix sparse cosine join over bag-of-words tf vectors,
       // oracled 1:1 against a DuckDB tf/norm/dot computation
@@ -753,6 +786,21 @@ object SparkEntry {
       FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
       ORDER BY 1, 2""",
+    "q_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                           ELSE list_transform(range(1, len(ts) - 3),
+                                  i -> array_to_string(ts[i:i+4], ' ')) END) AS s
+        FROM toks),
+      ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+      SELECT doc_id, count(*) AS shared
+      FROM sh JOIN ref USING (s)
+      GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""",
+    "q_sample_stratified" -> """
+      SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
     "q_sparse_cosine" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
       ne AS (SELECT doc_id, t FROM tok WHERE t <> ''),

@@ -331,6 +331,37 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination (Brown et al. 2020, GPT-3 appendix C): find
+   * training docs sharing at least `minShared` word n-grams with ANY doc of
+   * a reference set (eval benchmarks, test splits). The standard
+   * contamination rule is a 13-gram overlap; use smaller n for short texts.
+   *
+   * Scale shape: the reference set's distinct n-gram hashes are usually
+   * tiny next to the corpus (eval suites vs a crawl), so the join is a
+   * broadcast-able semi join on 64-bit hashes — the corpus explodes its
+   * shingles ONCE, nothing corpus-sized shuffles, and the output is
+   * (doc_id, shared count) for thresholding or audit.
+   *
+   * Returns (idCol, shared) for contaminated docs only; anti-join it back
+   * to drop them.
+   */
+  def contaminatedDocs(docs: DataFrame, reference: DataFrame, n: Int = 13,
+                       minShared: Int = 1,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       refTextCol: String = "text"): DataFrame = {
+    val refGrams = reference
+      .select(explode(shingles(col(refTextCol), n)).as("sh"))
+      .select(xxh3_64(col("sh")).as("h"))
+      .distinct()
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), xxh3_64(col("sh")).as("h"))
+      .join(refGrams, "h") // inner on distinct ref grams: one row per hit
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Winnowing overlap pairs — LOCAL duplication detection (shared passages,
    * quotations, boilerplate blocks) that whole-document Jaccard misses:
    * docs sharing >= `minShared` winnowing fingerprints. By the winnowing

@@ -161,6 +161,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: planted benchmark n-grams found, clean docs untouched") {
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "four score and seven years ago our fathers brought forth a new nation"))
+      .toDF("doc_id", "text")
+    val plantedGram = "jumps over the lazy dog near the river bank today ok" // >= 13 words w/ prefix
+    val corpus = Seq(
+      (10L, s"training doc that quotes: the quick brown fox jumps over the lazy dog near the river bank today end"),
+      (11L, "a completely unrelated training document about sketch aggregation on spark clusters"),
+      (12L, "four score and seven years ago our fathers brought forth a new nation of sketches"),
+      (13L, "shares only four score and nothing else long enough"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminatedDocs(corpus, bench, n = 13, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L), "13-gram quote must be flagged")
+    assert(hits.contains(12L), "13-gram benchmark prefix must be flagged")
+    assert(!hits.contains(11L) && !hits.contains(13L),
+      s"short/no overlap must not flag: $hits")
+    val _ = plantedGram // documentation of the quoted gram
+    // dropping flagged docs composes with an anti join
+    val kept = corpus.join(Dedup.contaminatedDocs(corpus, bench, n = 13),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+  }
+
+  test("sampling: exact stratified quotas, partition-invariant, hash sample properties") {
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, s"lang${i % 7}", s"text $i")
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    val s1 = Sampling.stratified(df, "lang", 0.1).collect()
+    // exact quotas: ceil(0.1 * per-lang count)
+    val perLang = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val gotLang = s1.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    perLang.foreach { case (l, n) =>
+      assert(gotLang(l) === math.ceil(n * 0.1).toInt, s"quota for $l")
+    }
+    // partition invariance: same rows from any partitioning
+    val ids1 = s1.map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratified(df.repartition(13), "lang", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2, "stratified selection must not depend on partitioning")
+
+    // hash sample: deterministic, subset, ~fraction, salt-independent draws
+    val h1 = Sampling.byHash(df, 0.25).collect().map(_.getLong(0)).toSet
+    val h2 = Sampling.byHash(df.repartition(11), 0.25).collect().map(_.getLong(0)).toSet
+    assert(h1 === h2)
+    assert(math.abs(h1.size - 750) < 150, s"rate ${h1.size}/3000 vs fraction 0.25")
+    val salted = Sampling.byHash(df, 0.25, salt = "other").collect().map(_.getLong(0)).toSet
+    assert(salted !== h1, "a different salt draws a different sample")
+    val inter = h1.intersect(salted).size.toDouble
+    assert(math.abs(inter - 0.25 * h1.size) < 80, "independent draws overlap ~fraction^2")
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
