@@ -264,8 +264,15 @@ object Dedup {
         transform(col("__dfh"), x => x("w0") / col("__nrm")), tEff))
       .select(col("id"), col("hk"), col("wv"), col("pref")))
 
+    // round-robin repartition before the self-join: the pinned state is
+    // row-tiny (AQE coalesces it to few partitions), but the join's OUTPUT
+    // is the big thing — without this, candidate emission runs in as few
+    // tasks as the state has partitions (measured: ONE 8s serial task at
+    // sf0.1). Spreading the streamed side parallelizes emission regardless
+    // of hot keys, since the other side broadcasts.
     val prefix = state.select(col("id"), explode(col("pref")).as("f"))
       .select(col("id"), col("f.h").as("h"), col("f.ub").as("ub"))
+      .repartition(state.sparkSession.sparkContext.defaultParallelism)
     // dedupe BEFORE verification, unlike the shingle join: here verify
     // ships two (hash, weight) array pairs per row, so the ~2-3x duplicate
     // factor of multi-shared-prefix pairs costs real shuffle volume, while
