@@ -40,8 +40,13 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // session warmup so the first measured query isn't charged JVM/codegen init
+    // session warmup so the first measured query isn't charged JVM/codegen
+    // init — include a small parquet read so the columnar reader + codec
+    // paths are JIT'd too (first-query compilation isn't steady-state)
     force(spark.range(1000).selectExpr("sum(id) AS s").toDF())
+    try force(spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("count(*) AS c"))
+    catch { case _: Exception => () } // sf dir without region: skip warmup
 
     // ---- per-query timings (full materialization via noop sink) ----
     // SPARK_GRAFT_SKETCH_ONLY=1 measures just the headline sketch-build
