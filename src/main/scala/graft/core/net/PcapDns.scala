@@ -208,24 +208,33 @@ object PcapDns {
     var srcIp: String = null
     var dstIp: String = null
     var proto = -1
+    // `end` narrows to the IP datagram's own length below: Ethernet pads
+    // frames to 60 bytes, and padding bytes after a short segment would
+    // otherwise be injected into the TCP flow stream (corrupting the
+    // length-framed parse) or trail a UDP message
+    var ipEnd = end
     etherType match {
       case 0x0800 => // IPv4
         if (end - p < 20) return
         val ihl = (d(p) & 0x0f) * 4
         if (ihl < 20 || end - p < ihl) return
+        val totalLen = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+        if (totalLen >= ihl && p + totalLen <= end) ipEnd = p + totalLen
         proto = d(p + 9) & 0xff
         srcIp = s"${d(p + 12) & 0xff}.${d(p + 13) & 0xff}.${d(p + 14) & 0xff}.${d(p + 15) & 0xff}"
         dstIp = s"${d(p + 16) & 0xff}.${d(p + 17) & 0xff}.${d(p + 18) & 0xff}.${d(p + 19) & 0xff}"
         p += ihl
       case 0x86dd => // IPv6
         if (end - p < 40) return
+        val payloadLen = ((d(p + 4) & 0xff) << 8) | (d(p + 5) & 0xff)
+        if (payloadLen > 0 && p + 40 + payloadLen <= end) ipEnd = p + 40 + payloadLen
         proto = d(p + 6) & 0xff
         srcIp = ipv6Text(d, p + 8)
         dstIp = ipv6Text(d, p + 24)
         p += 40
         // skippable extension headers: hop-by-hop(0), routing(43), dstopts(60)
         var guard = 0
-        while ((proto == 0 || proto == 43 || proto == 60) && end - p >= 8 && guard < 8) {
+        while ((proto == 0 || proto == 43 || proto == 60) && ipEnd - p >= 8 && guard < 8) {
           val next = d(p) & 0xff
           val hlen = 8 + (d(p + 1) & 0xff) * 8
           p += hlen
@@ -236,28 +245,33 @@ object PcapDns {
     }
 
     if (proto == 17) { // UDP
-      if (end - p < 8) return
+      if (ipEnd - p < 8) return
       val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
       val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
       p += 8
       if (sport != 53 && dport != 53) return // no DNS layer
-      parseDnsQuestions(d, p, end, micros, srcIp, out)
+      parseDnsQuestions(d, p, ipEnd, micros, srcIp, out)
     } else if (proto == 6) { // TCP: DNS rides a 2-byte length prefix
-      if (end - p < 20) return
+      if (ipEnd - p < 20) return
       val sport = ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
       val dport = ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
       val seq = ((d(p + 4) & 0xffL) << 24) | ((d(p + 5) & 0xffL) << 16) |
         ((d(p + 6) & 0xffL) << 8) | (d(p + 7) & 0xffL)
+      val syn = (d(p + 13) & 0x02) != 0
       val dataOff = ((d(p + 12) & 0xf0) >> 4) * 4
-      if (dataOff < 20 || end - p < dataOff) return
+      if (dataOff < 20 || ipEnd - p < dataOff) return
       p += dataOff
       if (sport != 53 && dport != 53) return
-      if (end <= p) return // empty segment (SYN/ACK etc.)
+      // a SYN opens a NEW stream epoch for this 4-tuple even with no
+      // payload: port reuse within one capture must not merge two
+      // connections' seq spaces into one relative stream
+      if (syn) flows.newEpoch(s"$srcIp|$dstIp|$sport|$dport")
+      if (ipEnd <= p) return // empty segment (pure ACK etc.)
       // buffer the payload for per-flow reassembly: the length-framed
       // message stream parses after the packet walk, so messages split
       // across segments decode too (see TcpFlows)
       flows.add(s"$srcIp|$dstIp|$sport|$dport", seq, micros, srcIp,
-        java.util.Arrays.copyOfRange(d, p, end))
+        java.util.Arrays.copyOfRange(d, p, ipEnd))
     }
   }
 
@@ -297,10 +311,17 @@ object PcapDns {
   private final class TcpFlows {
     private val flows = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long, String, Array[Byte])]]
+    // 4-tuple reuse: each SYN bumps the tuple's epoch so two connections on
+    // the same ports become two independent streams (otherwise the second
+    // connection's unrelated ISN reads as a gap/overlap of the first)
+    private val epochs = scala.collection.mutable.Map.empty[String, Int]
+
+    def newEpoch(key: String): Unit =
+      epochs.update(key, epochs.getOrElse(key, 0) + 1)
 
     def add(key: String, seq: Long, micros: Long, srcIp: String, payload: Array[Byte]): Unit =
-      flows.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) +=
-        ((seq, micros, srcIp, payload))
+      flows.getOrElseUpdate(s"$key#${epochs.getOrElse(key, 0)}",
+        scala.collection.mutable.ArrayBuffer.empty) += ((seq, micros, srcIp, payload))
 
     def flush(out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
       flows.valuesIterator.foreach { segs =>

@@ -49,10 +49,21 @@ object DnsMag {
       try s.readNBytes(2) finally s.close()
     }
     val gz = head.length == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
-    val suffix = baseSuffix + (if (gz && baseSuffix != ".dnsmag") ".gz" else "")
-    val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + suffix)
-    java.nio.file.Files.move(tmp, named)
-    named.toString
+    if (gz && baseSuffix == ".dnsmag") {
+      // the CBOR reader has no gzip path — decompress the spool so a
+      // `cat state.dnsmag.gz | ... --input -` pipeline just works
+      val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + baseSuffix)
+      val gin = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(tmp))
+      val out2 = java.nio.file.Files.newOutputStream(named)
+      try gin.transferTo(out2) finally { gin.close(); out2.close() }
+      java.nio.file.Files.delete(tmp)
+      named.toString
+    } else {
+      val suffix = baseSuffix + (if (gz) ".gz" else "")
+      val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + suffix)
+      java.nio.file.Files.move(tmp, named)
+      named.toString
+    }
   }
 
   private def resolveStateInput(path: String): String =
@@ -81,11 +92,13 @@ object DnsMag {
       val in = fs.open(st.getPath)
       try {
         val head = new Array[Byte](4)
-        val n = in.read(head)
-        if (n >= 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        // readFully: a single read() may legally return < 4 bytes on
+        // remote stores; EOF (< 4-byte file) means "not a capture"
+        in.readFully(head)
+        if ((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
           in.seek(0)
           isPcapMagic(new java.util.zip.GZIPInputStream(in).readNBytes(4))
-        } else isPcapMagic(head.take(math.max(0, n)))
+        } else isPcapMagic(head)
       } catch { case _: java.io.IOException => false }
       finally in.close()
     }

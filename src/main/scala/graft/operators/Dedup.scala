@@ -395,11 +395,15 @@ object Dedup {
                          maxFingerprintDf: Int = 0): DataFrame = {
     val fp0 = docs.select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.winnow_set(col(textCol), k, w)).as("f"))
-    val fp = if (maxFingerprintDf > 0) {
+    // pin the fingerprint index: it is referenced twice by the self-join
+    // (plus twice more via the df cap), and Catalyst re-expands referenced
+    // subtrees — unpinned, the tokenize+winnow pass over the corpus runs
+    // up to 4x
+    val fp = pin(if (maxFingerprintDf > 0) {
       val keep = fp0.groupBy(col("f")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxFingerprintDf).select("f")
       fp0.join(keep, "f")
-    } else fp0
+    } else fp0)
     fp.as("a").join(fp.as("b"),
         col("a.f") === col("b.f") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -88,6 +88,26 @@ class PcapDnsSpec extends AnyFunSuite {
     b.bytes
   }
 
+  /** One TCP/53 segment over IPv4/Ethernet with explicit seq, payload,
+    * optional SYN flag and optional Ethernet trailer padding AFTER the IP
+    * datagram (what real NICs add to reach the 60-byte minimum frame). */
+  private def tcpV4Segment(seq: Long, payload: Array[Byte], pad: Int = 0,
+                           syn: Boolean = false): Array[Byte] = {
+    val b = new B
+    b.raw(Array.fill(12)(0.toByte)).u16be(0x0800)
+    b.u8(0x45).u8(0).u16be(20 + 20 + payload.length).u16be(0).u16be(0)
+      .u8(64).u8(6).u16be(0)
+    b.u8(10).u8(0).u8(0).u8(1)  // src 10.0.0.1
+    b.u8(10).u8(0).u8(0).u8(53) // dst 10.0.0.53
+    b.u16be(40002).u16be(53)
+    b.u8(((seq >> 24) & 0xff).toInt).u8(((seq >> 16) & 0xff).toInt)
+      .u8(((seq >> 8) & 0xff).toInt).u8((seq & 0xff).toInt)
+    b.u32le(0).u8(0x50).u8(if (syn) 0x02 else 0x18).u16be(1024).u16be(0).u16be(0)
+    b.raw(payload)
+    (0 until pad).foreach(_ => b.u8(0))
+    b.bytes
+  }
+
   private def pcapng(packets: Seq[Array[Byte]], tsresol: Option[Int] = None): Array[Byte] = {
     val b = new B
     // SHB
@@ -203,6 +223,41 @@ class PcapDnsSpec extends AnyFunSuite {
     // a hole in the stream (middle segment lost) stops parsing — no
     // garbage records from misaligned length prefixes
     assert(PcapDns.decode(pcapng(Seq(segs(0), segs(2)))).isEmpty)
+  }
+
+  test("Ethernet trailer padding never enters the TCP stream (IP length honored)") {
+    // real captures: a pure ACK is a 54-byte frame padded to 60 — those 6
+    // zero bytes sit at the same seq as the first data byte. If they leak
+    // into the flow, the data segment reads as a retransmission, the
+    // stream starts 0x0000 and NOTHING decodes.
+    val dns = dnsQuery("padded.example.com")
+    val framed = { val b = new B; b.u16be(dns.length).raw(dns); b.bytes }
+    val ack = tcpV4Segment(1000, Array.empty, pad = 6)
+    val dat = tcpV4Segment(1000, framed)
+    assert(PcapDns.decode(pcapng(Seq(ack, dat))).map(_.qname) ===
+      Seq("padded.example.com"))
+    // padded DATA frame: trailer zeros after the message must not corrupt
+    // a later message of the same flow
+    val dns2 = dnsQuery("second.example.net")
+    val framed2 = { val b = new B; b.u16be(dns2.length).raw(dns2); b.bytes }
+    val d1 = tcpV4Segment(2000, framed, pad = 6)
+    val d2 = tcpV4Segment(2000 + framed.length, framed2)
+    assert(PcapDns.decode(pcapng(Seq(d1, d2))).map(_.qname) ===
+      Seq("padded.example.com", "second.example.net"))
+  }
+
+  test("4-tuple reuse: a SYN starts a new stream epoch, both connections decode") {
+    val q1 = dnsQuery("first.example.com")
+    val f1 = { val b = new B; b.u16be(q1.length).raw(q1); b.bytes }
+    val q2 = dnsQuery("second.example.org")
+    val f2 = { val b = new B; b.u16be(q2.length).raw(q2); b.bytes }
+    val capture = pcapng(Seq(
+      tcpV4Segment(4999, Array.empty, syn = true), // connection 1 SYN
+      tcpV4Segment(5000, f1),
+      tcpV4Segment(987654320L, Array.empty, syn = true), // reused ports, new ISN
+      tcpV4Segment(987654321L, f2)))
+    assert(PcapDns.decode(capture).map(_.qname) ===
+      Seq("first.example.com", "second.example.org"))
   }
 
   test("TCP segments without DNS payload (handshake) and non-53 ports are skipped") {

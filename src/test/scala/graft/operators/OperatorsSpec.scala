@@ -213,6 +213,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted !== h1, "a different salt draws a different sample")
     val inter = h1.intersect(salted).size.toDouble
     assert(math.abs(inter - 0.25 * h1.size) < 80, "independent draws overlap ~fraction^2")
+
+    // NULL strata and NULL keys must not silently vanish
+    val withNulls = rows.take(100).map { case (i, l, t) =>
+      (i, if (i % 10 == 0) null else l, t)
+    }.toDF("doc_id", "lang", "text")
+    val sNull = Sampling.stratified(withNulls, "lang", 1.0).count()
+    assert(sNull === 100, "fraction 1.0 keeps every row incl. NULL strata")
+    val nullKeys = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+    assert(Sampling.byHash(nullKeys, 1.0).count() === 2,
+      "fraction 1.0 keeps NULL-key rows")
   }
 
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
