@@ -218,17 +218,36 @@ object Dedup {
    * (w = tf * (ln((1+N)/(1+df)) + 1), the sklearn convention): the standard
    * IR similarity, and ALSO sharper prefixes — common tokens carry less
    * norm, so suffix bounds fall faster. Exactness is weight-agnostic.
+   *
+   * `ngram > 1` uses word n-grams as features instead of unigrams (tf
+   * counts each n-gram occurrence): a combinatorially larger feature space,
+   * so small-vocabulary corpora regain prefix selectivity. Texts shorter
+   * than n words collapse to one whole-text feature (the [[shingles]]
+   * convention).
    */
   def sparseCosinePairs(docs: DataFrame, minCos: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text",
-                        idf: Boolean = false): DataFrame = {
+                        idf: Boolean = false, ngram: Int = 1): DataFrame = {
     require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
+    require(ngram >= 1, "ngram must be >= 1")
     val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
     import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
 
-    val tf = docs.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("t"))
-      .filter(col("t") =!= "")
+    // NOTE: WordShingles dedupes, so n-gram tf needs occurrence counts —
+    // use the positional sliding window for ngram > 1, plain split for 1
+    val features =
+      if (ngram == 1)
+        docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+          .filter(col("t") =!= "")
+      else
+        docs.select(col(idCol).as("id"),
+            split(col(textCol), " ").as("__toks"))
+          .select(col("id"), explode(
+            when(size(col("__toks")) < ngram, array(concat_ws(" ", col("__toks"))))
+              .otherwise(transform(
+                sequence(lit(0), size(col("__toks")) - ngram),
+                i => concat_ws(" ", slice(col("__toks"), i + 1, lit(ngram)))))).as("t"))
+    val tf = features
       .groupBy(col("id"), xxh3_64(col("t")).as("h"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTab = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))

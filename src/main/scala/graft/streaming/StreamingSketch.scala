@@ -61,6 +61,27 @@ object StreamingSketch {
         col("hll"), col("queries"))
 
   /**
+   * Streaming exact dedup by content signature — the streaming twin of
+   * [[graft.operators.Dedup.exact]]: each distinct text's FIRST arrival is
+   * emitted, later duplicates are dropped. State is BOUNDED:
+   * `dropDuplicatesWithinWatermark` keys the state store by the 128-bit
+   * content signature (16 bytes/doc, never the text) and expires entries
+   * once the watermark passes, so a continuous crawl ingest can run
+   * forever. The documented contract: duplicates arriving farther apart
+   * than the watermark delay can re-emit — dedupe across longer horizons
+   * by batch [[graft.operators.Dedup.exact]] over the sink.
+   */
+  def dedupExact(docs: DataFrame, tsCol: String, watermark: String,
+                 textCol: String = "text"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .withColumn("__h1", xxh3_64(col(textCol)))
+      .withColumn("__h2", fingerprint64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+
+  /**
    * Gap-based sessionization via flatMapGroupsWithState — the custom-state
    * path for semantics windows can't express. A session row is emitted when
    * a later event arrives past `gapMs`, AND when the user simply goes idle:

@@ -115,10 +115,17 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("sparse cosine join (L2AP prefix) == brute force across thresholds and corpora") {
     def bruteForce(corpus: Seq[(Long, String)], t: Double,
-                   idf: Boolean = false): Set[(Long, Long, Double)] = {
-      def tf(s: String): Map[String, Double] =
-        s.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
-          .map { case (k, v) => k -> v.length.toDouble }
+                   idf: Boolean = false, ngram: Int = 1): Set[(Long, Long, Double)] = {
+      def tf(s: String): Map[String, Double] = {
+        val feats =
+          if (ngram == 1) s.split(" ", -1).filter(_.nonEmpty).toSeq
+          else {
+            val toks = s.split(" ", -1)
+            if (toks.length < ngram) Seq(toks.mkString(" "))
+            else toks.sliding(ngram).map(_.mkString(" ")).toSeq
+          }
+        feats.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+      }
       val tfs = corpus.map { case (i, s) => i -> tf(s) }
       val dfm = tfs.flatMap(_._2.keys).groupBy(identity).map { case (k, v) => k -> v.size }
       val n = corpus.size.toDouble
@@ -157,6 +164,9 @@ class OperatorsSpec extends AnyFunSuite {
         val gotIdf = Dedup.sparseCosinePairs(df, minCos = t, idf = true)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         assert(gotIdf === bruteForce(corpus, t, idf = true), s"idf seed=$seed t=$t")
+        val got2 = Dedup.sparseCosinePairs(df, minCos = t, ngram = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got2 === bruteForce(corpus, t, ngram = 2), s"ngram=2 seed=$seed t=$t")
       }
     }
   }

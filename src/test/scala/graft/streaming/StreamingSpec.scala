@@ -51,6 +51,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("streaming exact dedup emits first arrivals only, equals batch distinct texts") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    // 300 docs over 100 distinct texts, duplicates spread across 3 chunks;
+    // arrival order == id order so the streamed survivor set is comparable
+    val docs = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        s"text number ${i % 100} body")
+    }.toDF("doc_id", "ts", "text")
+    // chunks by time so maxFilesPerTrigger replays in arrival order
+    docs.filter($"doc_id" < 100).write.parquet(s"$srcDir/c=0")
+    docs.filter($"doc_id" >= 100 && $"doc_id" < 200).write.parquet(s"$srcDir/c=1")
+    docs.filter($"doc_id" >= 200).write.parquet(s"$srcDir/c=2")
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/c=*")
+    val deduped = StreamingSketch.dedupExact(stream, "ts", watermark = "10 minutes")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT doc_id, text FROM stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._2).distinct.length === got.length, "no duplicate texts emitted")
+    assert(got.map(_._2).toSet.size === 100, "every distinct text emitted once")
+    // first arrival wins: all surviving ids come from the first chunk
+    assert(got.map(_._1).forall(_ < 100), s"survivors must be first arrivals")
+  }
+
   test("stateful sessionization closes gap-split sessions AND idle sessions via event-time timeout") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
