@@ -115,6 +115,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("RunningWindowFunction"), "per-doc state must not need a window")
   }
 
+  test("decontamination is an equi-join on gram hashes; corpus never nested-loops") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.limit(10)
+    val plan = operators.Dedup.contaminatedDocs(docs, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("stratified sampling broadcasts quotas; no cartesian anywhere") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Sampling.stratified(docs, "lang", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), "quota table must broadcast:\n" + plan.take(2000))
+  }
+
   test("prefix-filtered dedup joins only on prefix shingles (grouped prefix, equi-joins)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)
