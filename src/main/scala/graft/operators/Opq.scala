@@ -161,4 +161,21 @@ object Opq {
       rotateVec(col(vecCol), model).as(vecCol))
     Pq.adcTopK(codes, rotated, k, model.pq, idCol, vecCol, codeCol, excludeSelf)
   }
+
+  /** The billion-scale composition with a learned rotation — OPQ-IVFADC:
+    * everything (coarse quantizer, codes, queries) lives in the rotated
+    * space, so the probe-and-ADC-scan plan is exactly [[Ivf.adcTopK]] with
+    * one extra codegen'd mat-vec per row. `centroids` must be trained on
+    * ROTATED vectors (see the test for the one-liner via Ivf.train over
+    * [[rotateVec]]); angles — and therefore lists and rankings — are
+    * preserved by orthonormality. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 centroids: Array[Array[Double]], model: OpqModel, nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 excludeSelf: Boolean = true): DataFrame = {
+    def rotated(df: DataFrame) =
+      df.select(col(idCol), rotateVec(col(vecCol), model).as(vecCol))
+    Ivf.adcTopK(rotated(corpus), rotated(queries), k, centroids, model.pq, nprobe,
+      idCol, vecCol, excludeSelf)
+  }
 }

@@ -666,6 +666,16 @@ class OperatorsSpec extends AnyFunSuite {
     val hits = Opq.adcTopK(codes, planted, k = 1, opq).collect()
       .count(r => r.getAs[Long]("query_id") - 700000L == r.getAs[Long]("nn_id"))
     assert(hits >= 16, s"planted-copy OPQ-ADC hits $hits/20")
+
+    // OPQ-IVFADC composition: coarse quantizer trained in the rotated
+    // space, probed lists scored by rotated-space ADC
+    val cents = Ivf.train(
+      df.select($"vec_id", Opq.rotateVec($"embedding", opq).as("embedding")),
+      k = 8, iters = 2)
+    val ivfHits = Opq.ivfAdcTopK(df, planted, k = 1, cents, opq, nprobe = 3)
+      .collect()
+      .count(r => r.getAs[Long]("query_id") - 700000L == r.getAs[Long]("nn_id"))
+    assert(ivfHits >= 16, s"planted-copy OPQ-IVFADC hits $ivfHits/20")
   }
 
   test("PQ and IVF training scan the source once, independent of m and iters") {
