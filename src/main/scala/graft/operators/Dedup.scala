@@ -233,14 +233,19 @@ object Dedup {
     val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
     import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
 
+    // empty/whitespace-only (or null) texts have NO features in any mode —
+    // without this prefilter the ngram>1 whole-text collapse would give
+    // every empty doc the same single feature and emit a quadratic set of
+    // vacuous cosine-1.0 pairs
+    val nonEmpty = docs.filter(trim(col(textCol)) =!= "")
     // NOTE: WordShingles dedupes, so n-gram tf needs occurrence counts —
     // use the positional sliding window for ngram > 1, plain split for 1
     val features =
       if (ngram == 1)
-        docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
+        nonEmpty.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
           .filter(col("t") =!= "")
       else
-        docs.select(col(idCol).as("id"),
+        nonEmpty.select(col(idCol).as("id"),
             split(col(textCol), " ").as("__toks"))
           .select(col("id"), explode(
             when(size(col("__toks")) < ngram, array(concat_ws(" ", col("__toks"))))

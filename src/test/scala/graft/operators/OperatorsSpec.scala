@@ -117,6 +117,7 @@ class OperatorsSpec extends AnyFunSuite {
     def bruteForce(corpus: Seq[(Long, String)], t: Double,
                    idf: Boolean = false, ngram: Int = 1): Set[(Long, Long, Double)] = {
       def tf(s: String): Map[String, Double] = {
+        if (s.trim.isEmpty) return Map.empty // featureless in every mode
         val feats =
           if (ngram == 1) s.split(" ", -1).filter(_.nonEmpty).toSeq
           else {
@@ -134,7 +135,7 @@ class OperatorsSpec extends AnyFunSuite {
         else m.map { case (k, v) => k -> v * (math.log((1.0 + n) / (1.0 + dfm(k))) + 1.0) }
       def norm(m: Map[String, Double]) = math.sqrt(m.values.map(x => x * x).sum)
       (for {
-        (ia, ma0) <- tfs; (ib, mb0) <- tfs if ia < ib
+        (ia, ma0) <- tfs; (ib, mb0) <- tfs if ia < ib && ma0.nonEmpty && mb0.nonEmpty
         ma = weight(ma0); mb = weight(mb0)
         dot = ma.keySet.intersect(mb.keySet).toSeq.map(k => ma(k) * mb(k)).sum
         cos = BigDecimal(dot / (norm(ma) * norm(mb)))
@@ -152,9 +153,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
     (0 until 2).foreach { seed =>
       val rnd = new java.util.Random(40 + seed)
+      // incl. empty and whitespace-only texts: featureless in every mode —
+      // they must never pair (not even with each other at ngram > 1)
       val corpus = (0 until 100).map { i =>
         val len = 3 + rnd.nextInt(30)
-        (i.toLong, Array.fill(len)(s"v${rnd.nextInt(40)}").mkString(" "))
+        val text =
+          if (i % 41 == 0) "" else if (i % 43 == 0) "   "
+          else Array.fill(len)(s"v${rnd.nextInt(40)}").mkString(" ")
+        (i.toLong, text)
       }
       val df = corpus.toDF("doc_id", "text")
       Seq(0.3, 0.6, 0.9).foreach { t =>
@@ -234,6 +240,18 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Sampling.byHash(nullKeys, 1.0).count() === 2,
       "fraction 1.0 keeps NULL-key rows")
+
+    // per-stratum cap: big strata truncate to the cap, small ones pass
+    // through, selection is partition-invariant
+    val capped = Sampling.capPerStratum(df, "lang", 100)
+    val byLang = capped.collect().groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(byLang.values.forall(_ === 100), "every 400+-row stratum caps at 100")
+    val tiny = Seq((1L, "solo", "t")).toDF("doc_id", "lang", "text")
+    assert(Sampling.capPerStratum(tiny, "lang", 100).count() === 1)
+    val cappedIds = capped.collect().map(_.getLong(0)).toSet
+    val cappedIds2 = Sampling.capPerStratum(df.repartition(17), "lang", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(cappedIds === cappedIds2, "cap selection must not depend on partitioning")
   }
 
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
