@@ -277,6 +277,13 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_entropy" -> ((s, dir) => {
+      // character-entropy gibberish signal, oracled against DuckDB's
+      // independent char-frequency entropy
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), round(char_entropy(col("text")), 9).as("char_entropy"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // Gopher repetition filters (dup-line fraction / dup-line char
       // fraction, Rae et al. 2021) over deterministically synthesized
@@ -722,6 +729,13 @@ object SparkEntry {
              round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
       FROM agg ORDER BY doc_id""",
+    "q_text_entropy" -> """
+      WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM chars GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+      SELECT doc_id, round(-sum((k/n) * log2(k/n)), 9) AS char_entropy
+      FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id, n ORDER BY doc_id""",
     "q_text_repetition" -> """
       WITH ml AS (
         SELECT doc_id,

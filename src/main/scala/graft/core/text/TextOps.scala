@@ -226,6 +226,37 @@ object TextOps {
     if (n == 0) 0.0 else chars.toDouble / n
   }
 
+  /** Shannon entropy (bits/char) of the character distribution — the
+    * gibberish/low-diversity proxy used by crawl-quality filters (keyboard
+    * mash and single-char spam score near 0; natural language sits around
+    * 4-4.5 bits for English). Computed over UTF-16 code units; 0 for empty
+    * text. Deterministic: per-char terms sum in code-unit order. */
+  def charEntropy(text: String): Double = {
+    val n = text.length
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[Character, Integer]()
+    var i = 0
+    while (i < n) {
+      counts.merge(text.charAt(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
+      i += 1
+    }
+    // iterate in first-occurrence order of the TEXT (not map order) so the
+    // float sum is reproducible: walk chars, consume each count once
+    // (boxed Integer, so an already-consumed char's remove() is a real null)
+    var h = 0.0
+    i = 0
+    while (i < n) {
+      val k: Integer = counts.remove(Character.valueOf(text.charAt(i)))
+      if (k != null) {
+        val p = k.doubleValue() / n
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      i += 1
+    }
+    h
+  }
+
   /** Fraction of lines that are duplicates of an earlier line — the Gopher
     * "duplicate line fraction" repetition signal (Rae et al. 2021,
     * Table A1). Lines split on '\n'; empty lines count. */

@@ -51,6 +51,7 @@ object GraftFunctions {
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
   def dup_line_ratio(c: Column): Column = column(DupLineRatio(expression(c)))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
+  def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
     column(L2apPrefix(expression(keys), expression(weights), t))
   def sorted_weighted_dot(ka: Column, wa: Column, kb: Column, wb: Column): Column =
@@ -115,6 +116,7 @@ object GraftFunctions {
     "max_token_ratio" -> (e => MaxTokenRatio(e.head)),
     "dup_line_ratio" -> (e => DupLineRatio(e.head)),
     "dup_line_char_ratio" -> (e => DupLineCharRatio(e.head)),
+    "char_entropy" -> (e => CharEntropy(e.head)),
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),

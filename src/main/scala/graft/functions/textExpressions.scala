@@ -183,6 +183,16 @@ case class MaxTokenRatio(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): MaxTokenRatio = copy(child = c)
 }
 
+/** Shannon entropy of the character distribution (gibberish filter). */
+case class CharEntropy(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+  override protected def fn: String = "charEntropy"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.charEntropy(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+}
+
 /** Gopher duplicate-line fraction (repetition filter, Rae et al. 2021). */
 case class DupLineRatio(child: Expression) extends TextUnary {
   override def dataType: DataType = DoubleType

@@ -547,6 +547,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 1.0 / 3 && r.getDouble(1) === 3.0 / 10)
     val sqlR = spark.sql("SELECT dup_line_ratio('a\na'), dup_line_char_ratio('a\na')").collect()(0)
     assert(sqlR.getDouble(0) === 0.5 && sqlR.getDouble(1) === 0.5)
+
+    // character entropy (gibberish signal)
+    import graft.core.text.TextOps
+    assert(TextOps.charEntropy("") === 0.0)
+    assert(TextOps.charEntropy("aaaa") === 0.0)
+    assert(TextOps.charEntropy("ab") === 1.0)
+    assert(TextOps.charEntropy("abcd") === 2.0)
+    assert(TextOps.charEntropy("aab") > 0.9 && TextOps.charEntropy("aab") < 0.92)
+    val e = spark.sql("SELECT char_entropy('abab')").collect()(0).getDouble(0)
+    assert(e === 1.0)
   }
 
   test("canonicalize_url: scheme/host lower, fragment/default-port strip, rest preserved") {
