@@ -277,6 +277,18 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_pack_greedy" -> ((s, dir) => {
+      // sequence packing for pretraining: whole docs into 200-token budget
+      // windows, bucketed so no global sort exists; oracled 1:1 against a
+      // DuckDB window cumulative sum
+      val docs = s.read.parquet(t(dir, "documents"))
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+      graft.operators.Packing.packGreedy(docs, "toks", budget = 200, bucketCol = "bucket")
+        .select(col("doc_id"), col("bucket"), col("pack_id"),
+          col("pack_pos").cast("long").as("pack_pos"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_entropy" -> ((s, dir) => {
       // character-entropy gibberish signal, oracled against DuckDB's
       // independent char-frequency entropy
@@ -729,6 +741,21 @@ object SparkEntry {
              round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
       FROM agg ORDER BY doc_id""",
+    "q_pack_greedy" -> """
+      WITH t AS (
+        SELECT doc_id, doc_id % 16 AS bucket,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, bucket, toks,
+               sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, bucket,
+             CAST(floor((cum - toks) / 200) AS BIGINT) AS pack_id,
+             CAST(row_number() OVER (PARTITION BY bucket, floor((cum - toks) / 200)
+               ORDER BY doc_id) AS BIGINT) AS pack_pos
+      FROM c ORDER BY doc_id""",
     "q_text_entropy" -> """
       WITH chars AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),

@@ -254,6 +254,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cappedIds === cappedIds2, "cap selection must not depend on partitioning")
   }
 
+  test("greedy sequence packing: budget windows, whole docs, oversized docs isolated") {
+    val docs = Seq(
+      (1L, 0, 4L), (2L, 0, 4L), (3L, 0, 4L), (4L, 0, 4L), // bucket 0: 4+4+4 start <10
+      (10L, 1, 25L), (11L, 1, 3L), // bucket 1: oversized doc spans windows 0-2
+      (20L, 2, 10L), (21L, 2, 1L)) // exact-budget doc; next starts window 1
+      .toDF("doc_id", "bucket", "toks")
+    val packed = graft.operators.Packing.packGreedy(docs, "toks", budget = 10,
+        bucketCol = "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Int]("pack_pos"))).toMap
+    assert(packed(1L) === (0L, 1) && packed(2L) === (0L, 2) && packed(3L) === (0L, 3),
+      "docs starting inside window 0 pack together (last may overflow)")
+    assert(packed(4L) === (1L, 1), "doc starting at offset 12 opens window 1")
+    assert(packed(10L) === (0L, 1), "oversized doc owns its starting window")
+    assert(packed(11L) === (2L, 1), "next doc starts at offset 25 -> window 2")
+    assert(packed(20L) === (0L, 1) && packed(21L) === (1L, 1),
+      "exact-budget doc fills window 0; successor opens window 1")
+    // partition invariance
+    val again = graft.operators.Packing.packGreedy(docs.repartition(5), "toks", 10, "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(again === packed.view.mapValues(_._1).toMap)
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
