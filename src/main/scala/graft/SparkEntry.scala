@@ -277,14 +277,14 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
-    "q_pack_greedy" -> ((s, dir) => {
-      // sequence packing for pretraining: whole docs into 200-token budget
-      // windows, bucketed so no global sort exists; oracled 1:1 against a
-      // DuckDB window cumulative sum
+    "q_pack_concat" -> ((s, dir) => {
+      // sequence-pack assignment (concat-and-chunk): whole docs into
+      // 200-token budget windows, bucketed so no global sort exists;
+      // oracled 1:1 against a DuckDB window cumulative sum
       val docs = s.read.parquet(t(dir, "documents"))
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
         .withColumn("bucket", pmod(col("doc_id"), lit(16)))
-      graft.operators.Packing.packGreedy(docs, "toks", budget = 200, bucketCol = "bucket")
+      graft.operators.Packing.packConcat(docs, "toks", budget = 200, bucketCol = "bucket")
         .select(col("doc_id"), col("bucket"), col("pack_id"),
           col("pack_pos").cast("long").as("pack_pos"))
         .orderBy(col("doc_id"))
@@ -293,6 +293,7 @@ object SparkEntry {
       // character-entropy gibberish signal, oracled against DuckDB's
       // independent char-frequency entropy
       s.read.parquet(t(dir, "documents"))
+        .filter(length(col("text")) > 0) // oracle emits no row for empty text
         .select(col("doc_id"), round(char_entropy(col("text")), 9).as("char_entropy"))
         .orderBy(col("doc_id"))
     }),
@@ -741,9 +742,9 @@ object SparkEntry {
              round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
       FROM agg ORDER BY doc_id""",
-    "q_pack_greedy" -> """
+    "q_pack_concat" -> """
       WITH t AS (
-        SELECT doc_id, doc_id % 16 AS bucket,
+        SELECT doc_id, ((doc_id % 16) + 16) % 16 AS bucket,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
         FROM documents),
       c AS (
@@ -758,7 +759,8 @@ object SparkEntry {
       FROM c ORDER BY doc_id""",
     "q_text_entropy" -> """
       WITH chars AS (
-        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0),
       cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM chars GROUP BY 1, 2),
       tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
       SELECT doc_id, round(-sum((k/n) * log2(k/n)), 9) AS char_entropy

@@ -229,30 +229,24 @@ object TextOps {
   /** Shannon entropy (bits/char) of the character distribution — the
     * gibberish/low-diversity proxy used by crawl-quality filters (keyboard
     * mash and single-char spam score near 0; natural language sits around
-    * 4-4.5 bits for English). Computed over UTF-16 code units; 0 for empty
-    * text. Deterministic: per-char terms sum in code-unit order. */
+    * 4-4.5 bits for English). Characters are Unicode CODE POINTS (so
+    * non-BMP chars count once, matching SQL character semantics); 0 for
+    * empty text. Allocation-light and deterministic: one primitive
+    * codepoint array, sorted, run-length counted — terms sum in sorted
+    * codepoint order. */
   def charEntropy(text: String): Double = {
-    val n = text.length
-    if (n == 0) return 0.0
-    val counts = new java.util.HashMap[Character, Integer]()
+    if (text.isEmpty) return 0.0
+    val cps = text.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length
+    var h = 0.0
     var i = 0
     while (i < n) {
-      counts.merge(text.charAt(i), Integer.valueOf(1),
-        (a: Integer, b: Integer) => Integer.valueOf(a.intValue() + b.intValue()))
-      i += 1
-    }
-    // iterate in first-occurrence order of the TEXT (not map order) so the
-    // float sum is reproducible: walk chars, consume each count once
-    // (boxed Integer, so an already-consumed char's remove() is a real null)
-    var h = 0.0
-    i = 0
-    while (i < n) {
-      val k: Integer = counts.remove(Character.valueOf(text.charAt(i)))
-      if (k != null) {
-        val p = k.doubleValue() / n
-        h -= p * (math.log(p) / math.log(2.0))
-      }
-      i += 1
+      var j = i
+      while (j < n && cps(j) == cps(i)) j += 1
+      val p = (j - i).toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+      i = j
     }
     h
   }

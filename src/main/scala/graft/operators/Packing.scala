@@ -5,36 +5,39 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /**
- * Sequence packing for LLM pretraining: group whole documents into packs
- * whose token counts approach a fixed `budget` (the training sequence
- * length), so padding waste is bounded — the standard "greedy contiguous
- * packing" used by large-scale pretraining pipelines (documents
- * concatenated in order until the budget would overflow, then a new pack).
+ * Sequence-pack assignment for LLM pretraining, CONCAT-AND-CHUNK
+ * convention: within each bucket, documents are conceptually concatenated
+ * in `orderCol` order and the stream is cut into `budget`-token windows;
+ * every document is assigned to the window its FIRST token falls in
+ * (`pack_id = floor(running_total_before_doc / budget)`). This is the
+ * whole-document analogue of GPT-style concat-then-chunk: documents are
+ * never split, window boundaries are budget-aligned, and the LAST document
+ * of a pack may straddle into the next window (a pack can therefore exceed
+ * the budget by up to its last document's length — trainers that need hard
+ * caps truncate that tail; a document longer than the budget spans several
+ * windows, which stay empty, so ids are monotone per bucket but not dense;
+ * `dense_rank` over (bucket, pack_id) densifies them).
+ *
+ * True "close the pack when it would overflow" greedy packing is a
+ * sequential fold (each boundary depends on the previous one) and cannot
+ * be one window expression; the start-window assignment is the standard
+ * shuffle-free approximation and is exactly SQL-reproducible, hence
+ * driver-gated 1:1.
  *
  * Deterministic and distributed: packing runs independently inside each
- * bucket (`bucketCol`, e.g. `pmod(doc_id, 1024)` or a date partition), and
- * within a bucket documents pack in (orderCol) order via one window
- * cumulative sum — pack_id = which budget multiple the RUNNING total has
- * crossed. A document longer than the budget gets its own pack (never
- * split). Buckets bound the window's partition size, so no global sort and
- * no single-reducer funnel; at crawl scale pick buckets >> executors.
- *
- * Greedy-contiguous semantics (the shuffle-free convention): a pack may
- * exceed `budget` only by its LAST document's overflow when that document
- * is itself <= budget away from the boundary — i.e. packs are the maximal
- * prefix groups of the running sum, `pack_id = floor((cumsum - tokens) /
- * budget)`. Exactly reproducible in SQL, hence driver-gated 1:1.
+ * bucket (`bucketCol`, e.g. `pmod(xxh3_64(id), 1024)` or a date
+ * partition), one window cumulative sum per bucket — buckets bound the
+ * window partition size, so no global sort and no single-reducer funnel.
+ * Contract (as in [[Sampling]]): `orderCol` must uniquely identify rows
+ * within a bucket — ties would make the running sum order, and therefore
+ * pack assignment, partition-dependent.
  *
  * Returns the input plus (pack_id: long, pack_pos: int) — position of the
- * doc within its (bucket, pack). Pack ids are budget-window indices of the
- * concatenated stream: a document longer than the budget leaves the
- * windows it spans empty, so ids within a bucket are monotone but not
- * necessarily dense — `dense_rank` over (bucket, pack_id) densifies when a
- * trainer needs contiguous pack numbers.
+ * doc within its (bucket, pack).
  */
 object Packing {
 
-  def packGreedy(df: DataFrame, tokenCol: String, budget: Long,
+  def packConcat(df: DataFrame, tokenCol: String, budget: Long,
                  bucketCol: String, orderCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
     val wCum = Window.partitionBy(col(bucketCol))
@@ -42,8 +45,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withPack = df
       .withColumn("__cum", sum(col(tokenCol)).over(wCum))
-      // pack of the BUDGET WINDOW this doc STARTS in: cum - tokens = running
-      // total before this doc
+      // running total BEFORE this doc = cum - tokens
       .withColumn("pack_id",
         floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
     val wPos = Window.partitionBy(col(bucketCol), col("pack_id"))

@@ -254,13 +254,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cappedIds === cappedIds2, "cap selection must not depend on partitioning")
   }
 
-  test("greedy sequence packing: budget windows, whole docs, oversized docs isolated") {
+  test("concat-and-chunk pack assignment: start-window semantics, oversized docs span windows") {
     val docs = Seq(
       (1L, 0, 4L), (2L, 0, 4L), (3L, 0, 4L), (4L, 0, 4L), // bucket 0: 4+4+4 start <10
       (10L, 1, 25L), (11L, 1, 3L), // bucket 1: oversized doc spans windows 0-2
       (20L, 2, 10L), (21L, 2, 1L)) // exact-budget doc; next starts window 1
       .toDF("doc_id", "bucket", "toks")
-    val packed = graft.operators.Packing.packGreedy(docs, "toks", budget = 10,
+    val packed = graft.operators.Packing.packConcat(docs, "toks", budget = 10,
         bucketCol = "bucket")
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("pack_id"), r.getAs[Int]("pack_pos"))).toMap
@@ -272,7 +272,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(packed(20L) === (0L, 1) && packed(21L) === (1L, 1),
       "exact-budget doc fills window 0; successor opens window 1")
     // partition invariance
-    val again = graft.operators.Packing.packGreedy(docs.repartition(5), "toks", 10, "bucket")
+    val again = graft.operators.Packing.packConcat(docs.repartition(5), "toks", 10, "bucket")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(again === packed.view.mapValues(_._1).toMap)
   }

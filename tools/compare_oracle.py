@@ -4,7 +4,7 @@ DuckDB over the SF tables and diff against the Verify parquet dumps.
 
 Usage: SFDIR=/root/testdata/sf0.01 VOUT=/tmp/verify_out python3 tools/compare_oracle.py
 """
-import duckdb, json, os, sys, glob
+import duckdb, json, os, sys
 sfdir = os.environ.get("SFDIR", "/root/testdata/sf0.01")
 out = os.environ.get("VOUT", "/tmp/verify_out")
 con = duckdb.connect()
@@ -14,6 +14,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
+# a query that CRASHED in graft.Verify writes no output dir — that is the
+# worst failure mode and must not pass green
+present = {d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))}
+for m in sorted(set(oracle) - present):
+    fails.append(m)
+    print(f"{m}: MISSING OUTPUT (query failed inside graft.Verify)")
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d): continue
