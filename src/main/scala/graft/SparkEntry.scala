@@ -277,6 +277,43 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_pack_greedy" -> ((s, dir) => {
+      // TRUE greedy (close-on-overflow) packing invariants as a violation
+      // query over the operator's own output — DuckDB cannot run the
+      // sequential fold, but the fold's DEFINING properties are
+      // SQL-checkable and pin it uniquely given the order: (a) pack totals
+      // <= budget unless the pack is one oversized doc; (b) tight: pack
+      // p+1's first doc would NOT have fit in pack p; (c) pack ids dense
+      // from 0 per bucket; (d) every doc packed exactly once.
+      val budget = 200L
+      val docs = s.read.parquet(t(dir, "documents"))
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+      val packed = graft.operators.Packing.packGreedy(docs, "toks", budget, "bucket")
+      val packAgg = packed.groupBy(col("bucket"), col("pack_id"))
+        .agg(sum(col("toks")).as("total"), count(lit(1)).as("n"),
+          min(struct(col("pack_pos"), col("toks"))).as("__f"))
+        .withColumn("first_toks", col("__f.toks"))
+      val overBudget = packAgg.filter(col("total") > budget && col("n") > 1)
+        .select(col("bucket"), col("pack_id"), lit("over_budget").as("violation"))
+      val nextFirst = packAgg.select(col("bucket"),
+        (col("pack_id") - 1).as("pack_id"), col("first_toks").as("next_first"))
+      val loose = packAgg.join(nextFirst, Seq("bucket", "pack_id"))
+        .filter(col("total") + col("next_first") <= budget)
+        .select(col("bucket"), col("pack_id"), lit("not_tight").as("violation"))
+      val density = packAgg.groupBy(col("bucket"))
+        .agg(countDistinct(col("pack_id")).as("np"),
+          max(col("pack_id")).as("mx"), min(col("pack_id")).as("mn"))
+        .filter(col("np") =!= col("mx") + 1 || col("mn") =!= 0)
+        .select(col("bucket"), lit(-1L).as("pack_id"), lit("density").as("violation"))
+      val cardinality = packed.agg(count(lit(1)).as("n"))
+        .crossJoin(docs.agg(count(lit(1)).as("m")))
+        .filter(col("n") =!= col("m"))
+        .select(lit(-1L).as("bucket"), lit(-1L).as("pack_id"),
+          lit("cardinality").as("violation"))
+      overBudget.unionByName(loose).unionByName(density).unionByName(cardinality)
+        .orderBy(col("bucket"), col("pack_id"), col("violation"))
+    }),
     "q_pack_concat" -> ((s, dir) => {
       // sequence-pack assignment (concat-and-chunk): whole docs into
       // 200-token budget windows, bucketed so no global sort exists;
@@ -742,6 +779,9 @@ object SparkEntry {
              round(CAST(chars AS DOUBLE) / n, 9) AS mean_word_len,
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
       FROM agg ORDER BY doc_id""",
+    "q_pack_greedy" -> """
+      SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS pack_id,
+             '' AS violation WHERE 1 = 0""",
     "q_pack_concat" -> """
       WITH t AS (
         SELECT doc_id, ((doc_id % 16) + 16) % 16 AS bucket,

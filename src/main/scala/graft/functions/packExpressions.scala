@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** greedy_pack_ids(rows, budget) — the sequential close-on-overflow fold of
+  * greedy sequence packing: `rows` is array<struct<o:long, tk:long>> sorted
+  * by o; a new pack opens exactly when adding the next document would push
+  * the running pack total past `budget` (a document larger than the budget
+  * is a singleton pack). Returns array<struct<o:long, pack_id:long,
+  * pack_pos:int>>. One tight loop per group — each boundary depends on the
+  * previous one, which is why this is an expression over a collected
+  * bucket, not a window. */
+case class GreedyPackIds(child: Expression, budget: Long)
+    extends UnaryExpression {
+  require(budget > 0, "budget must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"greedy_pack_ids requires array<struct<long, long>>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("o", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "greedy_pack_ids"
+  override def nullSafeEval(v: Any): Any =
+    GreedyPackIds.pack(v.asInstanceOf[ArrayData], budget)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.GreedyPackIds.pack($v, ${budget}L)")
+  override protected def withNewChildInternal(c: Expression): GreedyPackIds = copy(child = c)
+}
+
+object GreedyPackIds {
+  def pack(rows: ArrayData, budget: Long): GenericArrayData = {
+    val n = rows.numElements()
+    val out = new Array[Any](n)
+    var run = 0L
+    var packId = 0L
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      val row = rows.getStruct(i, 2)
+      val o = row.getLong(0)
+      val tk = row.getLong(1)
+      if (pos > 0 && run + tk > budget) {
+        packId += 1
+        run = 0L
+        pos = 0
+      }
+      run += tk
+      pos += 1
+      out(i) = new GenericInternalRow(Array[Any](o, packId, pos))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -54,4 +54,39 @@ object Packing {
       .withColumn("pack_pos", row_number().over(wPos))
       .drop("__cum")
   }
+
+  /**
+   * TRUE greedy packing — close-on-overflow: within a bucket, documents in
+   * `orderCol` order join the current pack until the next one would push
+   * its total past `budget`, which opens a new pack (a document larger
+   * than the budget is a singleton pack). These are the hard-cap semantics
+   * trainers use when sequences must never be truncated: every pack total
+   * is <= budget unless the pack is one oversized document, and pack ids
+   * are dense per bucket.
+   *
+   * Each pack boundary depends on the previous one — a sequential fold no
+   * window expression can compute — so the fold runs as ONE codegen'd pass
+   * over each bucket's collected (order, tokens) pairs and joins back by
+   * (bucket, order). Memory per task is bounded by the largest bucket (two
+   * longs per doc): size buckets so a bucket's doc COUNT fits comfortably
+   * in an executor — the same contract as any collect_list aggregation.
+   * `orderCol` must be a unique LongType id within its bucket.
+   */
+  def packGreedy(df: DataFrame, tokenCol: String, budget: Long,
+                 bucketCol: String, orderCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val folded = df.groupBy(col(bucketCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("long").as("o"),
+        col(tokenCol).cast("long").as("tk")))).as("__a"))
+      .select(col(bucketCol),
+        explode(org.apache.spark.sql.graftshim.shims.column(
+          graft.functions.GreedyPackIds(
+            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget))).as("__p"))
+      .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
+        col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
+    df.join(folded,
+        col(bucketCol) <=> col("__bucket") && col(orderCol).cast("long") === col("__o"))
+      .drop("__bucket", "__o")
+  }
 }

@@ -275,6 +275,23 @@ class OperatorsSpec extends AnyFunSuite {
     val again = graft.operators.Packing.packConcat(docs.repartition(5), "toks", 10, "bucket")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(again === packed.view.mapValues(_._1).toMap)
+
+    // TRUE greedy (close-on-overflow): hard budget cap, dense pack ids,
+    // oversized docs isolated as singletons
+    val greedy = graft.operators.Packing.packGreedy(docs, "toks", budget = 10,
+        bucketCol = "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Int]("pack_pos"))).toMap
+    assert(greedy(1L) === (0L, 1) && greedy(2L) === (0L, 2),
+      "4+4 fits pack 0; adding a third 4 would overflow")
+    assert(greedy(3L) === (1L, 1) && greedy(4L) === (1L, 2), "next two open pack 1")
+    assert(greedy(10L) === (0L, 1), "oversized doc is a singleton pack")
+    assert(greedy(11L) === (1L, 1), "doc after an oversized one opens the NEXT dense id")
+    assert(greedy(20L) === (0L, 1) && greedy(21L) === (1L, 1),
+      "exact-budget doc closes its pack")
+    val greedy2 = graft.operators.Packing.packGreedy(docs.repartition(7), "toks", 10, "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(greedy2 === greedy.view.mapValues(_._1).toMap, "partition invariant")
   }
 
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
