@@ -135,6 +135,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "quota table must broadcast:\n" + plan.take(2000))
   }
 
+  test("greedy packing joins back by (bucket, order) equi-keys; no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+    val plan = operators.Packing.packGreedy(docs, "toks", 200, "bucket")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("prefix-filtered dedup joins only on prefix shingles (grouped prefix, equi-joins)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)
