@@ -290,10 +290,14 @@ object SparkEntry {
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
         .withColumn("bucket", pmod(col("doc_id"), lit(16)))
       val packed = graft.operators.Packing.packGreedy(docs, "toks", budget, "bucket")
+      // one small (bucket, pack) summary, MATERIALIZED once: four branches
+      // reference it, and Catalyst re-expands referenced subtrees — unpinned
+      // the full collect+fold+join pipeline would run ~5x
       val packAgg = packed.groupBy(col("bucket"), col("pack_id"))
         .agg(sum(col("toks")).as("total"), count(lit(1)).as("n"),
           min(struct(col("pack_pos"), col("toks"))).as("__f"))
         .withColumn("first_toks", col("__f.toks"))
+        .localCheckpoint()
       val overBudget = packAgg.filter(col("total") > budget && col("n") > 1)
         .select(col("bucket"), col("pack_id"), lit("over_budget").as("violation"))
       val nextFirst = packAgg.select(col("bucket"),
@@ -302,11 +306,11 @@ object SparkEntry {
         .filter(col("total") + col("next_first") <= budget)
         .select(col("bucket"), col("pack_id"), lit("not_tight").as("violation"))
       val density = packAgg.groupBy(col("bucket"))
-        .agg(countDistinct(col("pack_id")).as("np"),
+        .agg(count(lit(1)).as("np"), // one packAgg row per (bucket, pack)
           max(col("pack_id")).as("mx"), min(col("pack_id")).as("mn"))
         .filter(col("np") =!= col("mx") + 1 || col("mn") =!= 0)
         .select(col("bucket"), lit(-1L).as("pack_id"), lit("density").as("violation"))
-      val cardinality = packed.agg(count(lit(1)).as("n"))
+      val cardinality = packAgg.agg(sum(col("n")).as("n")) // total docs packed
         .crossJoin(docs.agg(count(lit(1)).as("m")))
         .filter(col("n") =!= col("m"))
         .select(lit(-1L).as("bucket"), lit(-1L).as("pack_id"),

@@ -46,6 +46,12 @@ object GreedyPackIds {
     var i = 0
     while (i < n) {
       val row = rows.getStruct(i, 2)
+      // defensive: a null order or token would silently read as 0 and could
+      // alias a genuine id-0 row — the operator filters nulls, but a direct
+      // caller must get an error, not corrupt packs
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          "greedy_pack_ids: null order/token value cannot be packed")
       val o = row.getLong(0)
       val tk = row.getLong(1)
       if (pos > 0 && run + tk > budget) {

@@ -70,12 +70,26 @@ object Packing {
    * (bucket, order). Memory per task is bounded by the largest bucket (two
    * longs per doc): size buckets so a bucket's doc COUNT fits comfortably
    * in an executor — the same contract as any collect_list aggregation.
-   * `orderCol` must be a unique LongType id within its bucket.
+   * `orderCol` must be a unique integral id within its bucket (fail-fast
+   * on other types — a silent cast-to-null would drop rows); rows whose
+   * order or token value is NULL cannot be packed and are excluded, by
+   * contract. Pre-existing pack_id/pack_pos columns are replaced.
    */
   def packGreedy(df: DataFrame, tokenCol: String, budget: Long,
                  bucketCol: String, orderCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val folded = df.groupBy(col(bucketCol))
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    require(integral(df.schema(orderCol).dataType),
+      s"packGreedy orderCol '$orderCol' must be an integral id column, got " +
+        s"${df.schema(orderCol).dataType.catalogString} (a lossy cast would drop rows)")
+    require(integral(df.schema(tokenCol).dataType),
+      s"packGreedy tokenCol '$tokenCol' must be integral, got " +
+        s"${df.schema(tokenCol).dataType.catalogString}")
+    val base = df.drop("pack_id", "pack_pos")
+      .filter(col(orderCol).isNotNull && col(tokenCol).isNotNull)
+    val folded = base.groupBy(col(bucketCol))
       .agg(sort_array(collect_list(struct(
         col(orderCol).cast("long").as("o"),
         col(tokenCol).cast("long").as("tk")))).as("__a"))
@@ -85,7 +99,7 @@ object Packing {
             org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget))).as("__p"))
       .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
         col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
-    df.join(folded,
+    base.join(folded,
         col(bucketCol) <=> col("__bucket") && col(orderCol).cast("long") === col("__o"))
       .drop("__bucket", "__o")
   }
