@@ -1,0 +1,60 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: larger-scale soak of the training-pipeline operators on
+  * synthetic data (`runMain graft.Soak`) — wall-clock evidence that the
+  * plan shapes hold well past the gate SFs. Results are recorded in the
+  * round notes; this is not part of the driver contract. */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    graft.pipelines.Magnitude.tune(spark)
+    import graft.functions.GraftFunctions._
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[soak] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // 200k-doc corpus of ~24-token texts (deterministic hex words)
+    val docs = spark.range(200000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 24).map(j =>
+        format_string("%012x", pmod(xxh3_64(concat(col("id").cast("string"),
+          lit(s"#$j"))), lit(1L << 44)))): _*).as("text"))
+      .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(9))))
+      .localCheckpoint() // generation cost out of the measurements
+
+    val bench = docs.filter(pmod(col("doc_id"), lit(200)) === 0) // 1000 docs
+    timed("decontaminate 200k docs vs 1k benchmark (5-grams)") {
+      println("[soak] contaminated=" + graft.operators.Dedup
+        .contaminatedDocs(docs, bench, n = 5).count())
+    }
+    timed("stratified sample 200k docs, 9 strata, f=0.1") {
+      println("[soak] sampled=" + graft.operators.Sampling
+        .stratified(docs, "lang", 0.1).count())
+    }
+
+    // 2M-row packing over 1024 buckets
+    val toks = spark.range(2000000).select(col("id").as("doc_id"),
+        (pmod(xxh3_64(col("id").cast("string")), lit(900)) + 100).as("toks"),
+        pmod(xxh3_64(concat(col("id").cast("string"), lit("b"))), lit(1024)).as("bucket"))
+      .localCheckpoint()
+    timed("packGreedy 2M docs, 1024 buckets, budget 4096") {
+      println("[soak] packed=" + graft.operators.Packing
+        .packGreedy(toks, "toks", 4096, "bucket").count())
+    }
+    timed("packConcat 2M docs, 1024 buckets, budget 4096") {
+      println("[soak] packed=" + graft.operators.Packing
+        .packConcat(toks, "toks", 4096, "bucket").count())
+    }
+    spark.stop()
+  }
+}
