@@ -16,8 +16,10 @@ import graft.operators.{Ann, Dedup, Multimodal}
  *     relation. The bound must hold deterministically on this fixed data
  *     (sketches are deterministic), so any row is a genuine regression.
  *  3. rows-only queries (no oracleSql) — operators whose outputs are not
- *     ANSI-SQL-expressible (LSH candidates, simhash, lang-id); their
- *     correctness is pinned in ScalaTest against exact baselines instead.
+ *     ANSI-SQL-expressible; their correctness is pinned in ScalaTest
+ *     against exact baselines instead. (Currently none: the last one,
+ *     simhash, is now a violation query over planted bit-flip twins plus a
+ *     subset brute force.)
  */
 object SparkEntry {
 
@@ -443,10 +445,52 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // ---------------- rows-only (non-SQL-expressible) ----------------
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(s.read.parquet(t(dir, "documents")), maxHamming = 10)
-        .orderBy(col("id_a"), col("id_b"))
+      // simhash blocking guarantee as a violation query (formerly the one
+      // rows-only gate — DuckDB cannot compute simhash64, so the oracle is
+      // the empty relation and the exactness comes from three checks):
+      //  (a) planted completeness at the HARD radii: every doc gets a twin
+      //      whose signature differs in exactly 8/9/10 bit positions chosen
+      //      to hit every band of a naive 8x8-bit layout — the regime where
+      //      an undersized band count silently loses recall. Every
+      //      (doc, twin) pair must be found.
+      //  (b) organic completeness: brute-force bit_count over a
+      //      doc_id-bounded subset == the operator's pairs on that subset.
+      //  (c) precision: every emitted subset pair appears in the brute
+      //      force with the same hamming.
+      val maxH = 10
+      val sigs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("id"), simhash64(col("text")).as("sig"))
+        .localCheckpoint() // referenced 4x (twins, planted, subset, union)
+      def mask(bits: Seq[Int]): Long = bits.map(1L << _).reduce(_ | _)
+      // one flip position inside each 8-bit band, then extras in bands 0/1:
+      // all bands of the 8x8 layout are touched at h=8 already
+      val m8 = mask(Seq(1, 9, 17, 25, 33, 41, 49, 57))
+      val m9 = mask(Seq(1, 9, 17, 25, 33, 41, 49, 57, 5))
+      val m10 = mask(Seq(1, 9, 17, 25, 33, 41, 49, 57, 5, 13))
+      val flip = when(pmod(col("id"), lit(3)) === 0, lit(m8))
+        .when(pmod(col("id"), lit(3)) === 1, lit(m9))
+        .otherwise(lit(m10))
+      val twins = sigs.select((col("id") + 10000000L).as("id"),
+        col("sig").bitwiseXOR(flip).as("sig"))
+      val found = Dedup.simhashPairsFromSigs(sigs.unionByName(twins), maxHamming = maxH)
+        .localCheckpoint() // referenced by checks (a), (b) and (c)
+      val planted = sigs.select(col("id").as("id_a"), (col("id") + 10000000L).as("id_b"))
+      val plantedMissed = planted.join(found, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"), lit("planted_missed").as("violation"))
+      val sub = sigs.filter(col("id") < 1500)
+      val exact = sub.as("a").join(sub.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .filter(col("hamming") <= maxH)
+      val foundSub = found.filter(col("id_a") < 1500 && col("id_b") < 1500)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val subMissed = exact.exceptAll(foundSub)
+        .select(col("id_a"), col("id_b"), lit("subset_missed").as("violation"))
+      val subExtra = foundSub.exceptAll(exact)
+        .select(col("id_a"), col("id_b"), lit("subset_extra").as("violation"))
+      plantedMissed.unionByName(subMissed).unionByName(subExtra)
+        .orderBy(col("id_a"), col("id_b"), col("violation"))
     }),
     // ---------------- violation queries (oracle: empty) ----------------
     "q_lang_id" -> ((s, dir) => {
@@ -922,6 +966,9 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS doc_id, '' AS violation WHERE 1 = 0""",
     "q_winnow_overlap" -> """
       SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b WHERE 1 = 0""",
+    "q_simhash_pairs" -> """
+      SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b,
+             '' AS violation WHERE 1 = 0""",
     "q_ann_ivf" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_ann_lsh" -> """

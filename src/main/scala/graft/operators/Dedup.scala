@@ -14,7 +14,8 @@ import graft.functions.GraftFunctions._
  *  - MinHash + LSH:  k min-hashes -> b bands -> bucket self-join ->
  *                    exact-Jaccard verification of candidates only
  *  - SimHash:        64-bit fingerprint, banded blocking (pigeonhole:
- *                    hamming<=3 implies one of 4 16-bit bands equal)
+ *                    nBands >= maxHamming+1 bands, so every qualifying
+ *                    pair shares a whole band)
  *  - embedding cosine near-dup: see Ann.scala (shared kernel)
  *
  * Scale notes are on each operator; the common theme is that every
@@ -514,32 +515,76 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Contiguous band layout (bit offset, width) covering the 64-bit
+    * signature with enough bands for the pigeonhole guarantee at
+    * `maxHamming`: nBands >= maxHamming + 1, so flipping maxHamming bits can
+    * touch at most maxHamming bands and at least one band survives intact.
+    * Wider bands = exponentially fewer random key collisions, so use the
+    * fewest bands the guarantee allows: 4x16 bits (h<=3), 8x8 (h<=7), and
+    * h+1 variable-width bands for h in [8,15] (the widths differ by at most
+    * one bit; e.g. h=10 -> 9 bands of 6 bits + 2 of 5). */
+  private[operators] def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"simhash banding supports maxHamming in [0, 15], got $maxHamming: " +
+        "beyond 15 the bands narrow under 4 bits and candidate volume " +
+        "approaches brute force — use minhashLshPairs for similarity radii")
+    val nBands = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else maxHamming + 1
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => if (i < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
   /**
-   * SimHash near-dup pairs with Hamming distance <= maxHamming (< 16).
-   * Blocking: 4 bands of 16 bits; any pair within hamming<=3 must agree on
-   * at least one band (pigeonhole), so candidates come from 4 equi-joins,
-   * then bit_count(a^b) verifies. For maxHamming in [4,7] use 8 8-bit
-   * bands, handled automatically.
+   * SimHash near-dup pairs with Hamming distance <= maxHamming (in
+   * [0, 15]): 64-bit fingerprint, banded blocking, exact bit_count
+   * verification. The band count always covers the requested radius
+   * ([[simhashBandLayout]]: nBands >= maxHamming + 1), so the pigeonhole
+   * completeness guarantee — every qualifying pair shares at least one
+   * whole band and is therefore a candidate — holds at EVERY supported
+   * radius, not just small ones. Candidates come from one equi-join on
+   * (band, key); emitted pairs are exact (verified by bit_count).
+   *
+   * Cost grows with the radius: narrower bands collide more
+   * (2^-width per band pair), so h in [8, 15] is meaningfully more
+   * expensive than h <= 7 on large corpora — that is intrinsic to exact
+   * wide-radius Hamming search, not a plan artifact. Radii beyond 15 are
+   * rejected ([[simhashBandLayout]]).
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val nBands = if (maxHamming <= 3) 4 else 8
-    val bits = 64 / nBands
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")), maxHamming)
 
-    val bandCols = (0 until nBands).map { b =>
+  /** As [[simhashPairs]] but over precomputed 64-bit signatures — the entry
+    * point for callers that persist a signature table (one simhash pass,
+    * many radius queries) and for guarantee tests that plant exact
+    * bit-flip twins. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+                           idCol: String = "id", sigCol: String = "sig"): DataFrame = {
+    val layout = simhashBandLayout(maxHamming)
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val bandCols = layout.zipWithIndex.map { case ((off, w), b) =>
       struct(lit(b).as("band"),
-        shiftright(col("sig"), b * bits).bitwiseAND(lit((1L << bits) - 1)).as("key"))
+        shiftright(col("sig"), off).bitwiseAND(lit((1L << w) - 1)).as("key"))
     }
-    val blocks = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+    // round-robin repartition before the self-join: a pinned/coalesced
+    // signature table would make the join's (large) pair emission run in
+    // as few tasks as the input has partitions — spreading the streamed
+    // side parallelizes emission regardless of hot band keys
+    val blocks = s.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.key").as("key"))
+      .repartition(s.sparkSession.sparkContext.defaultParallelism)
 
     blocks.as("a").join(blocks.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: bit_count is a codegen'd scalar, so filtering
+      // the (large) multi-band candidate stream first means the distinct's
+      // shuffle carries only true pairs, not every banded collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

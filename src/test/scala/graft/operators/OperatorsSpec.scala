@@ -314,6 +314,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("simhash banding: planted hamming-8..10 twins are ALWAYS found") {
+    // flip positions hit every band of a naive 8x8-bit layout — the regime
+    // where an undersized band count silently loses recall (pigeonhole
+    // needs nBands >= maxHamming + 1)
+    def mask(bits: Seq[Int]): Long = bits.map(1L << _).reduce(_ | _)
+    val flips = Seq(
+      8 -> mask(Seq(1, 9, 17, 25, 33, 41, 49, 57)),
+      9 -> mask(Seq(1, 9, 17, 25, 33, 41, 49, 57, 5)),
+      10 -> mask(Seq(1, 9, 17, 25, 33, 41, 49, 57, 5, 13)))
+    val rnd = new java.util.Random(7)
+    for ((h, m) <- flips) {
+      val base = (0 until 50).map(i => (i.toLong, rnd.nextLong()))
+      val sigs = (base ++ base.map { case (id, s) => (id + 1000L, s ^ m) })
+        .toDF("id", "sig")
+      val found = Dedup.simhashPairsFromSigs(sigs, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = base.map { case (id, _) => (id, id + 1000L) }.toSet
+      assert(planted.subsetOf(found),
+        s"h=$h: missing ${(planted -- found).take(3)} — banding guarantee broken")
+    }
+  }
+
+  test("simhash blocking == brute force at every supported radius") {
+    // clustered signatures (perturbed copies of a few bases) so true pairs
+    // exist at all radii; compare blocking output against exact O(n^2)
+    val rnd = new java.util.Random(42)
+    val sigs = (0 until 12).flatMap { b =>
+      val base = rnd.nextLong()
+      (0 until 15).map { v =>
+        var s = base
+        val nf = rnd.nextInt(17)
+        (0 until nf).foreach(_ => s ^= 1L << rnd.nextInt(64))
+        (b * 100L + v, s)
+      }
+    }
+    val df = sigs.toDF("id", "sig").cache()
+    for (h <- Seq(0, 3, 5, 7, 8, 10, 12, 15)) {
+      val got = Dedup.simhashPairsFromSigs(df, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= h
+      } yield (ia, ib, d)).toSet
+      assert(got === want, s"h=$h: blocking != brute force")
+    }
+    for (h <- Seq(-1, 16, 20))
+      assertThrows[IllegalArgumentException](Dedup.simhashPairsFromSigs(df, h))
+  }
+
   test("ANN brute force matches driver-side exact cosine; LSH recall >= 0.8") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = embs.limit(8)
