@@ -264,8 +264,13 @@ object PcapDns {
       if (sport != 53 && dport != 53) return
       // a SYN opens a NEW stream epoch for this 4-tuple even with no
       // payload: port reuse within one capture must not merge two
-      // connections' seq spaces into one relative stream
-      if (syn) flows.newEpoch(s"$srcIp|$dstIp|$sport|$dport")
+      // connections' seq spaces into one relative stream. The ISN
+      // disambiguates a RETRANSMITTED SYN (same ISN, nothing sent since
+      // — common under loss, both copies usually captured) from genuine
+      // reuse: double-bumping the epoch would split one connection's
+      // payload across two streams, and the second stream's mid-message
+      // start would kill its length-framed parse
+      if (syn) flows.newEpoch(s"$srcIp|$dstIp|$sport|$dport", seq)
       if (ipEnd <= p) return // empty segment (pure ACK etc.)
       // buffer the payload for per-flow reassembly: the length-framed
       // message stream parses after the packet walk, so messages split
@@ -311,17 +316,30 @@ object PcapDns {
   private final class TcpFlows {
     private val flows = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long, String, Array[Byte])]]
-    // 4-tuple reuse: each SYN bumps the tuple's epoch so two connections on
-    // the same ports become two independent streams (otherwise the second
-    // connection's unrelated ISN reads as a gap/overlap of the first)
+    // 4-tuple reuse: each NEW-connection SYN bumps the tuple's epoch so two
+    // connections on the same ports become two independent streams
+    // (otherwise the second connection's unrelated ISN reads as a
+    // gap/overlap of the first). A retransmitted SYN — same ISN, no payload
+    // buffered since the last SYN — does NOT bump: both copies belong to
+    // one connection
     private val epochs = scala.collection.mutable.Map.empty[String, Int]
+    private val lastSyn = scala.collection.mutable.Map.empty[String, Long]
+    private val sentSinceSyn = scala.collection.mutable.Set.empty[String]
 
-    def newEpoch(key: String): Unit =
-      epochs.update(key, epochs.getOrElse(key, 0) + 1)
+    def newEpoch(key: String, isn: Long): Unit = {
+      val retransmit = lastSyn.get(key).contains(isn) && !sentSinceSyn(key)
+      if (!retransmit) {
+        epochs.update(key, epochs.getOrElse(key, 0) + 1)
+        lastSyn.update(key, isn)
+        sentSinceSyn -= key
+      }
+    }
 
-    def add(key: String, seq: Long, micros: Long, srcIp: String, payload: Array[Byte]): Unit =
+    def add(key: String, seq: Long, micros: Long, srcIp: String, payload: Array[Byte]): Unit = {
+      sentSinceSyn += key
       flows.getOrElseUpdate(s"$key#${epochs.getOrElse(key, 0)}",
         scala.collection.mutable.ArrayBuffer.empty) += ((seq, micros, srcIp, payload))
+    }
 
     def flush(out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
       flows.valuesIterator.foreach { segs =>
@@ -373,6 +391,9 @@ object PcapDns {
         }
       }
       flows.clear()
+      epochs.clear()
+      lastSyn.clear()
+      sentSinceSyn.clear()
     }
   }
 

@@ -54,6 +54,9 @@ object GreedyPackIds {
           "greedy_pack_ids: null order/token value cannot be packed")
       val o = row.getLong(0)
       val tk = row.getLong(1)
+      if (tk < 0)
+        throw new IllegalArgumentException(
+          s"greedy_pack_ids: negative token count $tk at order $o")
       if (pos > 0 && run + tk > budget) {
         packId += 1
         run = 0L

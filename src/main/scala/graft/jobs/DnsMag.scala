@@ -42,6 +42,7 @@ object DnsMag {
     * decompresses. */
   private[graft] def spoolStdin(in: java.io.InputStream, baseSuffix: String): String = {
     val tmp = java.nio.file.Files.createTempFile("graft_stdin_", ".spool")
+    tmp.toFile.deleteOnExit() // spool files must not leak disk in long-lived drivers
     val out = java.nio.file.Files.newOutputStream(tmp)
     try in.transferTo(out) finally out.close()
     val head = {
@@ -53,6 +54,7 @@ object DnsMag {
       // the CBOR reader has no gzip path — decompress the spool so a
       // `cat state.dnsmag.gz | ... --input -` pipeline just works
       val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + baseSuffix)
+      named.toFile.deleteOnExit() // the decompressed copy must not leak either
       val gin = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(tmp))
       val out2 = java.nio.file.Files.newOutputStream(named)
       try gin.transferTo(out2) finally { gin.close(); out2.close() }
@@ -61,6 +63,7 @@ object DnsMag {
     } else {
       val suffix = baseSuffix + (if (gz) ".gz" else "")
       val named = tmp.resolveSibling(tmp.getFileName.toString.stripSuffix(".spool") + suffix)
+      named.toFile.deleteOnExit() // deleteOnExit tracks paths: re-register the moved name
       java.nio.file.Files.move(tmp, named)
       named.toString
     }
@@ -182,6 +185,9 @@ object DnsMag {
       case "aggregate" =>
         val inputs = args2(rest, "--input")
         require(inputs.nonEmpty, "--input required (repeatable)")
+        // stdin can only be consumed once: a second '-' would silently
+        // spool an empty stream and merge a vacuous state
+        require(inputs.count(_ == "-") <= 1, "--input - may appear at most once")
         val out = arg(rest, "--output").getOrElse(sys.error("--output required"))
         val force = arg(rest, "--force-date").map(java.sql.Date.valueOf)
         val states = inputs.map(p => readState(spark, resolveStateInput(p)))

@@ -403,21 +403,25 @@ object Dedup {
    * scale behaviour to the shingle join (fingerprint density ~ 2/(w+1)
    * per char, so the index is a fraction of the corpus size).
    *
-   * `maxFingerprintDf` (0 = off) is the skew guard: a fingerprint shared by
-   * d docs emits d^2/2 join rows, and winnowing fingerprints of boilerplate
-   * (cookie banners, license blocks, nav text) are shared by millions of
-   * pages in a real crawl — an unguarded self-join is a skewed quadratic
-   * shuffle. Capping fingerprint document-frequency drops exactly those
-   * keys BEFORE the join (one extra df aggregation + semi join, both on
-   * 8-byte keys). This is a documented approximation, mirroring
-   * [[ngramJaccardPairs]]'s `maxShingleDf`: pairs whose only overlap is
-   * over-cap boilerplate fall below `minShared` — usually the intended
-   * outcome, since corpus-ubiquitous passages are not evidence of copying.
+   * `maxFingerprintDf` is the skew guard, ON BY DEFAULT (1000; pass 0 to
+   * opt out explicitly): a fingerprint shared by d docs emits d^2/2 join
+   * rows, and winnowing fingerprints of boilerplate (cookie banners,
+   * license blocks, nav text) are shared by millions of pages in a real
+   * crawl — an unguarded self-join is a skewed quadratic shuffle, and
+   * unlike [[ngramJaccardPairs]] (whose prefix filter provably drops hot
+   * shingles) this cap is the ONLY guard here, so defaulting it off would
+   * make the quadratic join the out-of-the-box behavior. Capping
+   * fingerprint document-frequency drops exactly those keys BEFORE the
+   * join (one extra df aggregation + semi join, both on 8-byte keys).
+   * This is a documented approximation: pairs whose only overlap is
+   * over-cap content fall below `minShared` — the intended outcome, since
+   * a passage shared by >1000 documents is corpus boilerplate by
+   * definition, not evidence of copying between a specific pair.
    */
   def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2,
                          k: Int = 8, w: Int = 4,
                          idCol: String = "doc_id", textCol: String = "text",
-                         maxFingerprintDf: Int = 0): DataFrame = {
+                         maxFingerprintDf: Int = 1000): DataFrame = {
     val fp0 = docs.select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.winnow_set(col(textCol), k, w)).as("f"))
     // pin the fingerprint index: it is referenced twice by the self-join

@@ -54,17 +54,27 @@ object Ivf {
       .repartition(math.max(2, math.min(64, spark.sparkContext.defaultParallelism)))
       .cache()
     try {
-      // deterministic seeds: k smallest xxh3(id) — the sample is the
-      // sampleSize smallest hashes, so these are the global smallest too
-      val seeds = sample.orderBy(col("__h")).limit(k)
+      // dimensionality by MAJORITY over the sample (one tiny agg on the
+      // cache), not from whichever vector happens to hash smallest: one
+      // anomalous short/long vector landing first would otherwise poison
+      // dim, silently dropping every normal row from the Lloyd updates
+      val dimRow = sample.groupBy(size(col("vec")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("d").asc).limit(1).collect()
+      require(dimRow.nonEmpty, "Ivf.train: no non-null vectors to train on")
+      val dim = dimRow(0).getAs[Int]("d")
+      val clean = sample.filter(size(col("vec")) === dim)
+      // deterministic seeds: k smallest xxh3(id) among clean rows — the
+      // sample is the sampleSize smallest hashes, so these are the global
+      // smallest (of the majority dimensionality) too
+      val seeds = clean.orderBy(col("__h")).limit(k)
         .select(col("vec"))
         .collect()
         .map(_.getAs[scala.collection.Seq[Any]]("vec").map {
           case f: Float => f.toDouble
           case d: Double => d
         }.toArray)
-      val dim = seeds.headOption.map(_.length).getOrElse(0)
-      val clean = sample.filter(size(col("vec")) === dim)
+      require(seeds.nonEmpty, "Ivf.train: no vectors of the majority dimensionality")
 
       var centroids = seeds
       var it = 0

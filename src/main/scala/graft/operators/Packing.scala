@@ -40,11 +40,20 @@ object Packing {
   def packConcat(df: DataFrame, tokenCol: String, budget: Long,
                  bucketCol: String, orderCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // same contract as packGreedy: rows whose order or token value is NULL
+    // cannot be packed and are excluded (the window sum would otherwise
+    // skip them and leave a NULL pack_id); negative token counts are a
+    // caller bug and fail fast rather than producing negative pack ids
+    val base = df.filter(col(orderCol).isNotNull && col(tokenCol).isNotNull)
+    val toks = when(col(tokenCol) < 0, raise_error(concat(
+        lit(s"packConcat: negative $tokenCol "), col(tokenCol).cast("string"),
+        lit(s" at $orderCol "), col(orderCol).cast("string"))))
+      .otherwise(col(tokenCol))
     val wCum = Window.partitionBy(col(bucketCol))
       .orderBy(col(orderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPack = df
-      .withColumn("__cum", sum(col(tokenCol)).over(wCum))
+    val withPack = base
+      .withColumn("__cum", sum(toks).over(wCum))
       // running total BEFORE this doc = cum - tokens
       .withColumn("pack_id",
         floor((col("__cum") - col(tokenCol)) / budget).cast("long"))

@@ -20,8 +20,13 @@ import graft.functions.GraftFunctions._
  */
 object Sampling {
 
-  private def keyHash(keyCol: String): Column =
-    xxh3_64(coalesce(col(keyCol).cast("string"), lit(" null")))
+  /** Unambiguous key encoding: a one-char discriminator ("v"alue / "n"ull)
+    * precedes the key, so a NULL can never collide with a real key of any
+    * string value (an in-band sentinel like " null" could). */
+  private def keyEnc(keyCol: String): Column =
+    coalesce(concat(lit("v"), col(keyCol).cast("string")), lit("n"))
+
+  private def keyHash(keyCol: String): Column = xxh3_64(keyEnc(keyCol))
 
   /** Keep ~`fraction` of rows: those whose salted key hash lands in the
     * bottom `fraction` of a fixed modulus. One codegen'd filter, no
@@ -32,8 +37,11 @@ object Sampling {
              salt: String = ""): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
     val m = 1000000000L
-    val key = coalesce(col(keyCol).cast("string"), lit(" null"))
-    df.filter(pmod(xxh3_64(concat(key, lit("#"), lit(salt))), lit(m))
+    // length-prefix the salt so the (salt, key) boundary is unambiguous:
+    // raw concatenation would make (key="a#b", salt="") and (key="a",
+    // salt="b") hash identically — two samples claimed independent could
+    // silently correlate
+    df.filter(pmod(xxh3_64(concat(lit(s"${salt.length}:$salt#"), keyEnc(keyCol))), lit(m))
       < lit((fraction * m).round))
   }
 

@@ -260,6 +260,37 @@ class PcapDnsSpec extends AnyFunSuite {
       Seq("first.example.com", "second.example.org"))
   }
 
+  test("retransmitted SYN (same ISN, nothing sent since) does not split the stream") {
+    // loss recovery: both SYN copies captured. The dup must NOT open a new
+    // epoch — and the contract stays observable with a message split across
+    // segments that both follow the dup
+    val q = dnsQuery("retrans.example.com")
+    val f = { val b = new B; b.u16be(q.length).raw(q); b.bytes }
+    val (h1, h2) = (f.take(5), f.drop(5))
+    val capture = pcapng(Seq(
+      tcpV4Segment(7000, Array.empty, syn = true),
+      tcpV4Segment(7000, Array.empty, syn = true), // retransmitted SYN
+      tcpV4Segment(7001, h1),
+      tcpV4Segment(7001 + h1.length, h2)))
+    assert(PcapDns.decode(capture).map(_.qname) === Seq("retrans.example.com"))
+  }
+
+  test("fixed-ISN port reuse (payload since last SYN) still separates streams") {
+    // embedded stacks reuse constant ISNs: same 4-tuple, same ISN, but
+    // payload flowed since the last SYN -> genuinely a new connection
+    val q1 = dnsQuery("first.example.com")
+    val f1 = { val b = new B; b.u16be(q1.length).raw(q1); b.bytes }
+    val q2 = dnsQuery("second.example.org")
+    val f2 = { val b = new B; b.u16be(q2.length).raw(q2); b.bytes }
+    val capture = pcapng(Seq(
+      tcpV4Segment(1000, Array.empty, syn = true),
+      tcpV4Segment(1001, f1),
+      tcpV4Segment(1000, Array.empty, syn = true), // same ISN, after payload
+      tcpV4Segment(1001, f2)))
+    assert(PcapDns.decode(capture).map(_.qname) ===
+      Seq("first.example.com", "second.example.org"))
+  }
+
   test("TCP segments without DNS payload (handshake) and non-53 ports are skipped") {
     // SYN-like: TCP to port 53 with no payload
     val dnsLess = {

@@ -98,6 +98,14 @@ class DnsMagJobSpec extends AnyFunSuite {
     assert(rep.head.getAs[Long]("totalQueryVolume") === 300L)
   }
 
+  test("aggregate rejects '--input -' appearing more than once") {
+    val e = intercept[IllegalArgumentException] {
+      DnsMag.run(spark, Array("aggregate", "--input", "-", "--input", "-",
+        "--output", "/tmp/never"))
+    }
+    assert(e.getMessage.contains("at most once"))
+  }
+
   test("stdin input: collect reads gzipped records from '-'") {
     val dir = java.nio.file.Files.createTempDirectory("graft_job_stdin2").toString
     val gz = new java.io.File(dir, "recs.csv.gz")

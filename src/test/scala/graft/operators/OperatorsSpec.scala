@@ -254,6 +254,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cappedIds === cappedIds2, "cap selection must not depend on partitioning")
   }
 
+  test("sampling hash encoding is unambiguous (no sentinel/salt collisions)") {
+    // (key='a#b', salt='') and (key='a', salt='b') must NOT make identical
+    // decisions, and a NULL key must not be chained to a literal sentinel
+    // string — with in-band encoding both collide and "independent" samples
+    // silently correlate. Decisions are deterministic, so this pins forever.
+    val ambiguous = Seq(Tuple1("a#b")).toDF("k")
+    val plain = Seq(Tuple1("a")).toDF("k")
+    val d1 = (0 to 40).map(i => Sampling.byHash(ambiguous, i / 40.0, "k", salt = "").count())
+    val d2 = (0 to 40).map(i => Sampling.byHash(plain, i / 40.0, "k", salt = "b").count())
+    assert(d1 !== d2, "length-prefixed salt must break the '#' ambiguity")
+    val nullKey = Seq(Tuple1(null.asInstanceOf[String])).toDF("k")
+    val sentinel = Seq(Tuple1(" null")).toDF("k")
+    val n1 = (0 to 40).map(i => Sampling.byHash(nullKey, i / 40.0, "k").count())
+    val n2 = (0 to 40).map(i => Sampling.byHash(sentinel, i / 40.0, "k").count())
+    assert(n1 !== n2, "NULL key must not collide with a ' null' string key")
+  }
+
   test("concat-and-chunk pack assignment: start-window semantics, oversized docs span windows") {
     val docs = Seq(
       (1L, 0, 4L), (2L, 0, 4L), (3L, 0, 4L), (4L, 0, 4L), // bucket 0: 4+4+4 start <10
@@ -292,6 +309,26 @@ class OperatorsSpec extends AnyFunSuite {
     val greedy2 = graft.operators.Packing.packGreedy(docs.repartition(7), "toks", 10, "bucket")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(greedy2 === greedy.view.mapValues(_._1).toMap, "partition invariant")
+  }
+
+  test("packing rejects negative tokens and excludes NULLs consistently") {
+    val withNull = Seq((1L, 0, java.lang.Long.valueOf(4L)),
+      (2L, 0, null.asInstanceOf[java.lang.Long]), (3L, 0, java.lang.Long.valueOf(5L)))
+      .toDF("doc_id", "bucket", "toks")
+    // both operators: NULL-token rows excluded, never a NULL pack_id
+    val pc = graft.operators.Packing.packConcat(withNull, "toks", 10, "bucket").collect()
+    assert(pc.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+    assert(pc.forall(!_.isNullAt(pc.head.fieldIndex("pack_id"))))
+    val pg = graft.operators.Packing.packGreedy(withNull, "toks", 10, "bucket").collect()
+    assert(pg.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+    // negative token counts fail fast in both
+    val neg = Seq((1L, 0, 4L), (2L, 0, -3L)).toDF("doc_id", "bucket", "toks")
+    assertThrows[Exception] {
+      graft.operators.Packing.packConcat(neg, "toks", 10, "bucket").collect()
+    }
+    assertThrows[Exception] {
+      graft.operators.Packing.packGreedy(neg, "toks", 10, "bucket").collect()
+    }
   }
 
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
@@ -553,6 +590,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 19, s"planted IVF hits $hits/20")
   }
 
+  test("Ivf.train: anomalous-length vectors cannot poison the dimensionality") {
+    // dims come from the MAJORITY of the sample, not whichever row hashes
+    // smallest — one short vector landing first must not drop every normal
+    // row from the Lloyd updates
+    val rnd = new java.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      val vec = if (i % 97 == 0) Array.fill(3)(rnd.nextFloat()) // ragged
+        else Array.fill(16)(rnd.nextFloat())
+      EmbRow(i.toLong, vec)
+    }
+    val centroids = Ivf.train(rows.toDS().toDF(), k = 4, iters = 2)
+    assert(centroids.length === 4)
+    assert(centroids.forall(_.length === 16),
+      "every centroid must have the majority dimensionality")
+    assertThrows[IllegalArgumentException] {
+      Ivf.train(rows.take(0).toDS().toDF(), k = 4, iters = 1)
+    }
+  }
+
   test("winnowing: substring-match guarantee; overlap pairs find shared passages") {
     import graft.core.text.TextOps
     val rnd = new java.util.Random(5)
@@ -606,7 +662,9 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val df = spark.createDataFrame(rows).toDF("doc_id", "text")
       .repartition(8)
-    val pairs = Dedup.winnowOverlapPairs(df, minShared = 3, maxFingerprintDf = 100)
+    // NO maxFingerprintDf param: the soak must pass with the DEFAULT cap —
+    // a naive caller on a real crawl gets the guard without reading docs
+    val pairs = Dedup.winnowOverlapPairs(df, minShared = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((77L, 99555L)), "rare planted overlap must survive")
     // every other surviving pair is boiler-boiler: docs that DO share a long
