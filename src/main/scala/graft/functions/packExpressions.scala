@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * pack_pos:int>>. One tight loop per group — each boundary depends on the
   * previous one, which is why this is an expression over a collected
   * bucket, not a window. */
-case class GreedyPackIds(child: Expression, budget: Long)
+case class GreedyPackIds(child: Expression, budget: Long,
+                         maxBucketRows: Int = 0)
     extends UnaryExpression {
   require(budget > 0, "budget must be positive")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -30,15 +31,24 @@ case class GreedyPackIds(child: Expression, budget: Long)
       StructField("pack_pos", IntegerType, nullable = false))), containsNull = false)
   override def prettyName: String = "greedy_pack_ids"
   override def nullSafeEval(v: Any): Any =
-    GreedyPackIds.pack(v.asInstanceOf[ArrayData], budget)
+    GreedyPackIds.pack(v.asInstanceOf[ArrayData], budget, maxBucketRows)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.functions.GreedyPackIds.pack($v, ${budget}L)")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.GreedyPackIds.pack($v, ${budget}L, $maxBucketRows)")
   override protected def withNewChildInternal(c: Expression): GreedyPackIds = copy(child = c)
 }
 
 object GreedyPackIds {
-  def pack(rows: ArrayData, budget: Long): GenericArrayData = {
+  def pack(rows: ArrayData, budget: Long, maxBucketRows: Int = 0): GenericArrayData = {
     val n = rows.numElements()
+    // bucket sizing is a correctness-of-scale contract (each bucket is one
+    // collected array): over-cap buckets fail fast with an actionable error
+    // instead of an executor OOM hours into a run
+    if (maxBucketRows > 0 && n > maxBucketRows)
+      throw new IllegalArgumentException(
+        s"greedy_pack_ids: bucket holds $n rows, over the maxBucketRows cap " +
+          s"of $maxBucketRows — use a finer bucketCol (e.g. pmod(xxh3_64(id), " +
+          "more buckets)) or raise the cap explicitly")
     val out = new Array[Any](n)
     var run = 0L
     var packId = 0L

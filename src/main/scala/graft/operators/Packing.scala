@@ -78,14 +78,18 @@ object Packing {
    * over each bucket's collected (order, tokens) pairs and joins back by
    * (bucket, order). Memory per task is bounded by the largest bucket (two
    * longs per doc): size buckets so a bucket's doc COUNT fits comfortably
-   * in an executor — the same contract as any collect_list aggregation.
+   * in an executor — the same contract as any collect_list aggregation,
+   * ENFORCED by `maxBucketRows` (default 8M ~ 128 MB of pairs; 0 = off):
+   * an over-cap bucket fails fast with an actionable error instead of an
+   * executor OOM hours into a run.
    * `orderCol` must be a unique integral id within its bucket (fail-fast
    * on other types — a silent cast-to-null would drop rows); rows whose
    * order or token value is NULL cannot be packed and are excluded, by
    * contract. Pre-existing pack_id/pack_pos columns are replaced.
    */
   def packGreedy(df: DataFrame, tokenCol: String, budget: Long,
-                 bucketCol: String, orderCol: String = "doc_id"): DataFrame = {
+                 bucketCol: String, orderCol: String = "doc_id",
+                 maxBucketRows: Int = 8 << 20): DataFrame = {
     require(budget > 0, "budget must be positive")
     val integral: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
@@ -105,7 +109,8 @@ object Packing {
       .select(col(bucketCol),
         explode(org.apache.spark.sql.graftshim.shims.column(
           graft.functions.GreedyPackIds(
-            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget))).as("__p"))
+            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget,
+            maxBucketRows))).as("__p"))
       .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
         col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
     base.join(folded,

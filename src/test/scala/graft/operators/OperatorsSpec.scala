@@ -329,6 +329,18 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[Exception] {
       graft.operators.Packing.packGreedy(neg, "toks", 10, "bucket").collect()
     }
+    // bucket-size guard: an over-cap bucket is an actionable error, not an
+    // executor OOM; under-cap and opt-out both succeed
+    val many = (0 until 50).map(i => (i.toLong, 0, 1L)).toDF("doc_id", "bucket", "toks")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Packing.packGreedy(many, "toks", 10, "bucket",
+        maxBucketRows = 10).collect()
+    }
+    assert(e.getMessage.contains("maxBucketRows") || e.getCause != null &&
+      e.getCause.getMessage.contains("maxBucketRows"))
+    assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket",
+      maxBucketRows = 0).count() === 50)
+    assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket").count() === 50)
   }
 
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
