@@ -368,6 +368,31 @@ object SparkEntry {
         .select(col("doc_id"), col("media_bytes"))
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_av" -> ((s, dir) => {
+      // REAL audio/video container metadata, oracled end-to-end: WAV and
+      // MP4 blobs are synthesized as spec-layout bytes whose parameters are
+      // pure functions of doc_id, parsed back by the byte-level RIFF / ISO
+      // BMFF walks, and the oracle states the expected fields arithmetically
+      // — so a parser regression (offset, endianness, fixed-point) breaks
+      // the hash match
+      import s.implicits._
+      val media = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val blob =
+            if (id % 2 == 0)
+              Multimodal.Synth.wav((8000 * (1 + id % 3)).toInt,
+                (1 + (id / 2) % 2).toInt, (1000 + (id % 7) * 100).toInt)
+            else
+              Multimodal.Synth.mp4((320 + (id % 5) * 16).toInt,
+                (240 + (id % 4) * 16).toInt, 5000 + (id % 97) * 13)
+          (id, blob)
+        }.toDF("doc_id", "media")
+      Multimodal.mediaMeta(media).toDF()
+        .select(col("doc_id"), col("kind"), col("media_bytes"), col("width"),
+          col("height"), col("sample_rate"), col("channels"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       val embs = s.read.parquet(t(dir, "embeddings"))
       Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 10), k = 5)
@@ -879,6 +904,24 @@ object SparkEntry {
       GROUP BY 1 ORDER BY 1""",
     "q_multimodal_meta" -> """
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS media_bytes
+      FROM documents ORDER BY doc_id""",
+    "q_multimodal_av" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS kind,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + 1000 + (doc_id % 7) * 100
+                       ELSE 232 END AS BIGINT) AS media_bytes,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                       ELSE 320 + (doc_id % 5) * 16 END AS INT) AS width,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                       ELSE 240 + (doc_id % 4) * 16 END AS INT) AS height,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3)
+                       ELSE 0 END AS INT) AS sample_rate,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+                       ELSE 0 END AS INT) AS channels,
+             CAST(CASE WHEN doc_id % 2 = 0
+                       THEN ((1000 + (doc_id % 7) * 100) * 1000)
+                            // (8000 * (1 + doc_id % 3) * (1 + (doc_id // 2) % 2) * 2)
+                       ELSE 5000 + (doc_id % 97) * 13 END AS BIGINT) AS duration_ms
       FROM documents ORDER BY doc_id""",
     "q_ann_bruteforce" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

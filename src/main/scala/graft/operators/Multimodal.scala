@@ -10,17 +10,23 @@ case class MediaMeta(
     media_bytes: Long,
     checksum: String,      // xxh3-64 hex of the blob
     kind: String,          // sniffed container kind
-    width: Int,            // decode stub output
+    width: Int,            // image/video dimensions (0 for audio)
     height: Int,
-    n_frames: Int)
+    n_frames: Int,
+    sample_rate: Int,      // audio: Hz (0 for image/video)
+    channels: Int,         // audio channel count (0 for image/video)
+    duration_ms: Long)     // audio/video duration (0 for images)
 
 /**
  * Multimodal-column plumbing: image/audio/video travel as opaque `binary`
  * columns with typed metadata. The Spark side — schema, batch iteration,
- * partition-parallel decode — is real. IMAGE decode is real too (JDK
- * ImageIO: PNG/JPEG/GIF/BMP dimensions need no external jar); audio/video
- * decode remains STUBBED behind [[decodeStub]] (no codec libraries in this
- * container), producing a deterministic fake so tests can pin outputs.
+ * partition-parallel decode — is real, and so is every container METADATA
+ * path: JDK ImageIO reads PNG/JPEG/GIF/BMP dimensions, [[decodeWav]] walks
+ * RIFF/WAVE chunks (sample rate, channels, duration) and [[decodeMp4]]
+ * walks ISO BMFF boxes (mvhd duration, tkhd track dims) — pure byte work,
+ * no codec jar. Only SAMPLE decode (pixels, PCM, frame extraction) remains
+ * STUBBED behind [[decodeStub]] (no codec libraries in this container),
+ * producing a deterministic fake so tests can pin outputs.
  *
  * Batch shape mirrors `mapInPandas`: each partition is processed as an
  * iterator of rows, the decoder is invoked once per blob inside the
@@ -50,16 +56,107 @@ object Multimodal {
     } finally in.close()
   }
 
-  /** REMAINING DECODER SEAM (audio/video): swap for a real codec (e.g.
-    * JCodec) when available. Deterministic fake: dimensions are a pure
-    * function of the checksum, so results are stable across partitions
-    * and retries. */
+  /** REMAINING DECODER SEAM (audio/video SAMPLE decode — PCM frames,
+    * pixels): swap for a real codec (e.g. JCodec) when available; container
+    * METADATA below is real byte parsing and needs no codec. Deterministic
+    * fake: dimensions are a pure function of the checksum, so results are
+    * stable across partitions and retries. */
   private def decodeStub(blob: Array[Byte], checksum: Long): (Int, Int, Int) = {
-    // ??? <- real audio/video decode goes here; deterministic fake below
+    // ??? <- real audio/video sample decode goes here; deterministic fake below
     val w = 160 + (java.lang.Long.remainderUnsigned(checksum, 8L) * 80).toInt
     val h = 120 + (java.lang.Long.remainderUnsigned(checksum >>> 16, 6L) * 60).toInt
     val frames = 1 + (java.lang.Long.remainderUnsigned(checksum >>> 32, 24L)).toInt
     (w, h, frames)
+  }
+
+  /** Parsed audio/video container metadata (all-zero when absent). */
+  case class AvMeta(width: Int, height: Int, sampleRate: Int, channels: Int,
+                    durationMs: Long)
+
+  private def u16le(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8)
+  private def u32le(d: Array[Byte], p: Int): Long =
+    (d(p) & 0xffL) | ((d(p + 1) & 0xffL) << 8) | ((d(p + 2) & 0xffL) << 16) |
+      ((d(p + 3) & 0xffL) << 24)
+  private def u32be(d: Array[Byte], p: Int): Long =
+    ((d(p) & 0xffL) << 24) | ((d(p + 1) & 0xffL) << 16) | ((d(p + 2) & 0xffL) << 8) |
+      (d(p + 3) & 0xffL)
+  private def u64be(d: Array[Byte], p: Int): Long =
+    (u32be(d, p) << 32) | u32be(d, p + 4)
+  private def fourcc(d: Array[Byte], p: Int): String =
+    new String(d, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** REAL WAV (RIFF/WAVE) header parse — pure byte work, no codec jar:
+    * walks the chunk list for `fmt ` (sample rate, channels) and `data`
+    * (payload size), duration = dataBytes / byteRate. None on anything
+    * malformed (truncated chunks, zero byte rate). Ref layout: RIFF spec /
+    * WAVEFORMATEX. */
+  private[operators] def decodeWav(d: Array[Byte]): Option[AvMeta] = {
+    if (d.length < 12 || fourcc(d, 0) != "RIFF" || fourcc(d, 8) != "WAVE") return None
+    var p = 12
+    var sampleRate = 0; var channels = 0; var byteRate = 0L; var dataBytes = -1L
+    while (p + 8 <= d.length) {
+      val id = fourcc(d, p)
+      val sz = u32le(d, p + 4)
+      if (sz > Int.MaxValue - 16) return None // malformed/hostile size
+      if (id == "fmt " && sz >= 16 && p + 8 + 16 <= d.length) {
+        channels = u16le(d, p + 10)
+        sampleRate = u32le(d, p + 12).toInt
+        byteRate = u32le(d, p + 16)
+      } else if (id == "data") {
+        // size may legally exceed the captured bytes (streamed writes);
+        // clamp to what is actually present
+        dataBytes = math.min(sz, (d.length - p - 8).toLong)
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+    }
+    if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some(AvMeta(0, 0, sampleRate, channels, dataBytes * 1000L / byteRate))
+  }
+
+  /** REAL MP4 (ISO BMFF) header parse — pure byte work: walks top-level
+    * boxes to `moov`, reads `mvhd` (timescale, duration) and every
+    * `trak`/`tkhd` (16.16 fixed-point presentation dims; max over tracks —
+    * audio tracks carry 0x0). Handles 64-bit box sizes and version-1
+    * boxes. None when no parseable moov/mvhd exists. */
+  private[operators] def decodeMp4(d: Array[Byte]): Option[AvMeta] = {
+    var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && depth < 8) {
+        var sz = u32be(d, p.toInt)
+        val typ = fourcc(d, p.toInt + 4)
+        var hdr = 8L
+        if (sz == 1 && p + 16 <= end) { sz = u64be(d, p.toInt + 8); hdr = 16L }
+        else if (sz == 0) sz = end - p // box extends to end of enclosing space
+        if (sz < hdr || p + sz > end) return // malformed: stop this level
+        val body = p + hdr
+        typ match {
+          case "moov" | "trak" => walk(body, p + sz, depth + 1)
+          case "mvhd" if body + 4 <= end =>
+            val v = d(body.toInt) & 0xff
+            if (v == 1 && body + 28 <= end) {
+              timescale = u32be(d, body.toInt + 20)
+              duration = u64be(d, body.toInt + 24)
+            } else if (v == 0 && body + 20 <= end) {
+              timescale = u32be(d, body.toInt + 12)
+              duration = u32be(d, body.toInt + 16)
+            }
+          case "tkhd" =>
+            val v = d(body.toInt) & 0xff
+            val dimsOff = body + (if (v == 1) 88L else 76L)
+            if (dimsOff + 8 <= end) {
+              w = math.max(w, (u32be(d, dimsOff.toInt) >> 16).toInt)
+              h = math.max(h, (u32be(d, dimsOff.toInt + 4) >> 16).toInt)
+            }
+          case _ => ()
+        }
+        p += sz
+      }
+    }
+    walk(0L, d.length.toLong, 0)
+    if (timescale <= 0 || duration < 0) None
+    else Some(AvMeta(w, h, 0, 0, duration * 1000L / timescale))
   }
 
   /** Cheap container sniff from magic bytes (real logic — works on real
@@ -88,17 +185,90 @@ object Multimodal {
         if (blob == null) {
           // docs without media are normal in real page tables: emit typed
           // null-metadata instead of killing the task
-          MediaMeta(id, 0L, "", "none", 0, 0, 0)
+          MediaMeta(id, 0L, "", "none", 0, 0, 0, 0, 0, 0L)
         } else {
           val ck = XXH3.hash(blob)
           val kind = sniffKind(blob)
-          // real ImageIO decode for image containers; stub for the rest
-          val (w, h, f) =
-            (if (kind == "png" || kind == "jpeg") decodeImage(blob) else None)
-              .getOrElse(decodeStub(blob, ck))
-          MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck), kind, w, h, f)
+          // real header decodes: ImageIO for images, byte-level RIFF/ISO
+          // BMFF walks for wav/mp4 container metadata; the deterministic
+          // stub remains only for unrecognized blobs and the sample-decode
+          // seam (pixels/PCM need a codec this container lacks)
+          kind match {
+            case "png" | "jpeg" =>
+              val (w, h, f) = decodeImage(blob).getOrElse(decodeStub(blob, ck))
+              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                kind, w, h, f, 0, 0, 0L)
+            case "wav" if decodeWav(blob).isDefined =>
+              val m = decodeWav(blob).get
+              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                kind, 0, 0, 0, m.sampleRate, m.channels, m.durationMs)
+            case "mp4" if decodeMp4(blob).isDefined =>
+              val m = decodeMp4(blob).get
+              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                kind, m.width, m.height, 0, 0, 0, m.durationMs)
+            case _ =>
+              val (w, h, f) = decodeStub(blob, ck)
+              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                kind, w, h, f, 0, 0, 0L)
+          }
         }
       }
+    }
+  }
+
+  /** Deterministic spec-layout container builders — fixtures for the
+    * parser gates (a standard 44-byte-header WAV; an ftyp+moov ISO BMFF
+    * skeleton with version-0 mvhd/tkhd at their published sizes). Real
+    * files, minimal content. */
+  object Synth {
+    private final class W {
+      val b = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): W = { b.write(v & 0xff); this }
+      def u16le(v: Int): W = { u8(v); u8(v >> 8) }
+      def u32le(v: Long): W = { u8(v.toInt); u8((v >> 8).toInt); u8((v >> 16).toInt); u8((v >> 24).toInt) }
+      def u16be(v: Int): W = { u8(v >> 8); u8(v) }
+      def u32be(v: Long): W = { u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt); u8(v.toInt) }
+      def tag(s: String): W = { b.write(s.getBytes("ISO-8859-1")); this }
+      def zero(n: Int): W = { b.write(new Array[Byte](n)); this }
+      def bytes: Array[Byte] = b.toByteArray
+    }
+
+    /** 16-bit PCM WAV: standard RIFF + fmt(16) + data header, zero samples. */
+    def wav(sampleRate: Int, channels: Int, dataBytes: Int): Array[Byte] = {
+      val w = new W
+      w.tag("RIFF").u32le(36L + dataBytes).tag("WAVE")
+      w.tag("fmt ").u32le(16).u16le(1).u16le(channels).u32le(sampleRate)
+        .u32le(sampleRate.toLong * channels * 2).u16le(channels * 2).u16le(16)
+      w.tag("data").u32le(dataBytes).zero(dataBytes)
+      w.bytes
+    }
+
+    /** ISO BMFF skeleton: ftyp + moov(mvhd v0 + trak(tkhd v0)); timescale
+      * 1000 so duration == durationMs; 16.16 fixed-point track dims. */
+    def mp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+      val w = new W
+      w.u32be(16).tag("ftyp").tag("isom").u32be(0)
+      w.u32be(216).tag("moov")
+      w.u32be(108).tag("mvhd").u32be(0) // version 0 + flags
+        .u32be(0).u32be(0)              // ctime, mtime
+        .u32be(1000).u32be(durationMs)  // timescale, duration
+        .u32be(0x00010000L).u16be(0x0100).zero(10) // rate, volume, reserved
+      mat(w)
+      w.zero(24).u32be(2)               // pre_defined, next_track_ID
+      w.u32be(100).tag("trak")
+      w.u32be(92).tag("tkhd").u32be(7)  // version 0 + enabled flags
+        .u32be(0).u32be(0).u32be(1).u32be(0) // ctime, mtime, track, reserved
+        .u32be(durationMs).zero(8)      // duration, reserved
+        .u16be(0).u16be(0).u16be(0).u16be(0) // layer, group, volume, reserved
+      mat(w)
+      w.u32be(width.toLong << 16).u32be(height.toLong << 16)
+      w.bytes
+    }
+
+    private def mat(w: W): Unit = { // identity display matrix
+      w.u32be(0x00010000L).u32be(0).u32be(0)
+      w.u32be(0).u32be(0x00010000L).u32be(0)
+      w.u32be(0).u32be(0).u32be(0x40000000L)
     }
   }
 

@@ -575,6 +575,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.mediaMeta(corrupt).collect().head.kind === "png")
   }
 
+  test("multimodal: REAL WAV metadata — parses a JDK-AudioSystem-written file") {
+    // a genuinely real WAV: written by javax.sound, not by our own builder
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val samples = new Array[Byte](22050 * 2 * 2) // exactly 1 s of stereo PCM
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length / fmt.getFrameSize)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val m = Multimodal.decodeWav(out.toByteArray).get
+    assert(m.sampleRate === 22050 && m.channels === 2 && m.durationMs === 1000L)
+
+    // and through the Spark path with the synth builder
+    val df = Seq((1L, Multimodal.Synth.wav(8000, 1, 4000)),
+      (2L, "RIFFxxxxWAVEjunk".getBytes)).toDF("doc_id", "media")
+    val metas = Multimodal.mediaMeta(df).collect().sortBy(_.doc_id)
+    assert(metas(0).kind === "wav" && metas(0).sample_rate === 8000 &&
+      metas(0).channels === 1 && metas(0).duration_ms === 250L)
+    assert(metas(1).kind === "wav", "sniffed wav with unparseable body -> stub, no crash")
+  }
+
+  test("multimodal: REAL MP4 metadata — mvhd duration, tkhd dims, v1 boxes") {
+    val m0 = Multimodal.decodeMp4(Multimodal.Synth.mp4(640, 360, 12345L)).get
+    assert(m0.width === 640 && m0.height === 360 && m0.durationMs === 12345L)
+    // version-1 mvhd (64-bit times) + 64-bit box size, hand-built
+    val b = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = (24 to 0 by -8).foreach(s => b.write(((v >> s) & 0xff).toInt))
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xffffffffL) }
+    def tag(s: String): Unit = b.write(s.getBytes("ISO-8859-1"))
+    // mvhd v1 body: ver/flags 4 + times 16 + timescale 4 + duration 8 +
+    // rate 4 + volume/reserved 12 + matrix 36 + pre_defined 24 + next 4 = 112
+    u32(1); tag("moov"); u64(16 + 120) // 64-bit largesize: header + mvhd
+    u32(120); tag("mvhd")
+    u32(0x01000000L)  // version 1
+    u64(0); u64(0)    // ctime, mtime (64-bit)
+    u32(90000); u64(90000L * 7) // timescale, 7 s duration (64-bit)
+    u32(0x00010000L); u32(0); u64(0) // rate, volume+reserved, reserved
+    (0 until 9).foreach(i => u32(if (i % 4 == 0) 0x00010000L else 0)) // matrix
+    (0 until 6).foreach(_ => u32(0)) // pre_defined
+    u32(2)            // next_track_ID
+    val m1 = Multimodal.decodeMp4(b.toByteArray).get
+    assert(m1.durationMs === 7000L && m1.width === 0)
+    // malformed: truncated moov must not crash or loop
+    assert(Multimodal.decodeMp4("....moov".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(Array[Byte](0, 0, 0, 1)).isEmpty)
+  }
+
   test("IVF: deterministic training; recall vs brute force on clustered embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val c1 = Ivf.train(embs, k = 16, iters = 4)
