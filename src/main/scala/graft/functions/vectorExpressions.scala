@@ -202,13 +202,19 @@ case class KllSplits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** l2ap_prefix(keys, weights) -> array<struct<h:long, ub:double>> — the
-  * L2AP prefix (Anastasiu & Karypis 2014): features in global rarest-first
-  * order are kept while the running SUFFIX norm (of the unit-normalized
-  * weight vector) stays >= t; each kept feature carries that suffix norm as
-  * its Cauchy-Schwarz upper bound. A qualifying pair (cos >= t) must share
-  * a prefix feature of both sides, and cos <= ub_a * ub_b at the smallest
-  * shared feature — both used by the exact sparse similarity join. */
+/** l2ap_prefix(keys, weights) -> array<struct<h:long, w:double, nx:double>>
+  * — the L2AP prefix (Anastasiu & Karypis 2014): features in global
+  * rarest-first order are kept while the running SUFFIX norm (of the
+  * unit-normalized weight vector) stays >= t. Each kept feature carries its
+  * own weight `w` and the suffix norm AFTER it, `nx = ||x[i+1..]||`:
+  * at the globally smallest SHARED feature of a pair (position i of a, j of
+  * b) every other shared feature ranks after both, so
+  * cos(a,b) <= w_a[i]*w_b[j] + nx_a[i]*nx_b[j] (Cauchy-Schwarz on the
+  * suffixes) — the positional bound, strictly tighter than the plain
+  * suffix-norm product sqrt(w_a^2+nx_a^2)*sqrt(w_b^2+nx_b^2) (2-D
+  * Cauchy-Schwarz), and exact: the first-shared-feature row of a
+  * qualifying pair always passes, so completeness is preserved while
+  * non-first rows that fail only shed duplicate candidates. */
 case class L2apPrefix(left: Expression, right: Expression, t: Double)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
@@ -216,7 +222,8 @@ case class L2apPrefix(left: Expression, right: Expression, t: Double)
       ArrayType(DoubleType, containsNull = false))
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("h", LongType, nullable = false),
-      StructField("ub", DoubleType, nullable = false))), containsNull = false)
+      StructField("w", DoubleType, nullable = false),
+      StructField("nx", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "l2ap_prefix"
   override def nullSafeEval(k: Any, w: Any): Any =
     L2apPrefix.prefix(k.asInstanceOf[ArrayData].toLongArray(),
@@ -240,9 +247,9 @@ object L2apPrefix {
       val suffixSq = 1.0 - s
       if (suffixSq < t * t) go = false
       else {
-        val ub = math.sqrt(math.max(0.0, suffixSq))
+        val nx = math.sqrt(math.max(0.0, suffixSq - w(i) * w(i)))
         out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](keys(i), ub))
+          Array[Any](keys(i), w(i), nx))
         s += w(i) * w(i)
         i += 1
       }

@@ -296,15 +296,19 @@ object Dedup {
     // sf0.1). Spreading the streamed side parallelizes emission regardless
     // of hot keys, since the other side broadcasts.
     val prefix = state.select(col("id"), explode(col("pref")).as("f"))
-      .select(col("id"), col("f.h").as("h"), col("f.ub").as("ub"))
+      .select(col("id"), col("f.h").as("h"), col("f.w").as("w"), col("f.nx").as("nx"))
       .repartition(state.sparkSession.sparkContext.defaultParallelism)
     // dedupe BEFORE verification, unlike the shingle join: here verify
     // ships two (hash, weight) array pairs per row, so the ~2-3x duplicate
     // factor of multi-shared-prefix pairs costs real shuffle volume, while
-    // the dedup itself shuffles only 16-byte id pairs
+    // the dedup itself shuffles only 16-byte id pairs.
+    // Join filter = the POSITIONAL bound w_a*w_b + nx_a*nx_b >= t (exact at
+    // the first shared feature, see L2apPrefix scaladoc) — strictly tighter
+    // than the plain suffix-norm product, so fewer candidates reach the
+    // dedup shuffle and the verify join
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        col("a.ub") * col("b.ub") >= tEff)
+        col("a.w") * col("b.w") + col("a.nx") * col("b.nx") >= tEff)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 

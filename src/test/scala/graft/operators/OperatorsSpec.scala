@@ -113,6 +113,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fs.listStatus(p).nonEmpty, "reliable checkpoint files written")
   }
 
+  test("L2AP positional bound prunes strictly more than the suffix-norm product") {
+    // same prefix stream, two join filters: the positional bound
+    // w_a*w_b + nx_a*nx_b must admit a SUBSET of the plain suffix-norm
+    // product sqrt(w^2+nx^2) products (2-D Cauchy-Schwarz), and on an
+    // adversarial small-vocabulary corpus a strictly smaller one
+    import graft.functions.GraftFunctions.{l2ap_prefix, xxh3_64}
+    val rnd = new java.util.Random(9)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.fill(5 + rnd.nextInt(25))(s"v${rnd.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = 0.8
+    val tf = corpus.select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("id"), xxh3_64(col("tk")).as("h"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = tf.join(dfTab, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h"), col("tf")))).as("a"),
+        sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+      .select(col("id"), explode(l2ap_prefix(
+        transform(col("a"), x => x("h")),
+        transform(col("a"), x => x("tf") / col("nrm")), t - 1e-9)).as("f"))
+      .select(col("id"), col("f.h").as("h"), col("f.w").as("w"), col("f.nx").as("nx"))
+      .localCheckpoint()
+    def cands(cond: org.apache.spark.sql.Column) =
+      prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id") && cond)
+        .select(col("a.id"), col("b.id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val positional = cands(
+      col("a.w") * col("b.w") + col("a.nx") * col("b.nx") >= t - 1e-9)
+    val suffixNorm = cands(
+      sqrt(col("a.w") * col("a.w") + col("a.nx") * col("a.nx")) *
+      sqrt(col("b.w") * col("b.w") + col("b.nx") * col("b.nx")) >= t - 1e-9)
+    assert(positional.subsetOf(suffixNorm), "tighter bound must admit a subset")
+    assert(positional.size < suffixNorm.size,
+      s"positional ${positional.size} vs suffix-norm ${suffixNorm.size}: " +
+        "must strictly prune on a hot-vocabulary corpus")
+    // and no true pair is lost: the operator (which uses the positional
+    // bound) stays exact on this corpus — pinned by the brute-force test
+    // below, but assert the planted-subset relation here too
+    val truePairs = Dedup.sparseCosinePairs(corpus, minCos = t)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(positional), "every true pair must be a candidate")
+  }
+
   test("sparse cosine join (L2AP prefix) == brute force across thresholds and corpora") {
     def bruteForce(corpus: Seq[(Long, String)], t: Double,
                    idf: Boolean = false, ngram: Int = 1): Set[(Long, Long, Double)] = {
