@@ -472,9 +472,21 @@ object Dedup {
    * round; Spark reclaims it with
    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` or at teardown.
    *
+   * JOB-RESTART RESUMABILITY: `resumePath` (a durable directory on the
+   * shared filesystem) persists each round's labels as a parquet table
+   * `round_<i>`. A restarted job with the same `resumePath` loads the
+   * LATEST complete round (parquet commit via _SUCCESS makes partial
+   * writes invisible) and continues from there instead of recomputing from
+   * round 0 — checkpointing covers executor loss within a job, this covers
+   * losing the driver/job itself, the remaining failure mode of a
+   * multi-hour 100-TB clustering run. Edges are recomputed from `pairs`
+   * (they are the job's input); only the iterative label state resumes.
+   * The caller owns cleanup of the directory after the run.
+   *
    * Returns (id, component) where component = min id of the cluster.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          resumePath: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     if (!reliable)
@@ -482,13 +494,39 @@ object Dedup {
         "connectedComponents: no spark checkpoint dir configured; falling " +
           "back to localCheckpoint (NOT fault-tolerant — executor loss fails " +
           "the job). Call sc.setCheckpointDir on a shared filesystem.")
+
+    def roundDir(i: Int) = resumePath.map(p => s"$p/round_$i")
+    def latestCompleteRound(): Option[Int] = resumePath.flatMap { p =>
+      val base = new org.apache.hadoop.fs.Path(p)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("round_") => s.stripPrefix("round_").toInt }
+        .filter(i => fs.exists(new org.apache.hadoop.fs.Path(s"$p/round_$i/_SUCCESS")))
+        .sorted.lastOption
+    }
+    // persist-or-pin one round of labels: with a resumePath the parquet
+    // round table IS the pin (a fresh scan re-roots the plan exactly like
+    // checkpoint does, and survives the job)
+    def pinRound(df: DataFrame, i: Int): DataFrame = roundDir(i) match {
+      case Some(d) =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+        spark.read.parquet(d)
+      case None => pin(df)
+    }
+
     // undirected edge list, both directions
     val edges = pin(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
-    var labels = pin(edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")))
-    var iter = 0
+    val resumed = latestCompleteRound()
+    var labels = resumed match {
+      case Some(i) => spark.read.parquet(roundDir(i).get)
+      case None => pinRound(edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")), 0)
+    }
+    var iter = resumed.getOrElse(0)
     var converged = false
     while (iter < maxIter && !converged) {
       // candidate label per vertex = min(own, neighbors' components)
@@ -499,10 +537,11 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("component")).as("component"))
       // pointer jump: component := component's component (labels only ever
       // decrease and component <= id, so the jump is always a contraction)
-      val next = pin(afterMin.as("a")
+      val next = pinRound(afterMin.as("a")
         .join(afterMin.select(col("id").as("component"), col("component").as("cc")),
           Seq("component"), "left")
-        .select(col("id"), coalesce(col("cc"), col("component")).as("component")))
+        .select(col("id"), coalesce(col("cc"), col("component")).as("component")),
+        iter + 1)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.component") =!= col("o.component")).limit(1).count()
       labels = next

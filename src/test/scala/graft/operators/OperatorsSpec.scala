@@ -113,6 +113,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fs.listStatus(p).nonEmpty, "reliable checkpoint files written")
   }
 
+  test("connected components resumes a killed job from persisted round labels") {
+    // job-restart contract: rounds persist as parquet under resumePath; a
+    // NEW invocation (what a restarted driver runs) with the same path must
+    // load the latest complete round instead of starting over. The round
+    // tables are plain parquet + _SUCCESS, so nothing about the mechanism
+    // depends on the live session — reading them from a fresh job is
+    // exactly what this second call does.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_resume").toString
+    val chain = (0 until 50).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    // phase 1: a job that dies after 2 rounds (maxIter caps the rounds)
+    Dedup.connectedComponents(chain, maxIter = 2, resumePath = Some(dir)).count()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def rounds() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("round_")).sorted.toSeq
+    val afterKill = rounds()
+    assert(afterKill.contains("round_2") && !afterKill.contains("round_4"),
+      s"phase 1 persisted exactly its rounds: $afterKill")
+    val mtime2 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/round_2/_SUCCESS")).getModificationTime
+    // phase 2: the restarted job — must converge to the right answer...
+    val comps = Dedup.connectedComponents(chain, maxIter = 20, resumePath = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 51 && comps.forall(_._2 == 0L))
+    // ...and must have RESUMED: round_2 not rewritten, later rounds added
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/round_2/_SUCCESS"))
+      .getModificationTime === mtime2, "resume must not recompute round 2")
+    assert(rounds().size > afterKill.size, "resume continued past round 2")
+    // unresumed baseline agrees
+    val base = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(base.sortBy(_._1).toSeq === comps.sortBy(_._1).toSeq)
+  }
+
   test("L2AP positional bound prunes strictly more than the suffix-norm product") {
     // same prefix stream, two join filters: the positional bound
     // w_a*w_b + nx_a*nx_b must admit a SUBSET of the plain suffix-norm
