@@ -46,6 +46,8 @@ object GraftFunctions {
   def canonicalize_url(c: Column): Column = column(CanonicalizeUrl(expression(c)))
   def winnow_set(c: Column, k: Int = 8, w: Int = 4): Column =
     column(WinnowSet(expression(c), k, w))
+  def minhash_sig(shingles: Column, k: Int): Column =
+    column(MinHashSig(expression(shingles), k))
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))

@@ -232,3 +232,55 @@ case class PunctRatio(child: Expression) extends TextUnary {
     graft.core.text.TextOps.punctRatio(v.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): PunctRatio = copy(child = c)
 }
+
+/** minhash_sig(shingles, k) -> array<long>: the k-permutation min-hash
+  * signature of a shingle array computed PER ROW — bit-identical to the
+  * aggregation formulation `min(xxhash64(lit(i), xxh3_64(sh)))` of the
+  * batch LSH join (the seeded re-hash chain is Spark's own XXH64 with its
+  * expression seed 42, signed min), but with no explode + shuffle. That
+  * one-pass shape is what Structured Streaming needs: a streaming
+  * pipeline gets one stateful-operator budget, and the signature must not
+  * spend it on a groupBy. An empty shingle array yields the identity
+  * signature (all Long.MaxValue). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(k >= 1 && k <= 1024, s"numHashes must be in [1, 1024], got $k")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.sig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object MinHashSig {
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  /** Per-permutation seeds = XXH64(i, seed=42), the exact inner state of
+    * Spark's xxhash64(lit(i), _) after consuming the int literal. */
+  def seedsFor(k: Int): Array[Long] = seedCache.computeIfAbsent(k,
+    kk => Array.tabulate(kk)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
+
+  def sig(shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+          k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val seeds = seedsFor(k)
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = graft.core.hash.XXH3.hashUTF8(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, seeds(j))
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -321,6 +321,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Per-row minhash signature table (id, sig: array<long>) — one codegen'd
+    * pass, no explode/shuffle. Bit-identical to the aggregation
+    * formulation inside [[minhashLshPairs]] (pinned by test): the same
+    * signatures serve batch LSH, persisted signature stores, and the
+    * streaming near-dedup ([[graft.streaming.StreamingSketch]]), whose
+    * single stateful-operator budget cannot afford a groupBy. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.minhash_sig(
+        shingles(col(textCol), n), numHashes).as("sig"))
+
   /**
    * MinHash + LSH near-dup pairs. k min-hash signatures from one explode +
    * k min() aggregates (hash_i(s) = xxh3(s + "#" + i)); signatures cut into

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.GraftFunctions._
 
+/** Streaming LSH: a doc with its per-row minhash signature. */
+case class LshDocIn(id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+/** Streaming LSH: a doc replicated into one of its band buckets. */
+case class LshBandDoc(band: Int, bucket: Long, id: Long,
+                      ts: java.sql.Timestamp, sig: Seq[Long])
+/** Streaming LSH bucket state: docs seen in this (band, bucket). */
+case class LshDocSig(id: Long, sig: Seq[Long])
+case class LshBucketState(docs: List[LshDocSig])
+/** Streaming LSH candidate pair (id_a < id_b) with the signature-estimated
+  * Jaccard (matching minhash fraction). */
+case class LshPairOut(id_a: Long, id_b: Long, est_jaccard: Double)
+
 /** One closed user session (sessionization output row). */
 case class SessionOut(user_id: Long, n_events: Int, start_ts: Long, end_ts: Long)
 /** Sessionization state carried between micro-batches. */
@@ -80,6 +92,105 @@ object StreamingSketch {
       .withColumn("__h2", fingerprint64(col(textCol)))
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
+
+  /**
+   * Streaming MinHash-LSH near-dedup — the streaming twin of
+   * [[graft.operators.Dedup.minhashLshPairs]]'s candidate stage: each doc's
+   * k-permutation minhash signature is computed PER ROW (codegen'd
+   * `minhash_sig`, bit-identical to the batch aggregation — pinned by
+   * test), cut into `bands`, and routed to (band, bucket) keyed state;
+   * every arrival is compared against the bucket's buffered signatures and
+   * pairs whose signature-estimated Jaccard (matching minhash fraction)
+   * reaches `minEstJaccard` are emitted. Estimation replaces batch's exact
+   * verify because exact Jaccard needs the shingle sets — unbounded state;
+   * signatures are the standard bounded sufficient statistic
+   * (E[match fraction] = J, sd ~ sqrt(J(1-J)/k)).
+   *
+   * State is BOUNDED two ways: `maxPerBucket` caps each bucket's buffer
+   * (first-arrival wins, matching the dedup-survivor convention — an
+   * over-cap bucket is near-duplicate spam by construction, since unrelated
+   * docs collide in a band bucket with probability 2^-64), and event-time
+   * timeout drops buckets idle past `stateTtl` once the watermark passes —
+   * so a continuous crawl ingest runs forever. Contract (as
+   * [[dedupExact]]): duplicates arriving farther apart than the
+   * watermark/TTL horizon can be missed; run batch LSH over the sink for
+   * longer horizons. A pair sharing several bands can be emitted once per
+   * band (different state keys cannot coordinate); `.dropDuplicates` the
+   * sink or tolerate idempotent pair handling downstream.
+   */
+  def minhashLshPairsStream(docs: DataFrame, tsCol: String, watermark: String,
+                            stateTtlMs: Long, n: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, minEstJaccard: Double = 0.5,
+                            maxPerBucket: Int = 128,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Dataset[LshPairOut] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(stateTtlMs > 0, "stateTtlMs must be positive")
+    val r = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withSig = docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.GraftFunctions.minhash_sig(
+          graft.operators.Dedup.shingles(col(textCol), n), numHashes).as("sig"))
+      .as[LshDocIn]
+    // stateless band replication (the streaming analogue of the bucket
+    // explode): bucket id folds the band's minhashes through the same
+    // seeded XXH64 chain the batch band hash uses. The WATERMARK attaches
+    // AFTER the typed flatMap: the event-time tag does not survive an
+    // object-deserialization boundary, and EventTimeTimeout requires the
+    // marked column on the stateful operator's direct input
+    val banded = withSig.flatMap { d =>
+      (0 until bands).map { b =>
+        var h = 42L
+        var i = b * r
+        while (i < (b + 1) * r) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(d.sig(i), h)
+          i += 1
+        }
+        LshBandDoc(b, h, d.id, d.ts, d.sig)
+      }
+    }.withWatermark("ts", watermark)
+    implicit val stEnc = Encoders.product[LshBucketState]
+    implicit val outEnc = Encoders.product[LshPairOut]
+    banded
+      .groupByKey(x => (x.band, x.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[LshBandDoc], state: GroupState[LshBucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(LshBucketState(Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[LshPairOut]
+            var maxTs = 0L
+            // deterministic intra-batch order: event time, then id
+            rows.toSeq.sortBy(x => (x.ts.getTime, x.id)).foreach { d =>
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              st.docs.foreach { prev =>
+                if (prev.id != d.id) {
+                  var m = 0
+                  var i = 0
+                  while (i < numHashes) {
+                    if (prev.sig(i) == d.sig(i)) m += 1
+                    i += 1
+                  }
+                  val est = m.toDouble / numHashes
+                  if (est >= minEstJaccard)
+                    out += LshPairOut(math.min(prev.id, d.id),
+                      math.max(prev.id, d.id), est)
+                }
+              }
+              if (st.docs.length < maxPerBucket)
+                st = LshBucketState(LshDocSig(d.id, d.sig) :: st.docs)
+            }
+            state.update(st)
+            if (maxTs > 0L) state.setTimeoutTimestamp(maxTs + stateTtlMs)
+            out.iterator
+          }
+        })
+  }
 
   /**
    * Gap-based sessionization via flatMapGroupsWithState — the custom-state

@@ -424,6 +424,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket").count() === 50)
   }
 
+  test("minhash_sig per-row expression == the aggregation formulation, bit-identical") {
+    // the contract that lets streaming (one stateful-operator budget) and
+    // batch share signatures: min(xxhash64(lit(i), xxh3_64(sh))) per doc
+    // must equal the codegen'd one-pass expression exactly
+    val k = 16
+    val shh = docs.select($"doc_id".as("id"),
+        explode(Dedup.shingles($"text", 3)).as("sh"))
+      .select($"id", xxh3_64($"sh").as("h"))
+    val aggCols = (0 until k).map(i => min(xxhash64(lit(i), $"h")).as(s"m$i"))
+    val viaAgg = shh.groupBy($"id").agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    val viaExpr = Dedup.minhashSignatures(docs, n = 3, numHashes = k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaAgg.foreach { case (id, s) => assert(viaExpr(id) === s, s"doc $id") }
+  }
+
   test("minhash LSH recall >= 0.9 vs exact, perfect precision after verify") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

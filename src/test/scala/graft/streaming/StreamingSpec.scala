@@ -84,6 +84,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).forall(_ < 100), s"survivors must be first arrivals")
   }
 
+  test("streaming MinHash-LSH near-dedup == batch band-bucket candidates on a replay") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_lsh").toString
+    // 40 base texts x 3 arrivals: an exact copy (est 1.0), then a near copy
+    // (a token appended -> most shingles shared); spread over 3 time chunks
+    val docs = (0 until 120).map { i =>
+      val base = i % 40
+      val words = {
+        val r2 = new java.util.Random(base)
+        Array.fill(25)(s"w${r2.nextInt(500)}").mkString(" ")
+      }
+      val text = (i / 40) match {
+        case 0 => words
+        case 1 => words // exact copy of the base
+        case _ => words + s" extra$base"
+      }
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), text)
+    }
+    val docsDf = docs.toDF("doc_id", "ts", "text")
+    docsDf.filter($"doc_id" < 40).write.parquet(s"$srcDir/c=0")
+    docsDf.filter($"doc_id" >= 40 && $"doc_id" < 80).write.parquet(s"$srcDir/c=1")
+    docsDf.filter($"doc_id" >= 80).write.parquet(s"$srcDir/c=2")
+
+    val (k, bands, t) = (16, 4, 0.5)
+    val stream = spark.readStream.schema(docsDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/c=*")
+    val pairs = StreamingSketch.minhashLshPairsStream(stream, "ts",
+      watermark = "1 hour", stateTtlMs = 3600000L, n = 3, numHashes = k,
+      bands = bands, minEstJaccard = t)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("stream_lsh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM stream_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch expectation from the SAME signatures: unordered pairs sharing
+    // any band slice, estimated Jaccard >= t (no eviction fires: the whole
+    // replay sits inside watermark + TTL)
+    val sigs = graft.operators.Dedup.minhashSignatures(docsDf, n = 3, numHashes = k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val r0 = k / bands
+    val expected = (for {
+      b <- 0 until bands
+      bucket <- sigs.groupBy(_._2.slice(b * r0, (b + 1) * r0)).values
+      ids = bucket.keys.toSeq.sorted
+      ia <- ids; ib <- ids if ia < ib
+      est = (0 until k).count(i => sigs(ia)(i) == sigs(ib)(i)).toDouble / k
+      if est >= t
+    } yield (ia, ib, est)).toSet
+    assert(got === expected, s"streamed ${got.size} vs batch ${expected.size}")
+    assert(got.nonEmpty, "planted near-dups must produce pairs")
+    // exact copies estimate 1.0
+    assert((0 until 40).forall(b => got.contains((b.toLong, b + 40L, 1.0))),
+      "every (base, exact copy) pair found at est 1.0")
+
+    // bounded state: cap 1 keeps only the first arrival per bucket -> no
+    // fewer emissions than pairs with the retained docs, never unbounded
+    val q2 = StreamingSketch.minhashLshPairsStream(
+        spark.readStream.schema(docsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/c=*"),
+        "ts", watermark = "1 hour", stateTtlMs = 3600000L, n = 3,
+        numHashes = k, bands = bands, minEstJaccard = t, maxPerBucket = 1)
+      .writeStream.outputMode("append").format("memory").queryName("stream_lsh_cap")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val capped = spark.sql("SELECT * FROM stream_lsh_cap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(got), "capped emissions are a subset")
+    assert(capped.size < got.size, "cap must drop some buffered comparisons")
+  }
+
   test("stateful sessionization closes gap-split sessions AND idle sessions via event-time timeout") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
