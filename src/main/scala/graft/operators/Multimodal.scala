@@ -93,22 +93,23 @@ object Multimodal {
     * WAVEFORMATEX. */
   private[operators] def decodeWav(d: Array[Byte]): Option[AvMeta] = {
     if (d.length < 12 || fourcc(d, 0) != "RIFF" || fourcc(d, 8) != "WAVE") return None
-    var p = 12
+    // p is a Long: a hostile u32 chunk size near Int.MaxValue would wrap an
+    // Int cursor negative and index out of bounds instead of ending the walk
+    var p = 12L
     var sampleRate = 0; var channels = 0; var byteRate = 0L; var dataBytes = -1L
     while (p + 8 <= d.length) {
-      val id = fourcc(d, p)
-      val sz = u32le(d, p + 4)
-      if (sz > Int.MaxValue - 16) return None // malformed/hostile size
+      val id = fourcc(d, p.toInt)
+      val sz = u32le(d, p.toInt + 4)
       if (id == "fmt " && sz >= 16 && p + 8 + 16 <= d.length) {
-        channels = u16le(d, p + 10)
-        sampleRate = u32le(d, p + 12).toInt
-        byteRate = u32le(d, p + 16)
+        channels = u16le(d, p.toInt + 10)
+        sampleRate = u32le(d, p.toInt + 12).toInt
+        byteRate = u32le(d, p.toInt + 16)
       } else if (id == "data") {
         // size may legally exceed the captured bytes (streamed writes);
         // clamp to what is actually present
-        dataBytes = math.min(sz, (d.length - p - 8).toLong)
+        dataBytes = math.min(sz, d.length - p - 8)
       }
-      p += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      p += 8L + sz + (sz & 1L) // chunks pad to even
     }
     if (sampleRate <= 0 || channels <= 0 || byteRate <= 0 || dataBytes < 0) None
     else Some(AvMeta(0, 0, sampleRate, channels, dataBytes * 1000L / byteRate))
@@ -135,14 +136,14 @@ object Multimodal {
           case "moov" | "trak" => walk(body, p + sz, depth + 1)
           case "mvhd" if body + 4 <= end =>
             val v = d(body.toInt) & 0xff
-            if (v == 1 && body + 28 <= end) {
+            if (v == 1 && body + 32 <= end) { // u64 duration ends at body+32
               timescale = u32be(d, body.toInt + 20)
               duration = u64be(d, body.toInt + 24)
             } else if (v == 0 && body + 20 <= end) {
               timescale = u32be(d, body.toInt + 12)
               duration = u32be(d, body.toInt + 16)
             }
-          case "tkhd" =>
+          case "tkhd" if body + 4 <= end =>
             val v = d(body.toInt) & 0xff
             val dimsOff = body + (if (v == 1) 88L else 76L)
             if (dimsOff + 8 <= end) {
@@ -168,6 +169,12 @@ object Multimodal {
     else if (blob.length >= 12 && blob(4) == 'f' && blob(5) == 't' && blob(6) == 'y' && blob(7) == 'p') "mp4"
     else if (blob.length >= 4 && blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F' && blob(3) == 'F') "wav"
     else "bin"
+  }
+
+  private def stubMeta(id: Long, blob: Array[Byte], ck: Long, kind: String): MediaMeta = {
+    val (w, h, f) = decodeStub(blob, ck)
+    MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck), kind,
+      w, h, f, 0, 0, 0L)
   }
 
   /**
@@ -198,18 +205,19 @@ object Multimodal {
               val (w, h, f) = decodeImage(blob).getOrElse(decodeStub(blob, ck))
               MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
                 kind, w, h, f, 0, 0, 0L)
-            case "wav" if decodeWav(blob).isDefined =>
-              val m = decodeWav(blob).get
-              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
-                kind, 0, 0, 0, m.sampleRate, m.channels, m.durationMs)
-            case "mp4" if decodeMp4(blob).isDefined =>
-              val m = decodeMp4(blob).get
-              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
-                kind, m.width, m.height, 0, 0, 0, m.durationMs)
-            case _ =>
-              val (w, h, f) = decodeStub(blob, ck)
-              MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
-                kind, w, h, f, 0, 0, 0L)
+            case "wav" => decodeWav(blob) match { // parse once, not per guard
+              case Some(m) =>
+                MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                  kind, 0, 0, 0, m.sampleRate, m.channels, m.durationMs)
+              case None => stubMeta(id, blob, ck, kind)
+            }
+            case "mp4" => decodeMp4(blob) match {
+              case Some(m) =>
+                MediaMeta(id, blob.length.toLong, java.lang.Long.toHexString(ck),
+                  kind, m.width, m.height, 0, 0, 0, m.durationMs)
+              case None => stubMeta(id, blob, ck, kind)
+            }
+            case _ => stubMeta(id, blob, ck, kind)
           }
         }
       }

@@ -131,6 +131,11 @@ object StreamingSketch {
     import spark.implicits._
     val withSig = docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      // null id/ts/text rows cannot be processed (the batch twin's explode
+      // drops them silently); without this filter ONE dirty row would NPE
+      // the always-on query, and a checkpoint restart replays the same
+      // micro-batch — a permanent crash loop
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.functions.GraftFunctions.minhash_sig(
           graft.operators.Dedup.shingles(col(textCol), n), numHashes).as("sig"))

@@ -720,6 +720,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4(Array[Byte](0, 0, 0, 1)).isEmpty)
   }
 
+  test("multimodal: hostile/truncated containers return None, never crash") {
+    // WAV with a chunk size near Int.MaxValue: an Int cursor would wrap
+    // negative and index out of bounds
+    val hostileWav = "RIFF....WAVEjunk".getBytes ++
+      Array[Byte](0xec.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(Multimodal.decodeWav(hostileWav).isEmpty)
+    // header-only tkhd box ending exactly at EOF (body == end)
+    val bareTkhd = Multimodal.Synth.mp4(1, 1, 1L).take(16) ++ // just the ftyp
+      Array[Byte](0, 0, 0, 8) ++ "tkhd".getBytes
+    assert(Multimodal.decodeMp4(bareTkhd).isEmpty)
+    // v1 mvhd truncated inside its 64-bit duration (file ends at body+28)
+    val truncMvhd = {
+      val b = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = (24 to 0 by -8).foreach(s => b.write(((v >> s) & 0xff).toInt))
+      u32(0); b.write("moov".getBytes) // moov extends to EOF
+      u32(0); b.write("mvhd".getBytes) // nested, also to EOF
+      u32(0x01000000L)                 // version 1
+      u32(0); u32(0); u32(0); u32(0)   // 16 bytes of ctime/mtime
+      // ends here: body+20 .. the u64 duration would read past EOF
+      b.toByteArray
+    }
+    assert(Multimodal.decodeMp4(truncMvhd).isEmpty)
+  }
+
   test("IVF: deterministic training; recall vs brute force on clustered embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val c1 = Ivf.train(embs, k = 16, iters = 4)
