@@ -320,6 +320,40 @@ object SparkEntry {
       overBudget.unionByName(loose).unionByName(density).unionByName(cardinality)
         .orderBy(col("bucket"), col("pack_id"), col("violation"))
     }),
+    "q_pack_bestfit" -> ((s, dir) => {
+      // best-fit-decreasing packing invariants as a violation query:
+      // (a) pack totals <= budget unless the pack is one oversized doc;
+      // (b) UNMERGEABLE: every pair of packs in a bucket sums past the
+      //     budget (the BFD guarantee — a new pack opens only when the doc
+      //     fits nowhere), which bounds padding waste;
+      // (c) pack ids dense from 0 per bucket; (d) every doc packed once.
+      val budget = 200L
+      val docs = s.read.parquet(t(dir, "documents"))
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(16)))
+      val packed = graft.operators.Packing.packBestFit(docs, "toks", budget, "bucket")
+      val packAgg = packed.groupBy(col("bucket"), col("pack_id"))
+        .agg(sum(col("toks")).as("total"), count(lit(1)).as("n"))
+        .localCheckpoint() // referenced by four violation branches
+      val overBudget = packAgg.filter(col("total") > budget && col("n") > 1)
+        .select(col("bucket"), col("pack_id"), lit("over_budget").as("violation"))
+      val mergeable = packAgg.as("a").join(packAgg.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.pack_id") < col("b.pack_id") &&
+          col("a.total") + col("b.total") <= budget)
+        .select(col("a.bucket").as("bucket"), col("a.pack_id").as("pack_id"),
+          lit("mergeable").as("violation"))
+      val density = packAgg.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("np"), max(col("pack_id")).as("mx"), min(col("pack_id")).as("mn"))
+        .filter(col("np") =!= col("mx") + 1 || col("mn") =!= 0)
+        .select(col("bucket"), lit(-1L).as("pack_id"), lit("density").as("violation"))
+      val cardinality = packAgg.agg(sum(col("n")).as("n"))
+        .crossJoin(docs.agg(count(lit(1)).as("m")))
+        .filter(col("n") =!= col("m"))
+        .select(lit(-1L).as("bucket"), lit(-1L).as("pack_id"),
+          lit("cardinality").as("violation"))
+      overBudget.unionByName(mergeable).unionByName(density).unionByName(cardinality)
+        .orderBy(col("bucket"), col("pack_id"), col("violation"))
+    }),
     "q_pack_concat" -> ((s, dir) => {
       // sequence-pack assignment (concat-and-chunk): whole docs into
       // 200-token budget windows, bucketed so no global sort exists;
@@ -853,6 +887,9 @@ object SparkEntry {
              round(CAST(maxc AS DOUBLE) / n, 9) AS max_token_ratio
       FROM agg ORDER BY doc_id""",
     "q_pack_greedy" -> """
+      SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS pack_id,
+             '' AS violation WHERE 1 = 0""",
+    "q_pack_bestfit" -> """
       SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS pack_id,
              '' AS violation WHERE 1 = 0""",
     "q_pack_concat" -> """

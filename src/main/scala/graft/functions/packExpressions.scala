@@ -80,3 +80,103 @@ object GreedyPackIds {
     new GenericArrayData(out)
   }
 }
+
+/** best_fit_pack_ids(rows, budget) — BEST-FIT-DECREASING bin packing of a
+  * bucket: items sorted by (tokens desc, order asc) each go to the fullest
+  * open pack that still fits (ties: smallest pack id), else open a new
+  * pack; an item larger than the budget is a singleton pack. Used when
+  * document ORDER inside a pack does not matter and padding waste does —
+  * BFD's guarantee that a new pack opens only when the item fits nowhere
+  * makes every PAIR of packs unmergeable (their totals sum past the
+  * budget), the invariant the driver gate checks. Input/output shapes and
+  * the `maxBucketRows` guard match [[GreedyPackIds]]; pack_pos is the
+  * insertion order within the pack. O(n log n) via a residual-capacity
+  * tree. */
+case class BestFitPackIds(child: Expression, budget: Long,
+                          maxBucketRows: Int = 0)
+    extends UnaryExpression {
+  require(budget > 0, "budget must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"best_fit_pack_ids requires array<struct<long, long>>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("o", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "best_fit_pack_ids"
+  override def nullSafeEval(v: Any): Any =
+    BestFitPackIds.pack(v.asInstanceOf[ArrayData], budget, maxBucketRows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.BestFitPackIds.pack($v, ${budget}L, $maxBucketRows)")
+  override protected def withNewChildInternal(c: Expression): BestFitPackIds = copy(child = c)
+}
+
+object BestFitPackIds {
+  def pack(rows: ArrayData, budget: Long, maxBucketRows: Int = 0): GenericArrayData = {
+    val n = rows.numElements()
+    if (maxBucketRows > 0 && n > maxBucketRows)
+      throw new IllegalArgumentException(
+        s"best_fit_pack_ids: bucket holds $n rows, over the maxBucketRows cap " +
+          s"of $maxBucketRows — use a finer bucketCol or raise the cap explicitly")
+    val os = new Array[Long](n)
+    val tks = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = rows.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1))
+        throw new IllegalArgumentException(
+          "best_fit_pack_ids: null order/token value cannot be packed")
+      os(i) = row.getLong(0)
+      tks(i) = row.getLong(1)
+      if (tks(i) < 0)
+        throw new IllegalArgumentException(
+          s"best_fit_pack_ids: negative token count ${tks(i)} at order ${os(i)}")
+      i += 1
+    }
+    // decreasing token order, ties by ascending order id — deterministic on
+    // any input permutation (the input array is sorted by order id)
+    val idx = Array.range(0, n).sortBy(j => (-tks(j), os(j)))
+    // open packs keyed by (residual capacity, packId): best fit = smallest
+    // residual >= tk (the fullest pack that still fits), ties smallest id
+    val open = new java.util.TreeMap[(Long, Long), Long](
+      Ordering.Tuple2[Long, Long])
+    val packTotal = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val packCount = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val outPack = new Array[Long](n)
+    val outPos = new Array[Int](n)
+    idx.foreach { j =>
+      val tk = tks(j)
+      val fit = open.ceilingEntry((tk, Long.MinValue))
+      val pid =
+        if (fit != null) {
+          val id = fit.getValue
+          open.remove(fit.getKey)
+          packTotal(id.toInt) += tk
+          if (budget - packTotal(id.toInt) > 0)
+            open.put((budget - packTotal(id.toInt), id), id)
+          id
+        } else {
+          val id = packTotal.length.toLong
+          packTotal += tk
+          packCount += 0
+          if (budget - tk > 0) open.put((budget - tk, id), id)
+          id
+        }
+      packCount(pid.toInt) += 1
+      outPack(j) = pid
+      outPos(j) = packCount(pid.toInt)
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = new GenericInternalRow(Array[Any](os(i), outPack(i), outPos(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -117,4 +117,51 @@ object Packing {
         col(bucketCol) <=> col("__bucket") && col(orderCol).cast("long") === col("__o"))
       .drop("__bucket", "__o")
   }
+
+  /**
+   * BEST-FIT-DECREASING packing — the padding-minimizing strategy for
+   * training mixes where document order within a pack is free (each pack
+   * is shuffled or attention-masked anyway): within a bucket, docs sorted
+   * by (tokens desc, order asc) each join the FULLEST open pack that still
+   * fits, else open a new pack (an oversized doc is a singleton). The BFD
+   * guarantee the driver gate checks: a new pack opens only when the doc
+   * fits in NO open pack, so EVERY pair of packs is unmergeable — their
+   * totals sum past the budget — which bounds waste (at most one pack can
+   * be under half full).
+   *
+   * Same distribution/memory/fail-fast contracts as [[packGreedy]]
+   * (per-bucket codegen'd fold over collected pairs, `maxBucketRows`
+   * guard, integral types, null exclusion); the fold is O(n log n) via a
+   * residual-capacity tree. Deterministic and partition-invariant.
+   */
+  def packBestFit(df: DataFrame, tokenCol: String, budget: Long,
+                  bucketCol: String, orderCol: String = "doc_id",
+                  maxBucketRows: Int = 8 << 20): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    require(integral(df.schema(orderCol).dataType),
+      s"packBestFit orderCol '$orderCol' must be an integral id column, got " +
+        s"${df.schema(orderCol).dataType.catalogString} (a lossy cast would drop rows)")
+    require(integral(df.schema(tokenCol).dataType),
+      s"packBestFit tokenCol '$tokenCol' must be integral, got " +
+        s"${df.schema(tokenCol).dataType.catalogString}")
+    val base = df.drop("pack_id", "pack_pos")
+      .filter(col(orderCol).isNotNull && col(tokenCol).isNotNull)
+    val folded = base.groupBy(col(bucketCol))
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("long").as("o"),
+        col(tokenCol).cast("long").as("tk")))).as("__a"))
+      .select(col(bucketCol),
+        explode(org.apache.spark.sql.graftshim.shims.column(
+          graft.functions.BestFitPackIds(
+            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget,
+            maxBucketRows))).as("__p"))
+      .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
+        col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
+    base.join(folded,
+        col(bucketCol) <=> col("__bucket") && col(orderCol).cast("long") === col("__o"))
+      .drop("__bucket", "__o")
+  }
 }

@@ -392,6 +392,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(greedy2 === greedy.view.mapValues(_._1).toMap, "partition invariant")
   }
 
+  test("best-fit-decreasing packing: fuller packs than greedy, invariants hold") {
+    // classic BFD case: greedy-in-id-order wastes; BFD pairs 6+4 and 7+3
+    val docs = Seq((1L, 0, 6L), (2L, 0, 7L), (3L, 0, 4L), (4L, 0, 3L),
+      (10L, 1, 25L), (11L, 1, 3L)) // oversized singleton + small doc
+      .toDF("doc_id", "bucket", "toks")
+    val bfd = graft.operators.Packing.packBestFit(docs, "toks", budget = 10,
+        bucketCol = "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Int]("pack_pos"))).toMap
+    // order desc: 7 -> pack0; 6 -> pack1; 4 -> pack1 (residual 4 beats 3);
+    // 3 -> pack0
+    assert(bfd(2L)._1 === 0L && bfd(4L)._1 === 0L, "7+3 share a pack")
+    assert(bfd(1L)._1 === 1L && bfd(3L)._1 === 1L, "6+4 share a pack")
+    assert(bfd(10L) === (0L, 1), "oversized doc is a singleton pack")
+    assert(bfd(11L) === (1L, 1))
+    // greedy on the same bucket 0 needs 3 packs (6|7|4+3); BFD needs 2
+    val greedy = graft.operators.Packing.packGreedy(docs.filter($"bucket" === 0),
+      "toks", 10, "bucket").collect().map(_.getAs[Long]("pack_id")).max
+    assert(greedy === 2L, "greedy-in-id-order needs 3 packs where BFD needs 2")
+
+    // random soak: cap, unmergeable-pairs, density, cardinality, and
+    // partition invariance on 500 random docs over 8 buckets
+    val rnd = new java.util.Random(21)
+    val rand = (0 until 500).map(i => (i.toLong, i % 8, 1L + rnd.nextInt(120)))
+      .toDF("doc_id", "bucket", "toks")
+    val packed = graft.operators.Packing.packBestFit(rand, "toks", 128, "bucket")
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("toks"), r.getAs[Long]("doc_id")))
+    assert(packed.length === 500, "every doc packed exactly once")
+    val totals = packed.groupBy(p => (p._1, p._2)).view.mapValues(_.map(_._3).sum).toMap
+    val counts = packed.groupBy(p => (p._1, p._2)).view.mapValues(_.length).toMap
+    totals.foreach { case (k, t) =>
+      assert(t <= 128 || counts(k) == 1, s"pack $k total $t over budget") }
+    totals.keys.groupBy(_._1).foreach { case (b, ks) =>
+      val ts = ks.toSeq.map(totals)
+      for (i <- ts.indices; j <- i + 1 until ts.size)
+        assert(ts(i) + ts(j) > 128, s"bucket $b has mergeable packs")
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.size).toSeq, s"bucket $b ids not dense")
+    }
+    val again = graft.operators.Packing.packBestFit(rand.repartition(11), "toks", 128, "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(again === packed.map(p => p._4 -> p._2).toMap, "partition invariant")
+  }
+
   test("packing rejects negative tokens and excludes NULLs consistently") {
     val withNull = Seq((1L, 0, java.lang.Long.valueOf(4L)),
       (2L, 0, null.asInstanceOf[java.lang.Long]), (3L, 0, java.lang.Long.valueOf(5L)))
