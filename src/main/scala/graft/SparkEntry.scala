@@ -389,6 +389,23 @@ object SparkEntry {
           round(dup_line_char_ratio(multiline), 9).as("dup_line_char_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_strip_boilerplate" -> ((s, dir) => {
+      // corpus-level paragraph/line dedup (CCNet/Dolma style): multiline
+      // docs synthesized as in q_text_repetition, with a shared cookie
+      // banner planted in every even doc (df ~ half the corpus); lines in
+      // >= 50 docs strip, everything else survives in order. Oracled by an
+      // INDEPENDENT DuckDB line-df + list_filter reassembly.
+      val l1 = substring(col("text"), 1, 40)
+      val l2 = substring(col("text"), 41, 40)
+      val banner = lit("please accept our cookie policy to continue")
+      val multiline = concat_ws("\n", l1,
+        when(pmod(col("doc_id"), lit(2)) === 0, banner).otherwise(l2),
+        concat(lit("u"), col("doc_id").cast("string")))
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), multiline.as("text"))
+      Dedup.stripBoilerplateLines(docs, minDf = 50)
+        .orderBy(col("doc_id"))
+    }),
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -930,6 +947,23 @@ object SparkEntry {
              round(CAST(n - d AS DOUBLE) / n, 9) AS dup_line_ratio,
              round(CAST(dupchars AS DOUBLE) / chars, 9) AS dup_line_char_ratio
       FROM agg ORDER BY doc_id""",
+    "q_strip_boilerplate" -> """
+      WITH ml AS (
+        SELECT doc_id,
+               concat_ws(chr(10), substring(text, 1, 40),
+                 CASE WHEN doc_id % 2 = 0
+                      THEN 'please accept our cookie policy to continue'
+                      ELSE substring(text, 41, 40) END,
+                 'u' || doc_id) AS t
+        FROM documents),
+      lx AS (SELECT DISTINCT doc_id, unnest(string_split(t, chr(10))) AS l FROM ml),
+      df AS (SELECT l, count(*) AS df FROM lx GROUP BY 1),
+      boiler AS (SELECT coalesce(list(l), []) AS bl FROM df WHERE df >= 50)
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(t, chr(10)), x -> NOT list_contains(bl, x)),
+               chr(10)) AS text
+      FROM ml, boiler ORDER BY doc_id""",
     "q_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n, CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value

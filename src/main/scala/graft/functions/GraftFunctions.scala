@@ -119,6 +119,10 @@ object GraftFunctions {
     "dup_line_ratio" -> (e => DupLineRatio(e.head)),
     "dup_line_char_ratio" -> (e => DupLineCharRatio(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
+    "word_shingles" -> (e => WordShingles(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 3)),
+    "minhash_sig" -> (e => MinHashSig(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 32)),
     "hll_est" -> (e => HllEst(e.head)),
     "cms_est" -> (e => CmsEst(e.head, e(1))),
     "bloom_contains" -> (e => BloomContains(e.head, e(1))),

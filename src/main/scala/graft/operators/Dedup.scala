@@ -410,6 +410,52 @@ object Dedup {
   }
 
   /**
+   * Corpus-level boilerplate LINE audit (the CCNet / Dolma paragraph-dedup
+   * family): lines whose exact content appears in at least `minDf` distinct
+   * documents — navigation text, cookie banners, footers — returned as
+   * (line, df) for inspection or as the input to
+   * [[stripBoilerplateLines]]. Per-doc duplicate lines count once (df is a
+   * distinct-document count). Scale shape: one explode, one distinct, one
+   * count aggregation — all on (8-byte hash, line) keys; output is tiny by
+   * definition (a line needs minDf documents to qualify).
+   */
+  def boilerplateLines(docs: DataFrame, minDf: Long,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), "\n")).as("line"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /**
+   * Remove corpus-boilerplate lines from every document — the in-document
+   * half of paragraph dedup: documents keep their other lines in order
+   * (joined back with "\n"); a document whose every line is boilerplate
+   * keeps an empty text rather than vanishing.
+   *
+   * Plan shape: lines explode once with positions; the (tiny) boilerplate
+   * hash set broadcasts into a left-anti equi-join; surviving lines
+   * re-assemble per document (one groupBy on the id). Matching is by
+   * 64-bit content hash — the engine's standard content-address assumption
+   * (a cross-line collision strips an innocent line with P ~ 2^-64).
+   */
+  def stripBoilerplateLines(docs: DataFrame, minDf: Long,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "line")
+    val boiler = boilerplateLines(docs, minDf, idCol, textCol)
+      .select(xxh3_64(col("line")).as("__bh"))
+    val kept = lines.join(broadcast(boiler),
+      xxh3_64(col("line")) === col("__bh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), "\n").as(textCol))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill("", Seq(textCol))
+  }
+
+  /**
    * Winnowing overlap pairs — LOCAL duplication detection (shared passages,
    * quotations, boilerplate blocks) that whole-document Jaccard misses:
    * docs sharing >= `minShared` winnowing fingerprints. By the winnowing

@@ -98,6 +98,12 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("bc_miss") === false)
     assert(row.getAs[Double]("td_med") === 1.0) // all counts are 1
     assert(row.getAs[Double]("kll_med") === 1.0)
+    // text/signature functions with optional int args, from pure SQL
+    val sig = spark.sql("""
+      SELECT minhash_sig(word_shingles('a b c d e', 3), 8) AS sig,
+             size(word_shingles('a b c d e')) AS nsh""").collect()(0)
+    assert(sig.getSeq[Long](0).length === 8)
+    assert(sig.getAs[Int]("nsh") === 3)
   }
 
   test("GraftExtensions wiring: applies cleanly, unique names, same builder set as registerAll") {

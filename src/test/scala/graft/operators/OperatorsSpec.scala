@@ -469,6 +469,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket").count() === 50)
   }
 
+  test("boilerplate line strip: df is per-document, order kept, empty docs survive") {
+    val docs = Seq(
+      (1L, "unique one\nBOILER\nunique two"),
+      (2L, "BOILER\nother text"),
+      (3L, "BOILER\nBOILER"),    // fully boilerplate -> empty text, not dropped
+      (4L, "RARE\nRARE\nmine"),  // within-doc dup counts ONCE toward df
+      (5L, "solo content"))
+      .toDF("doc_id", "text")
+    val audit = Dedup.boilerplateLines(docs, minDf = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit === Map("BOILER" -> 3L), s"got $audit") // RARE df=1 (one doc)
+    val stripped = Dedup.stripBoilerplateLines(docs, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) === "unique one\nunique two", "order preserved")
+    assert(stripped(2L) === "other text")
+    assert(stripped(3L) === "", "fully-boilerplate doc keeps an empty text")
+    assert(stripped(4L) === "RARE\nRARE\nmine", "under-df lines untouched")
+    assert(stripped(5L) === "solo content")
+    assert(stripped.size === 5)
+  }
+
   test("minhash_sig per-row expression == the aggregation formulation, bit-identical") {
     // the contract that lets streaming (one stateful-operator budget) and
     // batch share signatures: min(xxhash64(lit(i), xxh3_64(sh))) per doc
