@@ -55,6 +55,33 @@ object Soak {
       println("[soak] packed=" + graft.operators.Packing
         .packConcat(toks, "toks", 4096, "bucket").count())
     }
+    timed("packBestFit 2M docs, 1024 buckets, budget 4096") {
+      println("[soak] packed=" + graft.operators.Packing
+        .packBestFit(toks, "toks", 4096, "bucket").count())
+    }
+
+    // simhash at the hard radius over 200k near-random signatures
+    timed("simhashPairs maxHamming=10, 200k docs") {
+      println("[soak] pairs=" + graft.operators.Dedup
+        .simhashPairs(docs, maxHamming = 10).count())
+    }
+
+    // boilerplate strip: 3-line docs, one cookie banner in 20% of 200k
+    val ml = docs.select(col("doc_id"),
+      concat_ws("\n", substring(col("text"), 1, 60),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("this site uses cookies accept to continue")).otherwise(substring(col("text"), 61, 60)),
+        concat(lit("u"), col("doc_id").cast("string"))).as("text"))
+    timed("stripBoilerplateLines 200k docs (banner in 40k)") {
+      println("[soak] docs_out=" + graft.operators.Dedup
+        .stripBoilerplateLines(ml, minDf = 1000).count())
+    }
+
+    // streaming-parity signature build over the corpus (per-row kernel)
+    timed("minhashSignatures k=32 over 200k docs") {
+      println("[soak] sigs=" + graft.operators.Dedup
+        .minhashSignatures(docs, n = 3, numHashes = 32).count())
+    }
     spark.stop()
   }
 }

@@ -389,6 +389,27 @@ object SparkEntry {
           round(dup_line_char_ratio(multiline), 9).as("dup_line_char_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_pii_signals" -> ((s, dir) => {
+      // PII scrubbing signals (CCNet/Dolma-style audit counts) with
+      // Spark BUILT-INS only (functions, not UDFs): emails and bare IPv4s
+      // planted deterministically into the synthetic text, counted with
+      // regexp_count — oracled against DuckDB's independent regex engine
+      // on intentionally engine-portable patterns
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or admin@test.org"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".1"))).otherwise(lit("")))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          regexp_count(planted,
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")).cast("long").as("n_emails"),
+          regexp_count(planted,
+            lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).cast("long").as("n_ipv4"))
+        .orderBy(col("doc_id"))
+    }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // corpus-level paragraph/line dedup (CCNet/Dolma style): multiline
       // docs synthesized as in q_text_repetition, with a shared cookie
@@ -947,6 +968,23 @@ object SparkEntry {
              round(CAST(n - d AS DOUBLE) / n, 9) AS dup_line_ratio,
              round(CAST(dupchars AS DOUBLE) / chars, 9) AS dup_line_char_ratio
       FROM agg ORDER BY doc_id""",
+    "q_pii_signals" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com or admin@test.org'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 4 = 0
+                    THEN ' from 10.0.' || (doc_id % 256) || '.1'
+                    ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ipv4
+      FROM p ORDER BY doc_id""",
     "q_strip_boilerplate" -> """
       WITH ml AS (
         SELECT doc_id,

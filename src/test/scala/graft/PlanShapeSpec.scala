@@ -147,6 +147,40 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
+  test("best-fit packing joins back by (bucket, order) equi-keys; no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(8)))
+    val plan = operators.Packing.packBestFit(docs, "toks", 200, "bucket")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
+  test("boilerplate strip: broadcast anti-join on line hashes, no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Dedup.stripBoilerplateLines(docs, minDf = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    // the (tiny by definition) boilerplate set must broadcast into the
+    // anti join — a shuffle here would move the whole exploded corpus
+    assert(plan.contains("BroadcastHashJoin") &&
+      "BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("simhash banded join is equi-join only at every radius") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (h <- Seq(3, 7, 10)) {
+      val plan = operators.Dedup.simhashPairs(docs, maxHamming = h)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"h=$h: ${plan.take(2000)}")
+    }
+  }
+
   test("prefix-filtered dedup joins only on prefix shingles (grouped prefix, equi-joins)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = operators.Dedup.ngramJaccardPairs(docs, 3, 0.2)
