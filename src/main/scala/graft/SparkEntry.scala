@@ -279,6 +279,23 @@ object SparkEntry {
           round(max_token_ratio(col("text")), 9).as("max_token_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_gopher_ngrams" -> ((s, dir) => {
+      // the remaining Gopher repetition filters (Rae et al. 2021): top
+      // {2,3,4}-gram char fraction and duplicated {5,8}-gram char fraction,
+      // over text with a planted repeated prefix so dup n-grams exist.
+      // Oracled against an independent DuckDB gram-count/position-coverage
+      // SQL (ASCII corpus: lexicographic tie-breaks agree across engines).
+      val rep = concat(col("text"), lit(" "), substring(col("text"), 1, 60),
+        lit(" "), substring(col("text"), 1, 60))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          round(top_ngram_char_ratio(rep, 2), 9).as("top2"),
+          round(top_ngram_char_ratio(rep, 3), 9).as("top3"),
+          round(top_ngram_char_ratio(rep, 4), 9).as("top4"),
+          round(dup_ngram_char_ratio(rep, 5), 9).as("dup5"),
+          round(dup_ngram_char_ratio(rep, 8), 9).as("dup8"))
+        .orderBy(col("doc_id"))
+    }),
     "q_pack_greedy" -> ((s, dir) => {
       // TRUE greedy (close-on-overflow) packing invariants as a violation
       // query over the operator's own output — DuckDB cannot run the
@@ -927,6 +944,64 @@ object SparkEntry {
     "q_pack_greedy" -> """
       SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS pack_id,
              '' AS violation WHERE 1 = 0""",
+    "q_text_gopher_ngrams" -> """
+      WITH p AS (
+        SELECT doc_id, text || ' ' || substring(text, 1, 60) || ' ' ||
+               substring(text, 1, 60) AS t
+        FROM documents),
+      tok AS (
+        SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ts FROM p),
+      tot AS (
+        SELECT doc_id, ts, len(ts) AS ntok,
+               CAST(len(array_to_string(ts, '')) AS DOUBLE) AS total
+        FROM tok),
+      grams AS (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, greatest(ntok - n + 2, 1)),
+                 i -> array_to_string(ts[i:i+n-1], ' '))) AS g
+        FROM tot, (SELECT unnest([2, 3, 4]) AS n) ns),
+      gc AS (
+        SELECT doc_id, n, g, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(len(g) - (n - 1) AS DOUBLE) AS clen
+        FROM grams GROUP BY 1, 2, 3),
+      topn AS (
+        SELECT doc_id, n, cnt * clen AS num FROM (
+          SELECT doc_id, n, cnt, clen,
+                 row_number() OVER (PARTITION BY doc_id, n
+                   ORDER BY cnt DESC, clen DESC, g ASC) AS rk
+          FROM gc) r WHERE rk = 1),
+      gpos AS (
+        SELECT doc_id, n, u.i AS idx, u.g AS g FROM (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, greatest(ntok - n + 2, 1)),
+                   i -> struct_pack(i := i,
+                     g := array_to_string(ts[i:i+n-1], ' ')))) AS u
+          FROM tot, (SELECT unnest([5, 8]) AS n) ns) q),
+      dg AS (
+        SELECT doc_id, n, g FROM (
+          SELECT doc_id, n, g, count(*) AS c FROM gpos GROUP BY 1, 2, 3) c
+        WHERE c >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id, n, p FROM (
+          SELECT gpos.doc_id, gpos.n, gpos.idx + unnest(range(0, gpos.n)) AS p
+          FROM gpos JOIN dg USING (doc_id, n, g)) h),
+      dupc AS (
+        SELECT cov.doc_id, cov.n, CAST(sum(len(ts[p])) AS DOUBLE) AS dchars
+        FROM cov JOIN tot ON cov.doc_id = tot.doc_id
+        GROUP BY 1, 2)
+      SELECT tot.doc_id,
+             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t2.num, 0) / total END, 9) AS top2,
+             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t3.num, 0) / total END, 9) AS top3,
+             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t4.num, 0) / total END, 9) AS top4,
+             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(d5.dchars, 0) / total END, 9) AS dup5,
+             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(d8.dchars, 0) / total END, 9) AS dup8
+      FROM tot
+      LEFT JOIN topn t2 ON t2.doc_id = tot.doc_id AND t2.n = 2
+      LEFT JOIN topn t3 ON t3.doc_id = tot.doc_id AND t3.n = 3
+      LEFT JOIN topn t4 ON t4.doc_id = tot.doc_id AND t4.n = 4
+      LEFT JOIN dupc d5 ON d5.doc_id = tot.doc_id AND d5.n = 5
+      LEFT JOIN dupc d8 ON d8.doc_id = tot.doc_id AND d8.n = 8
+      ORDER BY tot.doc_id""",
     "q_pack_bestfit" -> """
       SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS pack_id,
              '' AS violation WHERE 1 = 0""",

@@ -254,6 +254,92 @@ object TextOps {
   /** Fraction of lines that are duplicates of an earlier line — the Gopher
     * "duplicate line fraction" repetition signal (Rae et al. 2021,
     * Table A1). Lines split on '\n'; empty lines count. */
+
+  /** Fraction of token characters inside the MOST frequent word n-gram
+    * (count * gram-char-length / total token chars) — the Gopher "fraction
+    * of characters in the most frequent {2,3,4}-gram" repetition signal
+    * (Rae et al. 2021). Tokens are the single-space split with empties
+    * dropped; character totals exclude spaces on both sides. Deterministic
+    * tie-break: highest count, then longest gram, then lexicographically
+    * smallest. 0 when the text has fewer than n tokens or no characters. */
+  def topNgramCharRatio(text: String, n: Int): Double = {
+    require(n >= 1, "n must be >= 1")
+    val ts = tokens(text).filter(_.nonEmpty)
+    var total = 0L
+    ts.foreach(t => total += t.length)
+    if (total == 0 || ts.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= ts.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestCnt = 0
+    var bestLen = -1L
+    var bestGram: String = null
+    counts.forEach { (g, c) =>
+      val charLen = (g.length - (n - 1)).toLong // joining spaces excluded
+      if (c > bestCnt || (c == bestCnt && (charLen > bestLen ||
+          (charLen == bestLen && g.compareTo(bestGram) < 0)))) {
+        bestCnt = c; bestLen = charLen; bestGram = g
+      }
+    }
+    bestCnt.toDouble * bestLen / total
+  }
+
+  /** Fraction of token characters covered by any word n-gram occurring at
+    * least twice (each token position counted ONCE even under overlapping
+    * occurrences) — the Gopher "fraction of characters in duplicated
+    * {5..10}-grams" repetition signal (Rae et al. 2021). Same
+    * tokenization/char conventions as [[topNgramCharRatio]]. */
+  def dupNgramCharRatio(text: String, n: Int): Double = {
+    require(n >= 1, "n must be >= 1")
+    val ts = tokens(text).filter(_.nonEmpty)
+    var total = 0L
+    ts.foreach(t => total += t.length)
+    if (total == 0 || ts.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Integer]()
+    val grams = new Array[String](ts.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= ts.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(i + j))
+        j += 1
+      }
+      grams(i) = sb.toString
+      counts.merge(grams(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val covered = new Array[Boolean](ts.length)
+    i = 0
+    while (i < grams.length) {
+      if (counts.get(grams(i)) >= 2) {
+        var j = 0
+        while (j < n) { covered(i + j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var dup = 0L
+    i = 0
+    while (i < ts.length) {
+      if (covered(i)) dup += ts(i).length
+      i += 1
+    }
+    dup.toDouble / total
+  }
+
   def dupLineRatio(text: String): Double = {
     val lines = text.split("\n", -1)
     if (lines.isEmpty) return 0.0

@@ -52,6 +52,10 @@ object GraftFunctions {
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))
   def dup_line_ratio(c: Column): Column = column(DupLineRatio(expression(c)))
+  def top_ngram_char_ratio(c: Column, n: Int): Column =
+    column(TopNgramCharRatio(expression(c), n))
+  def dup_ngram_char_ratio(c: Column, n: Int): Column =
+    column(DupNgramCharRatio(expression(c), n))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
@@ -119,6 +123,10 @@ object GraftFunctions {
     "dup_line_ratio" -> (e => DupLineRatio(e.head)),
     "dup_line_char_ratio" -> (e => DupLineCharRatio(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
+    "top_ngram_char_ratio" -> (e => TopNgramCharRatio(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 2)),
+    "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 5)),
     "word_shingles" -> (e => WordShingles(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 3)),
     "minhash_sig" -> (e => MinHashSig(e.head,

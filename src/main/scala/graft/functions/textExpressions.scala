@@ -284,3 +284,35 @@ object MinHashSig {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Gopher "fraction of characters in the most frequent n-gram" (n=2..4 in
+  * the paper) — parameterized codegen'd wrapper over TextOps. */
+case class TopNgramCharRatio(child: Expression, n: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_char_ratio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.topNgramCharRatio(v.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.TextOps.topNgramCharRatio($c.toString(), $n)")
+  override protected def withNewChildInternal(c: Expression): TopNgramCharRatio = copy(child = c)
+}
+
+/** Gopher "fraction of characters in duplicated n-grams" (n=5..10 in the
+  * paper; overlapping occurrences cover each token position once). */
+case class DupNgramCharRatio(child: Expression, n: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  require(n >= 1, "n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_ngram_char_ratio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.dupNgramCharRatio(v.asInstanceOf[UTF8String].toString, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.TextOps.dupNgramCharRatio($c.toString(), $n)")
+  override protected def withNewChildInternal(c: Expression): DupNgramCharRatio = copy(child = c)
+}

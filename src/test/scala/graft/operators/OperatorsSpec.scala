@@ -925,6 +925,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.size < 10000, s"skew guard must collapse the pair count, got ${pairs.size}")
   }
 
+  test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
+    import graft.core.text.TextOps
+    // "a b a b a b": 2-grams "a b"x3, "b a"x2 -> 3*2/6 chars
+    assert(TextOps.topNgramCharRatio("a b a b a b", 2) === 1.0)
+    // all trigrams unique, tie-break lexicographic -> any has 3 of 4 chars
+    assert(TextOps.topNgramCharRatio("x y z w", 3) === 0.75)
+    assert(TextOps.topNgramCharRatio("one two", 3) === 0.0, "fewer tokens than n")
+    assert(TextOps.topNgramCharRatio("", 2) === 0.0)
+    // repeated 5-gram covers positions 0-4 and 5-9 of 11 one-char tokens
+    assert(TextOps.dupNgramCharRatio("p q r s t p q r s t u", 5) === 10.0 / 11)
+    assert(TextOps.dupNgramCharRatio("p q r s t u v w x y z", 5) === 0.0)
+    // overlapping occurrences never double-count characters
+    assert(TextOps.dupNgramCharRatio("a a a a", 2) === 1.0)
+    // longer tokens weight by characters, not positions
+    assert(TextOps.dupNgramCharRatio("long word long word tiny", 2) ===
+      16.0 / 20) // "long word" repeats; covers 4 tokens of 4+4+4+4 chars
+    // expression path through Spark
+    val r = Seq(Tuple1("a b a b a b")).toDF("text")
+      .select(top_ngram_char_ratio($"text", 2).as("t2"),
+        dup_ngram_char_ratio($"text", 2).as("d2")).collect()(0)
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 1.0)
+  }
+
   test("Gopher repetition signals: duplicate line fraction and char fraction") {
     import graft.core.text.TextOps
     assert(TextOps.dupLineRatio("a\nb\nc") === 0.0)
