@@ -538,6 +538,36 @@ object SparkEntry {
         .select(lit("byhash").as("lang"), lit("rate").as("violation"))
       quotaV.unionByName(detV).unionByName(rateV).orderBy(col("lang"), col("violation"))
     }),
+    "q_sample_mix" -> ((s, dir) => {
+      // distribution-matching sampler as a violation query: the largest
+      // feasible sample at mix {en:0.5, de:0.3, zh:0.2} must hit the
+      // independently recomputed quotas floor(p*N), N = min floor(cnt/p);
+      // selection must be repartition-invariant; out-of-mix strata must
+      // not appear. Any row is a bug.
+      val targets = Seq(("en", 0.5), ("de", 0.3), ("zh", 0.2))
+      val docs = s.read.parquet(t(dir, "documents"))
+      val s1 = graft.operators.Sampling.toDistribution(docs, "lang", targets.toMap)
+      val s2 = graft.operators.Sampling.toDistribution(docs.repartition(7), "lang", targets.toMap)
+      val p = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "de", 0.3)
+        .when(col("lang") === "zh", 0.2)
+      val withP = docs.filter(col("lang").isin("en", "de", "zh"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cap", floor(col("cnt") / p))
+      val want = withP.crossJoin(broadcast(withP.agg(min(col("cap")).as("N"))))
+        .select(col("lang"), floor(p * col("N")).cast("long").as("want"))
+      val got = s1.groupBy(col("lang")).agg(count(lit(1)).as("got"))
+      val quotaV = want.join(got, Seq("lang"), "full_outer")
+        .filter(coalesce(col("got"), lit(0L)) =!= coalesce(col("want"), lit(0L)))
+        .select(col("lang"), lit("quota").as("violation"))
+      val detV = s1.select(col("doc_id"), col("lang"))
+        .exceptAll(s2.select(col("doc_id"), col("lang")))
+        .select(col("lang"), lit("determinism").as("violation"))
+      val strayV = s1.filter(!col("lang").isin("en", "de", "zh"))
+        .select(col("lang"), lit("stray_stratum").as("violation"))
+      quotaV.unionByName(detV).unionByName(strayV)
+        .orderBy(col("lang"), col("violation"))
+    }),
     "q_sparse_cosine" -> ((s, dir) => {
       // exact L2AP-prefix sparse cosine join over bag-of-words tf vectors,
       // oracled 1:1 against a DuckDB tf/norm/dot computation
@@ -1158,6 +1188,8 @@ object SparkEntry {
       FROM sh JOIN ref USING (s)
       GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""",
     "q_sample_stratified" -> """
+      SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
+    "q_sample_mix" -> """
       SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
     "q_sparse_cosine" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

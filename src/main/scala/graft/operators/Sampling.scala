@@ -79,6 +79,47 @@ object Sampling {
   }
 
   /**
+   * Sample to a TARGET MIX — the "language/domain balancing" step of a
+   * training-data pipeline: returns the LARGEST deterministic sample whose
+   * stratum proportions match `targets` (weights over stratum string
+   * values; they need not sum to 1 — they are normalized by use). The
+   * feasible size is N = min over targeted strata of
+   * floor(count_s / p_s); each stratum keeps exactly floor(p_s * N) rows
+   * (so quotas never exceed availability), chosen by the same hashed-key
+   * order as every sampler here — reproducible on any partitioning. Rows
+   * whose stratum is absent from `targets` (or NULL) are excluded: a mix
+   * is a whitelist. A targeted stratum with no rows makes N = 0 (an
+   * impossible mix yields the empty, not a skewed, sample).
+   *
+   * Scale shape: one count aggregation collects #targets rows to the
+   * driver for the N arithmetic; quotas broadcast back; selection is the
+   * shared two-phase top-k. Nothing corpus-sized moves.
+   */
+  def toDistribution(df: DataFrame, strataCol: String, targets: Map[String, Double],
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(p => p > 0.0 && p.isFinite),
+      "every target weight must be positive and finite")
+    val total = targets.values.sum
+    val norm = targets.view.mapValues(_ / total).toMap
+    val sCol = col(strataCol).cast("string")
+    val inTarget = df.filter(sCol.isNotNull && sCol.isInCollection(norm.keys.toSeq))
+    val counts = inTarget.groupBy(sCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = norm.map { case (s, p) =>
+      math.floor(counts.getOrElse(s, 0L) / p).toLong
+    }.min
+    val quotas = norm.map { case (s, p) => (s, math.floor(p * n).toLong) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF("__stratum", "__quota")
+    val withQuota = inTarget.join(broadcast(quotaDf), sCol === col("__stratum"))
+      .drop("__stratum")
+    takeByQuota(withQuota, strataCol, keyCol, df.columns.toIndexedSeq)
+  }
+
+  /**
    * EXACT per-stratum quotas, deterministic: each stratum keeps its
    * ceil(fraction * |stratum|) smallest rows by hashed-key order (a stable
    * pseudo-random order — so the quota is met exactly AND the chosen rows

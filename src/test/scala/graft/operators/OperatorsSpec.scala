@@ -335,6 +335,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cappedIds === cappedIds2, "cap selection must not depend on partitioning")
   }
 
+  test("distribution-matching sample: exact mix quotas, whitelist semantics") {
+    val rows = (0 until 10).map(i => (i.toLong, "a")) ++
+      (100 until 104).map(i => (i.toLong, "b")) ++
+      (200 until 203).map(i => (i.toLong, "c")) ++ // not in the mix
+      Seq((300L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "lang")
+    // N = min(floor(10/0.6), floor(4/0.4)) = min(16, 10) = 10
+    // quotas: a = floor(6.0) = 6, b = floor(4.0) = 4
+    val got = Sampling.toDistribution(df, "lang", Map("a" -> 0.6, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("a" -> 6, "b" -> 4), s"got $byLang")
+    assert(got.forall(r => r._2 == "a" || r._2 == "b"), "mix is a whitelist")
+    // weights normalize: {3, 2} behaves as {0.6, 0.4}
+    val got2 = Sampling.toDistribution(df, "lang", Map("a" -> 3.0, "b" -> 2.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 === got.toSet, "unnormalized weights select the same rows")
+    // partition invariance
+    val got3 = Sampling.toDistribution(df.repartition(5), "lang",
+      Map("a" -> 0.6, "b" -> 0.4)).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got3 === got.toSet)
+    // an impossible mix (targeted stratum empty) yields the empty sample
+    assert(Sampling.toDistribution(df, "lang",
+      Map("a" -> 0.5, "missing" -> 0.5)).count() === 0L)
+    assertThrows[IllegalArgumentException](
+      Sampling.toDistribution(df, "lang", Map("a" -> 0.0)))
+  }
+
   test("sampling hash encoding is unambiguous (no sentinel/salt collisions)") {
     // (key='a#b', salt='') and (key='a', salt='b') must NOT make identical
     // decisions, and a NULL key must not be chained to a literal sentinel
