@@ -553,9 +553,9 @@ object SparkEntry {
         .when(col("lang") === "zh", 0.2)
       val withP = docs.filter(col("lang").isin("en", "de", "zh"))
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .withColumn("cap", floor(col("cnt") / p))
+        .withColumn("cap", floor(col("cnt") / p + lit(1e-9))) // eps as the operator
       val want = withP.crossJoin(broadcast(withP.agg(min(col("cap")).as("N"))))
-        .select(col("lang"), floor(p * col("N")).cast("long").as("want"))
+        .select(col("lang"), floor(p * col("N") + lit(1e-9)).cast("long").as("want"))
       val got = s1.groupBy(col("lang")).agg(count(lit(1)).as("got"))
       val quotaV = want.join(got, Seq("lang"), "full_outer")
         .filter(coalesce(col("got"), lit(0L)) =!= coalesce(col("want"), lit(0L)))
@@ -1020,9 +1020,9 @@ object SparkEntry {
         FROM cov JOIN tot ON cov.doc_id = tot.doc_id
         GROUP BY 1, 2)
       SELECT tot.doc_id,
-             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t2.num, 0) / total END, 9) AS top2,
-             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t3.num, 0) / total END, 9) AS top3,
-             round(CASE WHEN total = 0 THEN 0 ELSE coalesce(t4.num, 0) / total END, 9) AS top4,
+             round(CASE WHEN total = 0 THEN 0 ELSE least(coalesce(t2.num, 0) / total, 1.0) END, 9) AS top2,
+             round(CASE WHEN total = 0 THEN 0 ELSE least(coalesce(t3.num, 0) / total, 1.0) END, 9) AS top3,
+             round(CASE WHEN total = 0 THEN 0 ELSE least(coalesce(t4.num, 0) / total, 1.0) END, 9) AS top4,
              round(CASE WHEN total = 0 THEN 0 ELSE coalesce(d5.dchars, 0) / total END, 9) AS dup5,
              round(CASE WHEN total = 0 THEN 0 ELSE coalesce(d8.dchars, 0) / total END, 9) AS dup8
       FROM tot

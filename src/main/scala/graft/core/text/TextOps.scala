@@ -256,12 +256,15 @@ object TextOps {
     * Table A1). Lines split on '\n'; empty lines count. */
 
   /** Fraction of token characters inside the MOST frequent word n-gram
-    * (count * gram-char-length / total token chars) — the Gopher "fraction
-    * of characters in the most frequent {2,3,4}-gram" repetition signal
-    * (Rae et al. 2021). Tokens are the single-space split with empties
-    * dropped; character totals exclude spaces on both sides. Deterministic
-    * tie-break: highest count, then longest gram, then lexicographically
-    * smallest. 0 when the text has fewer than n tokens or no characters. */
+    * (count * gram-char-length / total token chars, CAPPED at 1.0 —
+    * overlapping occurrences of periodic text like "a a a a" would
+    * otherwise count characters twice and push a "fraction" past 1) — the
+    * Gopher "fraction of characters in the most frequent {2,3,4}-gram"
+    * repetition signal (Rae et al. 2021). Tokens are the single-space
+    * split with empties dropped; character totals exclude spaces on both
+    * sides. Deterministic tie-break: highest count, then longest gram,
+    * then lexicographically smallest. 0 when the text has fewer than n
+    * tokens or no characters. */
   def topNgramCharRatio(text: String, n: Int): Double = {
     require(n >= 1, "n must be >= 1")
     val ts = tokens(text).filter(_.nonEmpty)
@@ -292,7 +295,7 @@ object TextOps {
         bestCnt = c; bestLen = charLen; bestGram = g
       }
     }
-    bestCnt.toDouble * bestLen / total
+    math.min(1.0, bestCnt.toDouble * bestLen / total)
   }
 
   /** Fraction of token characters covered by any word n-gram occurring at

@@ -157,14 +157,18 @@ object BestFitPackIds {
           val id = fit.getValue
           open.remove(fit.getKey)
           packTotal(id.toInt) += tk
-          if (budget - packTotal(id.toInt) > 0)
+          // exactly-full packs STAY open at residual 0: a zero-token item
+          // best-fits into one (otherwise it would open a zero-total pack,
+          // and a (full, zero) pair sums to exactly the budget — breaking
+          // the pairwise-unmergeability guarantee the gate checks)
+          if (budget - packTotal(id.toInt) >= 0)
             open.put((budget - packTotal(id.toInt), id), id)
           id
         } else {
           val id = packTotal.length.toLong
           packTotal += tk
           packCount += 0
-          if (budget - tk > 0) open.put((budget - tk, id), id)
+          if (budget - tk >= 0) open.put((budget - tk, id), id)
           id
         }
       packCount(pid.toInt) += 1

@@ -420,39 +420,50 @@ object Dedup {
    * definition (a line needs minDf documents to qualify).
    */
   def boilerplateLines(docs: DataFrame, minDf: Long,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // minDf <= 1 would classify EVERY distinct corpus line as boilerplate —
+    // blanking the corpus and broadcasting a corpus-sized set downstream
+    require(minDf >= 2, s"minDf must be >= 2 (a line needs at least two " +
+      s"documents to be corpus boilerplate), got $minDf")
     docs.select(col(idCol).as("id"), explode(split(col(textCol), "\n")).as("line"))
       .distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+  }
 
   /**
    * Remove corpus-boilerplate lines from every document — the in-document
    * half of paragraph dedup: documents keep their other lines in order
-   * (joined back with "\n"); a document whose every line is boilerplate
-   * keeps an empty text rather than vanishing.
+   * (joined back with "\n") and EVERY other column untouched; a document
+   * whose every line is boilerplate keeps an empty text rather than
+   * vanishing.
    *
-   * Plan shape: lines explode once with positions; the (tiny) boilerplate
-   * hash set broadcasts into a left-anti equi-join; surviving lines
-   * re-assemble per document (one groupBy on the id). Matching is by
-   * 64-bit content hash — the engine's standard content-address assumption
-   * (a cross-line collision strips an innocent line with P ~ 2^-64).
+   * Plan shape: the input is pinned once (it is referenced three times —
+   * line explode, df aggregation, final column join — and Catalyst
+   * re-expands referenced subtrees); lines explode once with positions;
+   * the (tiny) boilerplate hash set broadcasts into a left-anti equi-join;
+   * surviving lines re-assemble per document (one groupBy on the id).
+   * Matching is by 64-bit content hash — the engine's standard
+   * content-address assumption (a cross-line collision strips an innocent
+   * line with P ~ 2^-64).
    */
   def stripBoilerplateLines(docs: DataFrame, minDf: Long,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
+    val pinned = pin(docs)
+    val lines = pinned.select(col(idCol), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("col", "line")
-    val boiler = boilerplateLines(docs, minDf, idCol, textCol)
+    val boiler = boilerplateLines(pinned, minDf, idCol, textCol)
       .select(xxh3_64(col("line")).as("__bh"))
     val kept = lines.join(broadcast(boiler),
       xxh3_64(col("line")) === col("__bh"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("pos"), col("line")))),
-        x => x("line")), "\n").as(textCol))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .na.fill("", Seq(textCol))
+        x => x("line")), "\n").as("__newtext"))
+    pinned.join(rebuilt, Seq(idCol), "left")
+      .select(pinned.columns.map(c =>
+        if (c == textCol) coalesce(col("__newtext"), lit("")).as(textCol)
+        else col(c)).toIndexedSeq: _*)
   }
 
   /**

@@ -89,16 +89,27 @@ object Packing {
    */
   def packGreedy(df: DataFrame, tokenCol: String, budget: Long,
                  bucketCol: String, orderCol: String = "doc_id",
-                 maxBucketRows: Int = 8 << 20): DataFrame = {
+                 maxBucketRows: Int = 8 << 20): DataFrame =
+    foldPack(df, tokenCol, budget, bucketCol, orderCol, "packGreedy",
+      a => graft.functions.GreedyPackIds(a, budget, maxBucketRows))
+
+  /** Shared scaffolding of the fold-based packers: fail-fast integral
+    * types, null exclusion, per-bucket collect + sequential-fold
+    * expression, (bucket, order) equi-join back. The fold expression is
+    * the only strategy-specific piece. */
+  private def foldPack(df: DataFrame, tokenCol: String, budget: Long,
+                       bucketCol: String, orderCol: String, name: String,
+                       mkFold: org.apache.spark.sql.catalyst.expressions.Expression =>
+                         org.apache.spark.sql.catalyst.expressions.Expression): DataFrame = {
     require(budget > 0, "budget must be positive")
     val integral: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
     require(integral(df.schema(orderCol).dataType),
-      s"packGreedy orderCol '$orderCol' must be an integral id column, got " +
+      s"$name orderCol '$orderCol' must be an integral id column, got " +
         s"${df.schema(orderCol).dataType.catalogString} (a lossy cast would drop rows)")
     require(integral(df.schema(tokenCol).dataType),
-      s"packGreedy tokenCol '$tokenCol' must be integral, got " +
+      s"$name tokenCol '$tokenCol' must be integral, got " +
         s"${df.schema(tokenCol).dataType.catalogString}")
     val base = df.drop("pack_id", "pack_pos")
       .filter(col(orderCol).isNotNull && col(tokenCol).isNotNull)
@@ -108,9 +119,7 @@ object Packing {
         col(tokenCol).cast("long").as("tk")))).as("__a"))
       .select(col(bucketCol),
         explode(org.apache.spark.sql.graftshim.shims.column(
-          graft.functions.GreedyPackIds(
-            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget,
-            maxBucketRows))).as("__p"))
+          mkFold(org.apache.spark.sql.graftshim.shims.expression(col("__a"))))).as("__p"))
       .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
         col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
     base.join(folded,
@@ -136,32 +145,7 @@ object Packing {
    */
   def packBestFit(df: DataFrame, tokenCol: String, budget: Long,
                   bucketCol: String, orderCol: String = "doc_id",
-                  maxBucketRows: Int = 8 << 20): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-    require(integral(df.schema(orderCol).dataType),
-      s"packBestFit orderCol '$orderCol' must be an integral id column, got " +
-        s"${df.schema(orderCol).dataType.catalogString} (a lossy cast would drop rows)")
-    require(integral(df.schema(tokenCol).dataType),
-      s"packBestFit tokenCol '$tokenCol' must be integral, got " +
-        s"${df.schema(tokenCol).dataType.catalogString}")
-    val base = df.drop("pack_id", "pack_pos")
-      .filter(col(orderCol).isNotNull && col(tokenCol).isNotNull)
-    val folded = base.groupBy(col(bucketCol))
-      .agg(sort_array(collect_list(struct(
-        col(orderCol).cast("long").as("o"),
-        col(tokenCol).cast("long").as("tk")))).as("__a"))
-      .select(col(bucketCol),
-        explode(org.apache.spark.sql.graftshim.shims.column(
-          graft.functions.BestFitPackIds(
-            org.apache.spark.sql.graftshim.shims.expression(col("__a")), budget,
-            maxBucketRows))).as("__p"))
-      .select(col(bucketCol).as("__bucket"), col("__p.o").as("__o"),
-        col("__p.pack_id").as("pack_id"), col("__p.pack_pos").as("pack_pos"))
-    base.join(folded,
-        col(bucketCol) <=> col("__bucket") && col(orderCol).cast("long") === col("__o"))
-      .drop("__bucket", "__o")
-  }
+                  maxBucketRows: Int = 8 << 20): DataFrame =
+    foldPack(df, tokenCol, budget, bucketCol, orderCol, "packBestFit",
+      a => graft.functions.BestFitPackIds(a, budget, maxBucketRows))
 }

@@ -107,10 +107,13 @@ object Sampling {
     val counts = inTarget.groupBy(sCol.as("__stratum"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // epsilon-guarded floors: clean decimal targets hit exact integers in
+    // real arithmetic but land just below them in doubles (0.29 * 100 =
+    // 28.999...96), and a bare floor would silently under-sample a stratum
     val n = norm.map { case (s, p) =>
-      math.floor(counts.getOrElse(s, 0L) / p).toLong
+      math.floor(counts.getOrElse(s, 0L) / p + 1e-9).toLong
     }.min
-    val quotas = norm.map { case (s, p) => (s, math.floor(p * n).toLong) }
+    val quotas = norm.map { case (s, p) => (s, math.floor(p * n + 1e-9).toLong) }
     val spark = df.sparkSession
     import spark.implicits._
     val quotaDf = quotas.toSeq.toDF("__stratum", "__quota")

@@ -10,9 +10,9 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
   * cap unless singleton, dense ids, exact cardinality, greedy tightness
   * (the next pack's first doc would not have fit), BFD pairwise
   * unmergeability (any two packs sum past the budget — the waste bound),
-  * and determinism. Token counts are >= 1 by construction everywhere the
-  * operators run (a text splits into at least one token), matching the
-  * invariant preconditions. */
+  * and determinism. Zero-token items are included: greedy folds them into
+  * the current pack, and BFD best-fits them into a full (residual-0) pack
+  * so the unmergeability guarantee survives. */
 object PackingPropertySpec extends Properties("sequence-packing") {
 
   private case class Doc(o: Long, tk: Long)
@@ -33,7 +33,8 @@ object PackingPropertySpec extends Properties("sequence-packing") {
     tks <- Gen.listOfN(n, Gen.frequency(
       8 -> Gen.choose(1L, budget),          // normal docs
       1 -> Gen.choose(budget + 1, 2 * budget), // oversized singletons
-      1 -> Gen.const(1L)))                  // tiny-doc clusters
+      1 -> Gen.const(1L),                   // tiny-doc clusters
+      1 -> Gen.const(0L)))                  // zero-token (empty-text) docs
   } yield (tks.zipWithIndex.map { case (t, i) => Doc(i.toLong * 3 + 1, t) }, budget)
 
   private def packsOf(out: Seq[(Long, Long, Int)], docs: Seq[Doc]): Map[Long, Seq[Doc]] = {

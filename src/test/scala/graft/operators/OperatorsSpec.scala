@@ -361,6 +361,15 @@ class OperatorsSpec extends AnyFunSuite {
       Map("a" -> 0.5, "missing" -> 0.5)).count() === 0L)
     assertThrows[IllegalArgumentException](
       Sampling.toDistribution(df, "lang", Map("a" -> 0.0)))
+    // float-floor guard: 0.29 * 100 is 28.999...96 in doubles; the quota
+    // must still be the mathematical floor(p * N)
+    val big = ((0 until 29).map(i => (i.toLong, "x")) ++
+      (1000 until 1071).map(i => (i.toLong, "y"))).toDF("doc_id", "lang")
+    // counts x=29, y=71; N = min(floor(29/.29), floor(71/.71)) = 100;
+    // quotas: x = 29, y = 71 (everything)
+    val mixed = Sampling.toDistribution(big, "lang", Map("x" -> 0.29, "y" -> 0.71))
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(mixed === Map("x" -> 29, "y" -> 71), s"float floor lost a row: $mixed")
   }
 
   test("sampling hash encoding is unambiguous (no sentinel/salt collisions)") {
@@ -463,6 +472,14 @@ class OperatorsSpec extends AnyFunSuite {
     val again = graft.operators.Packing.packBestFit(rand.repartition(11), "toks", 128, "bucket")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
     assert(again === packed.map(p => p._4 -> p._2).toMap, "partition invariant")
+
+    // zero-token docs best-fit into a FULL pack (residual 0) rather than
+    // opening a zero-total pack that would break pairwise unmergeability
+    val zeros = Seq((1L, 0, 10L), (2L, 0, 10L), (3L, 0, 0L)).toDF("doc_id", "bucket", "toks")
+    val zp = graft.operators.Packing.packBestFit(zeros, "toks", 10, "bucket")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    assert(zp(3L) === 0L || zp(3L) === 1L, s"zero-token doc joins a full pack: $zp")
+    assert(zp.values.toSet.size === 2, "no third (zero-total) pack opens")
   }
 
   test("packing rejects negative tokens and excludes NULLs consistently") {
@@ -516,6 +533,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stripped(4L) === "RARE\nRARE\nmine", "under-df lines untouched")
     assert(stripped(5L) === "solo content")
     assert(stripped.size === 5)
+    // extra columns pass through untouched (no silent schema narrowing)
+    val wide = docs.withColumn("lang", concat(lit("l"), pmod($"doc_id", lit(3))))
+      .withColumn("url", concat(lit("u://"), $"doc_id"))
+    val ws = Dedup.stripBoilerplateLines(wide, minDf = 3)
+    assert(ws.columns.toSeq === wide.columns.toSeq, "schema preserved in order")
+    val w3 = ws.filter($"doc_id" === 3L).collect()(0)
+    assert(w3.getAs[String]("text") === "" && w3.getAs[String]("url") === "u://3")
+    // degenerate minDf fails fast instead of blanking the corpus
+    assertThrows[IllegalArgumentException](Dedup.boilerplateLines(docs, minDf = 1))
+    assertThrows[IllegalArgumentException](Dedup.stripBoilerplateLines(docs, minDf = 0))
   }
 
   test("minhash_sig per-row expression == the aggregation formulation, bit-identical") {
