@@ -226,6 +226,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental exact dedup: yesterday's batch (even doc_ids) is only
+      // a persisted 128-bit signature store; today's batch (all docs) must
+      // keep exactly the min-id doc per text whose content is NOT in the
+      // store. Oracled 1:1 by an independent DuckDB NOT-IN + group-by.
+      val docs = s.read.parquet(t(dir, "documents"))
+      val store = Dedup.contentSignatures(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      Dedup.exactAgainstStore(docs, store)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_url_canon" -> ((s, dir) => {
       // crawl-dedup URL canonicalization over deterministically messy URLs
       // (mixed-case scheme/host, default and non-default ports, fragments);
@@ -908,6 +919,10 @@ object SparkEntry {
       FROM inter JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2
       ORDER BY 1, 2""",
+    "q_dedup_incremental" -> """
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+      GROUP BY text ORDER BY 1""",
     "q_url_canon" -> """
       SELECT doc_id,
              concat(

@@ -321,6 +321,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** The 128-bit content-signature table (id, h1, h2) of a corpus — the
+    * persistable state of incremental exact dedup: write it once per
+    * ingested batch and feed it back as the `store` of
+    * [[exactAgainstStore]] for the next batch. Same signature scheme as
+    * [[exact]] (16 bytes/doc, text never leaves the scan). */
+  def contentSignatures(docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), xxh3_64(col(textCol)).as("h1"),
+      fingerprint64(col(textCol)).as("h2"))
+
+  /**
+   * INCREMENTAL exact dedup — the continuous-crawl shape: drop new docs
+   * whose content signature already exists in a persisted `store`
+   * ([[contentSignatures]] rows from previous batches), then exact-dedup
+   * the remainder within the batch (smallest id survives). Append the
+   * survivors' [[contentSignatures]] to the store and the next batch
+   * dedups against everything ever kept — no re-reading of old text.
+   *
+   * Scale shape: one anti equi-join on (h1, h2) — broadcastable while the
+   * store is small, hash-partitioned when it is corpus-sized — plus the
+   * [[exact]] group-by for the intra-batch pass. Returns the surviving
+   * ROWS of `newDocs` (all columns).
+   */
+  def exactAgainstStore(newDocs: DataFrame, store: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = contentSignatures(newDocs, idCol, textCol)
+      .withColumnRenamed("id", idCol)
+    val fresh = sig.join(store.select(col("h1"), col("h2")), Seq("h1", "h2"), "left_anti")
+    val keepIds = fresh.groupBy(col("h1"), col("h2"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    newDocs.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   /** Per-row minhash signature table (id, sig: array<long>) — one codegen'd
     * pass, no explode/shuffle. Bit-identical to the aggregation
     * formulation inside [[minhashLshPairs]] (pinned by test): the same
@@ -332,6 +366,46 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.minhash_sig(
         shingles(col(textCol), n), numHashes).as("sig"))
+
+  /**
+   * Near-dup matches of NEW docs against a persisted signature store
+   * ([[minhashSignatures]] rows from previous batches) — the batch
+   * analogue of the streaming operator's state probe, for incremental
+   * crawl ingestion: band-bucket equi-join between the new batch's
+   * signatures and the store, candidates verified by the
+   * signature-estimated Jaccard (matching minhash fraction — the store
+   * holds no text, and signatures are the bounded sufficient statistic,
+   * E[match fraction] = J). Returns (store_id, new_id, est_jaccard).
+   * The est computation runs only on bucket-join candidates, so the
+   * CodegenFallback higher-order fold there is off the corpus-sized path.
+   */
+  def minhashPairsAgainstStore(newDocs: DataFrame, store: DataFrame,
+                               n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                               minEstJaccard: Double = 0.5,
+                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val newSigs = minhashSignatures(newDocs, n, numHashes, idCol, textCol)
+    def banded(sigs: DataFrame, side: String) = {
+      val bandCols = (0 until bands).map { b =>
+        val parts = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
+        struct(lit(b).as("band"), xxhash64(parts: _*).as("bucket"))
+      }
+      sigs.select(col("id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col(s"${side}_id"), col(s"${side}_sig"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    banded(store, "store").join(banded(newSigs, "new"), Seq("band", "bucket"))
+      .select(col("store_id"), col("new_id"), col("store_sig"), col("new_sig"))
+      .dropDuplicates("store_id", "new_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("store_sig"), col("new_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("store_id"), col("new_id"), col("est_jaccard"))
+  }
 
   /**
    * MinHash + LSH near-dup pairs. k min-hash signatures from one explode +

@@ -514,6 +514,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket").count() === 50)
   }
 
+  test("incremental dedup against a persisted store: exact and near-dup probes") {
+    // batch 1 persists only signatures; batch 2 dedups against them
+    val batch1 = Seq((1L, "the exact same text"), (2L, "another old document"))
+      .toDF("doc_id", "text")
+    val store = Dedup.contentSignatures(batch1)
+    val batch2 = Seq(
+      (10L, "the exact same text"),    // known content -> dropped
+      (11L, "a genuinely new document"),
+      (12L, "a genuinely new document"), // intra-batch dup -> min id survives
+      (13L, "another old document"))   // known -> dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactAgainstStore(batch2, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L), s"got $kept")
+    // appending survivors' signatures makes the next batch see them
+    val store2 = store.unionByName(
+      Dedup.contentSignatures(batch2.filter(col("doc_id") === 11L)))
+    val batch3 = Seq((20L, "a genuinely new document"), (21L, "brand new again"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactAgainstStore(batch3, store2)
+      .collect().map(_.getLong(0)).toSet === Set(21L))
+
+    // near-dup probe: signature store only, no text retained
+    val corpus = docs.limit(60)
+    val sigStore = Dedup.minhashSignatures(corpus, n = 3, numHashes = 32)
+    val copies = corpus.limit(10)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    val unrelated = Seq((9000L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff"))
+      .toDF("doc_id", "text")
+    val matches = Dedup.minhashPairsAgainstStore(
+        copies.unionByName(unrelated), sigStore,
+        n = 3, numHashes = 32, bands = 8, minEstJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactHits = matches.filter(m => m._2 == m._1 + 5000L)
+    assert(exactHits.length === 10 && exactHits.forall(_._3 === 1.0),
+      s"every planted copy matches its source at est 1.0: ${matches.toSeq}")
+    assert(!matches.exists(_._2 == 9000L), "unrelated doc matches nothing")
+  }
+
   test("boilerplate line strip: df is per-document, order kept, empty docs survive") {
     val docs = Seq(
       (1L, "unique one\nBOILER\nunique two"),
