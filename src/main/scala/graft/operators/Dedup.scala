@@ -408,8 +408,12 @@ object Dedup {
   }
 
   /**
-   * MinHash + LSH near-dup pairs. k min-hash signatures from one explode +
-   * k min() aggregates (hash_i(s) = xxh3(s + "#" + i)); signatures cut into
+   * MinHash + LSH near-dup pairs. k min-hash signatures computed PER ROW by
+   * the codegen'd [[graft.functions.MinHashSig]] kernel (bit-identical to
+   * the k-min-aggregates formulation min(xxhash64(lit(i), xxh3(sh))) —
+   * pinned by test — but with NO corpus-sized shuffle: the previous
+   * explode + 32-min groupBy moved every shingle row through an exchange,
+   * measured ~2x slower end-to-end at 500k docs); signatures cut into
    * `bands`; docs sharing any band bucket become candidates (one equi-join
    * on (band, bucketHash)); candidates are verified with exact Jaccard.
    *
@@ -427,29 +431,35 @@ object Dedup {
       explode(shingles(col(textCol), n)).as("sh"))
       .select(col("id"), xxh3_64(col("sh")).as("h"))
 
-    // the k hash functions are seeded re-hashes of the 64-bit shingle hash
-    // (codegen'd long->long; shingle strings never leave the explode stage)
-    val minhashCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
-    }
-    val sigs = shh.groupBy(col("id")).agg(minhashCols.head, minhashCols.tail: _*)
+    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
 
     // band bucket id = hash of the row hashes of that band
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bucket"))
     }
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    val candidates = pin(buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct())
 
-    // verify candidates with exact Jaccard on candidate pairs only
-    verifyJaccardPairs(candidates, shh, minJaccard)
+    // exact-Jaccard verification with the shingle-set table pruned to
+    // CANDIDATE docs only: the candidate list is pinned (so its three
+    // references cost nothing to re-expand) and its id set broadcasts into
+    // a semi join on the shingle stream — the corpus-wide
+    // groupBy+collect_set exchange (every shingle row through a shuffle,
+    // the dominant stage at 500k docs) shrinks to the docs that actually
+    // need verifying
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val sets = shh.join(broadcast(candIds), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs"))
+    verifyJaccardPairsWithSets(candidates, sets, minJaccard)
   }
 
   /**
@@ -629,7 +639,8 @@ object Dedup {
    * Returns (id, component) where component = min id of the cluster.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          resumePath: Option[String] = None): DataFrame = {
+                          resumePath: Option[String] = None,
+                          pruneRounds: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     if (!reliable)
@@ -651,10 +662,20 @@ object Dedup {
     }
     // persist-or-pin one round of labels: with a resumePath the parquet
     // round table IS the pin (a fresh scan re-roots the plan exactly like
-    // checkpoint does, and survives the job)
+    // checkpoint does, and survives the job). With `pruneRounds` (default)
+    // rounds older than the two most recent are deleted after each
+    // successful write — resume only ever needs the LATEST complete round,
+    // and an O(log diameter) run would otherwise leave O(iterations)
+    // copies of the label table behind; pass false to keep the full audit
+    // trail
     def pinRound(df: DataFrame, i: Int): DataFrame = roundDir(i) match {
       case Some(d) =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+        if (pruneRounds && i >= 2) {
+          val old = new org.apache.hadoop.fs.Path(roundDir(i - 2).get)
+          val fs = old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(old)) fs.delete(old, true)
+        }
         spark.read.parquet(d)
       case None => pin(df)
     }

@@ -122,8 +122,11 @@ class OperatorsSpec extends AnyFunSuite {
     // exactly what this second call does.
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_resume").toString
     val chain = (0 until 50).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    // phase 1: a job that dies after 2 rounds (maxIter caps the rounds)
-    Dedup.connectedComponents(chain, maxIter = 2, resumePath = Some(dir)).count()
+    // phase 1: a job that dies after 2 rounds (maxIter caps the rounds).
+    // pruneRounds=false keeps the full audit trail so the mtime check
+    // below can prove rounds were NOT recomputed on resume
+    Dedup.connectedComponents(chain, maxIter = 2, resumePath = Some(dir),
+      pruneRounds = false).count()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     def rounds() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith("round_")).sorted.toSeq
@@ -133,7 +136,8 @@ class OperatorsSpec extends AnyFunSuite {
     val mtime2 = fs.getFileStatus(
       new org.apache.hadoop.fs.Path(s"$dir/round_2/_SUCCESS")).getModificationTime
     // phase 2: the restarted job — must converge to the right answer...
-    val comps = Dedup.connectedComponents(chain, maxIter = 20, resumePath = Some(dir))
+    val comps = Dedup.connectedComponents(chain, maxIter = 20, resumePath = Some(dir),
+        pruneRounds = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length === 51 && comps.forall(_._2 == 0L))
     // ...and must have RESUMED: round_2 not rewritten, later rounds added
@@ -144,6 +148,13 @@ class OperatorsSpec extends AnyFunSuite {
     val base = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(base.sortBy(_._1).toSeq === comps.sortBy(_._1).toSeq)
+
+    // default pruning bounds the label-table copies left behind
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cc_prune").toString
+    Dedup.connectedComponents(chain, maxIter = 20, resumePath = Some(dir2)).count()
+    val kept = fs.listStatus(new org.apache.hadoop.fs.Path(dir2))
+      .map(_.getPath.getName).filter(_.startsWith("round_"))
+    assert(kept.length <= 2, s"pruning must keep at most 2 rounds, got ${kept.toSeq}")
   }
 
   test("L2AP positional bound prunes strictly more than the suffix-norm product") {
