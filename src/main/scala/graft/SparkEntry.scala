@@ -265,6 +265,15 @@ object SparkEntry {
         .select(col("id"), col("component"))
         .orderBy(col("id"))
     }),
+    "q_chunk_split" -> ((s, dir) => {
+      // context-length chunking: 32-token windows with 8-token overlap,
+      // oracled 1:1 against an independent DuckDB list-slice reassembly
+      graft.operators.Chunking.splitByTokens(
+          s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text")),
+          maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "q_token_stats" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
@@ -957,6 +966,24 @@ object SparkEntry {
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""",
+    "q_chunk_split" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM documents),
+      meta AS (
+        SELECT doc_id, ts, len(ts) AS n,
+               CASE WHEN len(ts) = 0 THEN 0
+                    WHEN len(ts) <= 32 THEN 1
+                    ELSE 1 + CAST(ceil(CAST(len(ts) - 32 AS DOUBLE) / 24) AS INT)
+               END AS nchunks
+        FROM tok)
+      SELECT doc_id, u.cid AS chunk_id, u.t AS text FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, nchunks),
+                 i -> struct_pack(cid := i,
+                   t := array_to_string(ts[i*24+1 : i*24+32], ' ')))) AS u
+        FROM meta) q
+      ORDER BY doc_id, chunk_id""",
     "q_token_stats" -> """
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,

@@ -255,6 +255,24 @@ object TextOps {
     * "duplicate line fraction" repetition signal (Rae et al. 2021,
     * Table A1). Lines split on '\n'; empty lines count. */
 
+  /** Overlapping token-window chunks for context-length preparation: token
+    * starts advance by stride = maxTokens - overlap; every chunk except
+    * possibly the last holds exactly maxTokens tokens, consecutive chunks
+    * share `overlap` tokens, and chunking stops once a chunk reaches the
+    * final token (no fully-contained trailing windows). Tokens are the
+    * single-space split with empties dropped; chunks re-join with single
+    * spaces. Empty/whitespace text yields no chunks. */
+  def chunks(text: String, maxTokens: Int, overlap: Int): Array[String] = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val ts = tokens(text).filter(_.nonEmpty)
+    if (ts.isEmpty) return Array.empty
+    if (ts.length <= maxTokens) return Array(ts.mkString(" "))
+    val stride = maxTokens - overlap
+    val n = 1 + math.ceil((ts.length - maxTokens).toDouble / stride).toInt
+    Array.tabulate(n)(i => ts.slice(i * stride, i * stride + maxTokens).mkString(" "))
+  }
+
   /** Fraction of token characters inside the MOST frequent word n-gram
     * (count * gram-char-length / total token chars, CAPPED at 1.0 —
     * overlapping occurrences of periodic text like "a a a a" would

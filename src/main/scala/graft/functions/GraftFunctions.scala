@@ -48,6 +48,8 @@ object GraftFunctions {
     column(WinnowSet(expression(c), k, w))
   def minhash_sig(shingles: Column, k: Int): Column =
     column(MinHashSig(expression(shingles), k))
+  def chunk_text(c: Column, maxTokens: Int, overlap: Int = 0): Column =
+    column(ChunkText(expression(c), maxTokens, overlap))
   def stopword_ratio(c: Column): Column = column(StopwordRatio(expression(c)))
   def mean_word_len(c: Column): Column = column(MeanWordLen(expression(c)))
   def max_token_ratio(c: Column): Column = column(MaxTokenRatio(expression(c)))

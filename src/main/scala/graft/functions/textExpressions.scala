@@ -316,3 +316,31 @@ case class DupNgramCharRatio(child: Expression, n: Int) extends UnaryExpression
       s"graft.core.text.TextOps.dupNgramCharRatio($c.toString(), $n)")
   override protected def withNewChildInternal(c: Expression): DupNgramCharRatio = copy(child = c)
 }
+
+/** chunk_text(text, maxTokens, overlap) -> array<string>: overlapping
+  * token-window chunks (context-length preparation). Codegen'd wrapper over
+  * TextOps.chunks — the builtin HOF composition (filter/transform/slice)
+  * is CodegenFallback and allocates per element. */
+case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(maxTokens >= 1, "maxTokens must be >= 1")
+  require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chunk_text"
+  override def nullSafeEval(v: Any): Any = ChunkText.eval(
+    v.asInstanceOf[UTF8String], maxTokens, overlap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ChunkText.eval($c, $maxTokens, $overlap)")
+  override protected def withNewChildInternal(c: Expression): ChunkText = copy(child = c)
+}
+
+object ChunkText {
+  def eval(text: UTF8String, maxTokens: Int,
+           overlap: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cs = graft.core.text.TextOps.chunks(text.toString, maxTokens, overlap)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cs.map(UTF8String.fromString).asInstanceOf[Array[Any]])
+  }
+}

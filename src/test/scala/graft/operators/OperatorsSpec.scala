@@ -525,6 +525,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.operators.Packing.packGreedy(many, "toks", 10, "bucket").count() === 50)
   }
 
+  test("chunking: exact windows, overlap coverage, no token lost, columns kept") {
+    import graft.core.text.TextOps
+    // 10 tokens, max 4, overlap 1 -> stride 3 -> starts 0,3,6 cover t9
+    val ts = (0 until 10).map(i => s"t$i")
+    val cs = TextOps.chunks(ts.mkString(" "), 4, 1)
+    assert(cs.toSeq === Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    // every token appears; consecutive chunks share exactly `overlap`
+    assert(cs.flatMap(_.split(" ")).toSet === ts.toSet)
+    cs.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").toSet.intersect(b.split(" ").toSet).size === 1)
+    }
+    assert(TextOps.chunks("one two", 4, 1).toSeq === Seq("one two"), "short doc = 1 chunk")
+    assert(TextOps.chunks("   ", 4, 1).isEmpty, "whitespace doc = no chunks")
+    // the trailing window is never fully contained in its predecessor
+    assert(TextOps.chunks((0 until 8).map(i => s"x$i").mkString(" "), 4, 0).length === 2)
+    assertThrows[IllegalArgumentException](TextOps.chunks("a", 4, 4))
+
+    val docs2 = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Chunking.splitByTokens(docs2, maxTokens = 4, overlap = 1).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Int]("chunk_id")).toSeq === Seq(0, 1, 2))
+    assert(out.forall(_.getAs[String]("lang") === "en"), "other columns preserved")
+    assert(out.map(_.getAs[String]("text")).toSeq ===
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+  }
+
   test("incremental dedup against a persisted store: exact and near-dup probes") {
     // batch 1 persists only signatures; batch 2 dedups against them
     val batch1 = Seq((1L, "the exact same text"), (2L, "another old document"))
