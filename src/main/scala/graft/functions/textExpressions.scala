@@ -328,17 +328,21 @@ case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "chunk_text"
-  override def nullSafeEval(v: Any): Any = ChunkText.eval(
+  override def nullSafeEval(v: Any): Any = ChunkText.chunk(
     v.asInstanceOf[UTF8String], maxTokens, overlap)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ChunkText.eval($c, $maxTokens, $overlap)")
+      s"graft.functions.ChunkText.chunk($c, $maxTokens, $overlap)")
   override protected def withNewChildInternal(c: Expression): ChunkText = copy(child = c)
 }
 
 object ChunkText {
-  def eval(text: UTF8String, maxTokens: Int,
-           overlap: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  // named `chunk`, NOT `eval`: a companion method shadowed by an inherited
+  // instance method (Expression.eval) gets no static forwarder from scalac,
+  // and the generated Java then fails to compile under Janino — silently
+  // deoptimizing the whole stage to interpreted execution
+  def chunk(text: UTF8String, maxTokens: Int,
+            overlap: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val cs = graft.core.text.TextOps.chunks(text.toString, maxTokens, overlap)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       cs.map(UTF8String.fromString).asInstanceOf[Array[Any]])

@@ -21,10 +21,13 @@ object Chunking {
 
   def splitByTokens(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
                     textCol: String = "text"): DataFrame = {
-    val chunks = org.apache.spark.sql.graftshim.shims.column(
-      graft.functions.ChunkText(
-        org.apache.spark.sql.graftshim.shims.expression(col(textCol)),
-        maxTokens, overlap))
+    // re-chunking already-chunked output would silently create a duplicate
+    // chunk_id column and ambiguous downstream references — make it explicit
+    require(!docs.columns.contains("chunk_id"),
+      "splitByTokens input already has a chunk_id column — rename or drop " +
+        "it before re-chunking")
+    val chunks = graft.functions.GraftFunctions.chunk_text(
+      col(textCol), maxTokens, overlap)
     docs.select(col("*"), posexplode(chunks).as(Seq("chunk_id", "__chunk")))
       .withColumn(textCol, col("__chunk"))
       .drop("__chunk")

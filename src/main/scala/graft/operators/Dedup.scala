@@ -68,29 +68,23 @@ object Dedup {
         org.apache.spark.sql.graftshim.shims.expression(b)))
 
   /**
-   * Exact verification of candidate pairs by full-set Jaccard. `shh` is the
-   * hashed inverted index (id, h = xxh3 of shingle): each side's distinct
-   * hash set travels as ONE sorted array<long> (vs the shingle strings —
-   * ~10x smaller shuffle) and the overlap is a codegen'd linear merge.
-   * The pair stream references `candidates` exactly once and the set table
-   * is ONE linear aggregation over the corpus — deliberately NOT semi-join
-   * pruned to candidate ids, because every reference to `candidates` in the
-   * verify plan re-expands its whole (expensive) candidate-generation
-   * subtree; a full set table is linear state (the hashed corpus itself,
-   * same cost class as a minhash signature table) while a duplicated
-   * candidate subtree is the expensive part at every scale. Hashing is
+   * Exact verification of candidate pairs by full-set Jaccard over a
+   * prebuilt (id, shs) set table — each side's distinct shingle-hash set
+   * travels as ONE sorted array<long> (vs the shingle strings, ~10x
+   * smaller shuffle) and the overlap is a codegen'd linear merge.
+   *
+   * Set-table sizing guidance: when the per-doc sets exist anyway
+   * (ngramJaccardPairs derives them from the same grouped pass that
+   * builds its prefixes), pass the full table; when they would need a
+   * dedicated corpus-wide build (minhashLshPairs), PIN the candidate list
+   * first and semi-join the corpus down to candidate ids before
+   * shingling — with the candidates pinned, re-referencing them is free,
+   * and the set build shrinks by the candidate ratio (the corpus-wide
+   * build was measured ~2x slower end-to-end at 500k docs). Hashing is
    * exact in practice: only WITHIN-pair collisions can change a count
    * (P ~ |A∪B|^2 / 2^65 per pair — ~5e-16 at 100-shingle docs, negligible
    * even over 1e12 verified pairs; cross-pair collisions are harmless).
    */
-  def verifyJaccardPairs(candidates: DataFrame, shh: DataFrame,
-                         minJaccard: Double): DataFrame =
-    verifyJaccardPairsWithSets(candidates,
-      shh.groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs")),
-      minJaccard)
-
-  /** As [[verifyJaccardPairs]] but over a prebuilt (id, shs sorted array)
-    * set table (reused from candidate generation when available). */
   def verifyJaccardPairsWithSets(candidates: DataFrame, sets: DataFrame,
                                  minJaccard: Double): DataFrame = {
     candidates
@@ -363,9 +357,14 @@ object Dedup {
     * single stateful-operator budget cannot afford a groupBy. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.minhash_sig(
-        shingles(col(textCol), n), numHashes).as("sig"))
+    // null-text rows are excluded, matching the explode formulation's
+    // semantics (explode of a null shingle array emits nothing) — a null
+    // signature would otherwise band to one constant bucket and every
+    // null-text doc would pair with every other quadratically
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.minhash_sig(
+          shingles(col(textCol), n), numHashes).as("sig"))
 
   /**
    * Near-dup matches of NEW docs against a persisted signature store
@@ -386,6 +385,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val newSigs = minhashSignatures(newDocs, n, numHashes, idCol, textCol)
+    // fail fast on a store persisted under a different numHashes: the
+    // mismatch would otherwise band out-of-range (null) elements into one
+    // constant bucket and systematically halve est_jaccard — silently
+    // missing true near-dups
+    val store0 = store.withColumn("sig",
+      when(size(col("sig")) =!= numHashes, raise_error(concat(
+        lit("minhashPairsAgainstStore: store signature length "),
+        size(col("sig")).cast("string"),
+        lit(s" != numHashes $numHashes — probe with the store's parameters"))))
+        .otherwise(col("sig")))
     def banded(sigs: DataFrame, side: String) = {
       val bandCols = (0 until bands).map { b =>
         val parts = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
@@ -396,7 +405,7 @@ object Dedup {
         .select(col(s"${side}_id"), col(s"${side}_sig"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
-    banded(store, "store").join(banded(newSigs, "new"), Seq("band", "bucket"))
+    banded(store0, "store").join(banded(newSigs, "new"), Seq("band", "bucket"))
       .select(col("store_id"), col("new_id"), col("store_sig"), col("new_sig"))
       .dropDuplicates("store_id", "new_id")
       .withColumn("est_jaccard",
@@ -427,10 +436,6 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val shh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), xxh3_64(col("sh")).as("h"))
-
     val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
 
     // band bucket id = hash of the row hashes of that band
@@ -448,16 +453,21 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct())
 
-    // exact-Jaccard verification with the shingle-set table pruned to
-    // CANDIDATE docs only: the candidate list is pinned (so its three
-    // references cost nothing to re-expand) and its id set broadcasts into
-    // a semi join on the shingle stream — the corpus-wide
-    // groupBy+collect_set exchange (every shingle row through a shuffle,
-    // the dominant stage at 500k docs) shrinks to the docs that actually
-    // need verifying
-    val candIds = candidates.select(col("id_a").as("id"))
-      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
-    val sets = shh.join(broadcast(candIds), Seq("id"), "left_semi")
+    // exact-Jaccard verification with the shingle work pruned to CANDIDATE
+    // docs only: the candidate list is pinned (so its references cost
+    // nothing to re-expand) and its id set semi-joins the corpus BEFORE the
+    // shingle explode — both the second corpus-wide tokenize+shingle pass
+    // and the corpus-wide groupBy+collect_set exchange (the dominant stage
+    // at 500k docs) shrink to the docs that actually need verifying. No
+    // forced broadcast: the pinned frame has known stats, so AQE broadcasts
+    // the id set when it is small and falls back to a shuffled semi join on
+    // high-duplication corpora where candidates are corpus-sized (a forced
+    // broadcast there would OOM the driver)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), xxh3_64(col("sh")).as("h"))
       .groupBy(col("id")).agg(sort_array(collect_set(col("h"))).as("shs"))
     verifyJaccardPairsWithSets(candidates, sets, minJaccard)
   }

@@ -550,6 +550,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[String]("lang") === "en"), "other columns preserved")
     assert(out.map(_.getAs[String]("text")).toSeq ===
       Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    // re-chunking chunked output is an explicit error, not a dup column
+    assertThrows[IllegalArgumentException] {
+      Chunking.splitByTokens(Chunking.splitByTokens(docs2, 4), 4)
+    }
+  }
+
+  test("null-text rows drop from signatures; store param mismatch fails fast") {
+    // a null text must neither crash nor band into a constant bucket that
+    // pairs quadratically — it simply has no signature, as with explode
+    val dirty = Seq((1L, "a b c d e f g"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashSignatures(dirty).count() === 2)
+    val pairs = Dedup.minhashLshPairs(dirty, n = 3, numHashes = 16, bands = 4,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 4L)), s"null-text docs never pair: $pairs")
+    // probing a store persisted under different numHashes is an error
+    val store = Dedup.minhashSignatures(dirty, numHashes = 16)
+    val e = intercept[Exception] {
+      Dedup.minhashPairsAgainstStore(dirty, store, numHashes = 32).collect()
+    }
+    assert(e.getMessage.contains("numHashes") ||
+      Option(e.getCause).exists(_.getMessage.contains("numHashes")))
   }
 
   test("incremental dedup against a persisted store: exact and near-dup probes") {
