@@ -106,6 +106,43 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(sig.getAs[Int]("nsh") === 3)
   }
 
+  test("custom-kernel codegen COMPILES (no silent interpreted fallback)") {
+    // a companion kernel that loses its static forwarder (e.g. shadowed by
+    // an inherited member like Expression.eval) still passes result tests:
+    // Janino fails, Spark quietly falls back to interpreted execution and
+    // deoptimizes the whole stage. Disabling the fallback turns that class
+    // of bug into a hard failure here.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.operators.Dedup
+      val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      val row = docs.select(
+        xxh3_64($"text"), simhash64($"text"), fingerprint64($"text"),
+        winnow_min64($"text"), lang_id($"text"), token_count_bpeish($"text"),
+        alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),
+        mean_word_len($"text"), max_token_ratio($"text"),
+        dup_line_ratio($"text"), dup_line_char_ratio($"text"),
+        char_entropy($"text"), canonicalize_url($"text"),
+        top_ngram_char_ratio($"text", 2), dup_ngram_char_ratio($"text", 5),
+        size(Dedup.shingles($"text", 3)), size(winnow_set($"text")),
+        size(minhash_sig(Dedup.shingles($"text", 3), 16)),
+        size(chunk_text($"text", 4, 1)))
+      assert(row.collect().length === 2)
+      // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
+      // the sequential pack folds, through their operators
+      assert(Dedup.sparseCosinePairs(docs, minCos = 0.1).count() >= 0)
+      assert(Dedup.ngramJaccardPairs(docs, 3, 0.1).count() >= 0)
+      val toks = Seq((1L, 0, 4L), (2L, 0, 5L)).toDF("doc_id", "bucket", "toks")
+      assert(graft.operators.Packing.packGreedy(toks, "toks", 10, "bucket").count() === 2)
+      assert(graft.operators.Packing.packBestFit(toks, "toks", 10, "bucket").count() === 2)
+      val embs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      assert(graft.operators.Ann.bruteForceTopK(embs, embs, k = 1).count() === 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("GraftExtensions wiring: applies cleanly, unique names, same builder set as registerAll") {
     // can't build a second SparkContext in the shared-session suite, so pin
     // the spark-submit path structurally: apply() must inject every builder
