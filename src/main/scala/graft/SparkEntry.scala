@@ -464,6 +464,34 @@ object SparkEntry {
       Dedup.stripBoilerplateLines(docs, minDf = 50)
         .orderBy(col("doc_id"))
     }),
+    "q_gopher_filter" -> ((s, dir) => {
+      // the COMPLETE Gopher quality rule (Rae et al. 2021 Table A1) as one
+      // operator call, over multiline docs synthesized to exercise every
+      // rule (bullets, ellipsis lines, hash symbols, stopword lines, and a
+      // text-slice duplication that trips the n-gram ratios). Every signal
+      // AND the final keep decision are recomputed independently in DuckDB.
+      val d = col("doc_id")
+      val l1 = substring(col("text"), 1, 60)
+      val l2 = when(pmod(d, lit(7)) === 0, lit("- bullet item one"))
+        .otherwise(substring(col("text"), 61, 60))
+      val l3 = when(pmod(d, lit(5)) === 0, lit("to be continued ..."))
+        .otherwise(concat(lit("u"), d.cast("string")))
+      val l4 = when(pmod(d, lit(3)) === 0,
+          lit("the cat sat with all of them and that was that"))
+        .otherwise(lit("#tag #tag"))
+      val ml = concat_ws("\n", l1, l2, l3, l4, col("text"))
+      val docs = s.read.parquet(t(dir, "documents")).select(d, ml.as("text"))
+      val out = graft.operators.TextQuality.gopherFilter(docs)
+      val ratioCols = Seq("mean_word_len", "hash_ratio", "ellipsis_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "dup_line_ratio", "dup_line_char_ratio",
+        "top_2gram_ratio", "top_3gram_ratio", "top_4gram_ratio",
+        "dup_5gram_ratio", "dup_6gram_ratio", "dup_7gram_ratio",
+        "dup_8gram_ratio", "dup_9gram_ratio", "dup_10gram_ratio")
+      out.select(Seq(d, col("n_words"), col("stopword_hits"), col("keep")) ++
+          ratioCols.map(c => round(col(c), 9).as(c)): _*)
+        .orderBy(d)
+    }),
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(t(dir, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -1149,6 +1177,155 @@ object SparkEntry {
                list_filter(string_split(t, chr(10)), x -> NOT list_contains(bl, x)),
                chr(10)) AS text
       FROM ml, boiler ORDER BY doc_id""",
+    "q_gopher_filter" -> """
+      WITH p AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                 substring(text, 1, 60),
+                 CASE WHEN doc_id % 7 = 0 THEN '- bullet item one'
+                      ELSE substring(text, 61, 60) END,
+                 CASE WHEN doc_id % 5 = 0 THEN 'to be continued ...'
+                      ELSE 'u' || doc_id END,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'the cat sat with all of them and that was that'
+                      ELSE '#tag #tag' END,
+                 text) AS t
+        FROM documents),
+      tok AS (
+        SELECT doc_id, t, list_filter(string_split(replace(t, chr(10), ' '), ' '),
+                 x -> x <> '') AS ws,
+               string_split(t, chr(10)) AS lines
+        FROM p),
+      base AS (
+        SELECT doc_id, t, ws, lines,
+               len(ws) AS n_words,
+               CAST(len(array_to_string(ws, '')) AS DOUBLE) AS wchars,
+               (len(t) - len(replace(t, '#', ''))) AS n_hash,
+               (len(t) - len(replace(t, '...', ''))) / 3 AS n_dots,
+               (len(t) - len(replace(t, '…', ''))) AS n_uell
+        FROM tok),
+      linesig AS (
+        SELECT doc_id,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE)
+                 / len(lines) AS bullet_line_ratio,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) AS DOUBLE)
+                 / len(lines) AS ellipsis_line_ratio
+        FROM base),
+      dupline AS (
+        SELECT doc_id,
+               CAST(n - d AS DOUBLE) / n AS dup_line_ratio,
+               CASE WHEN chars = 0 THEN 0
+                    ELSE CAST(dupchars AS DOUBLE) / chars END AS dup_line_char_ratio
+        FROM (
+          SELECT doc_id, sum(c) AS n, count(*) AS d,
+                 sum(ln * c) AS chars, sum(ln * (c - 1)) AS dupchars
+          FROM (SELECT doc_id, l, count(*) AS c, len(l) AS ln
+                FROM (SELECT doc_id, unnest(lines) AS l FROM base) lx GROUP BY 1, 2) per
+          GROUP BY 1) agg),
+      grams AS (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+                 i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+        FROM base, (SELECT unnest([2, 3, 4]) AS n) ns),
+      gc AS (
+        SELECT doc_id, n, g, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(len(g) - (n - 1) AS DOUBLE) AS clen
+        FROM grams GROUP BY 1, 2, 3),
+      topn AS (
+        SELECT doc_id, n, cnt * clen AS num FROM (
+          SELECT doc_id, n, cnt, clen,
+                 row_number() OVER (PARTITION BY doc_id, n
+                   ORDER BY cnt DESC, clen DESC, g ASC) AS rk
+          FROM gc) r WHERE rk = 1),
+      gpos AS (
+        SELECT doc_id, n, u.i AS idx, u.g AS g FROM (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+                   i -> struct_pack(i := i,
+                     g := array_to_string(ws[i:i+n-1], ' ')))) AS u
+          FROM base, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns) q),
+      dg AS (
+        SELECT doc_id, n, g FROM (
+          SELECT doc_id, n, g, count(*) AS c FROM gpos GROUP BY 1, 2, 3) c
+        WHERE c >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id, n, pp FROM (
+          SELECT gpos.doc_id, gpos.n, gpos.idx + unnest(range(0, gpos.n)) AS pp
+          FROM gpos JOIN dg USING (doc_id, n, g)) h),
+      dupc AS (
+        SELECT cov.doc_id, cov.n, CAST(sum(len(ws[pp])) AS DOUBLE) AS dchars
+        FROM cov JOIN base ON cov.doc_id = base.doc_id
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT b.doc_id,
+               CAST(b.n_words AS BIGINT) AS n_words,
+               b.wchars / b.n_words AS mean_word_len,
+               CAST(b.n_hash AS DOUBLE) / b.n_words AS hash_ratio,
+               CAST(b.n_dots AS DOUBLE) / b.n_words
+                 + CAST(b.n_uell AS DOUBLE) / b.n_words AS ellipsis_ratio,
+               ls.bullet_line_ratio, ls.ellipsis_line_ratio,
+               CAST(len(list_filter(b.ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / b.n_words AS alpha_word_ratio,
+               (CASE WHEN list_contains(b.ws, 'the') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'be') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'to') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'of') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'and') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'that') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'have') THEN 1 ELSE 0 END +
+                CASE WHEN list_contains(b.ws, 'with') THEN 1 ELSE 0 END) AS stopword_hits,
+               dl.dup_line_ratio, dl.dup_line_char_ratio,
+               least(coalesce(t2.num, 0) / b.wchars, 1.0) AS top_2gram_ratio,
+               least(coalesce(t3.num, 0) / b.wchars, 1.0) AS top_3gram_ratio,
+               least(coalesce(t4.num, 0) / b.wchars, 1.0) AS top_4gram_ratio,
+               coalesce(d5.dchars, 0) / b.wchars AS dup_5gram_ratio,
+               coalesce(d6.dchars, 0) / b.wchars AS dup_6gram_ratio,
+               coalesce(d7.dchars, 0) / b.wchars AS dup_7gram_ratio,
+               coalesce(d8.dchars, 0) / b.wchars AS dup_8gram_ratio,
+               coalesce(d9.dchars, 0) / b.wchars AS dup_9gram_ratio,
+               coalesce(d10.dchars, 0) / b.wchars AS dup_10gram_ratio
+        FROM base b
+        JOIN linesig ls ON ls.doc_id = b.doc_id
+        JOIN dupline dl ON dl.doc_id = b.doc_id
+        LEFT JOIN topn t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+        LEFT JOIN topn t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+        LEFT JOIN topn t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+        LEFT JOIN dupc d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+        LEFT JOIN dupc d6 ON d6.doc_id = b.doc_id AND d6.n = 6
+        LEFT JOIN dupc d7 ON d7.doc_id = b.doc_id AND d7.n = 7
+        LEFT JOIN dupc d8 ON d8.doc_id = b.doc_id AND d8.n = 8
+        LEFT JOIN dupc d9 ON d9.doc_id = b.doc_id AND d9.n = 9
+        LEFT JOIN dupc d10 ON d10.doc_id = b.doc_id AND d10.n = 10)
+      SELECT doc_id, n_words, stopword_hits,
+             (n_words >= 50 AND n_words <= 100000 AND
+              mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+              hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AND
+              bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AND
+              alpha_word_ratio >= 0.8 AND stopword_hits >= 2 AND
+              dup_line_ratio <= 0.3 AND dup_line_char_ratio <= 0.2 AND
+              top_2gram_ratio <= 0.20 AND top_3gram_ratio <= 0.18 AND
+              top_4gram_ratio <= 0.16 AND dup_5gram_ratio <= 0.15 AND
+              dup_6gram_ratio <= 0.14 AND dup_7gram_ratio <= 0.13 AND
+              dup_8gram_ratio <= 0.12 AND dup_9gram_ratio <= 0.11 AND
+              dup_10gram_ratio <= 0.10) AS keep,
+             round(mean_word_len, 9) AS mean_word_len,
+             round(hash_ratio, 9) AS hash_ratio,
+             round(ellipsis_ratio, 9) AS ellipsis_ratio,
+             round(bullet_line_ratio, 9) AS bullet_line_ratio,
+             round(ellipsis_line_ratio, 9) AS ellipsis_line_ratio,
+             round(alpha_word_ratio, 9) AS alpha_word_ratio,
+             round(dup_line_ratio, 9) AS dup_line_ratio,
+             round(dup_line_char_ratio, 9) AS dup_line_char_ratio,
+             round(top_2gram_ratio, 9) AS top_2gram_ratio,
+             round(top_3gram_ratio, 9) AS top_3gram_ratio,
+             round(top_4gram_ratio, 9) AS top_4gram_ratio,
+             round(dup_5gram_ratio, 9) AS dup_5gram_ratio,
+             round(dup_6gram_ratio, 9) AS dup_6gram_ratio,
+             round(dup_7gram_ratio, 9) AS dup_7gram_ratio,
+             round(dup_8gram_ratio, 9) AS dup_8gram_ratio,
+             round(dup_9gram_ratio, 9) AS dup_9gram_ratio,
+             round(dup_10gram_ratio, 9) AS dup_10gram_ratio
+      FROM sig ORDER BY doc_id""",
     "q_events_window" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
              count(*) AS n, CAST(sum(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value

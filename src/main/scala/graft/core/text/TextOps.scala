@@ -255,6 +255,68 @@ object TextOps {
     * "duplicate line fraction" repetition signal (Rae et al. 2021,
     * Table A1). Lines split on '\n'; empty lines count. */
 
+  /** Occurrences of `symbol` (non-overlapping, left-to-right) per non-empty
+    * word — the Gopher "symbol-to-word ratio" signal for "#" and the
+    * ellipsis. 0 when there are no words. */
+  def symbolWordRatio(text: String, symbol: String): Double = {
+    val words = tokens(text).count(_.nonEmpty)
+    if (words == 0) return 0.0
+    var n = 0
+    var i = text.indexOf(symbol)
+    while (i >= 0) { n += 1; i = text.indexOf(symbol, i + symbol.length) }
+    n.toDouble / words
+  }
+
+  /** Fraction of lines whose first non-space char is a bullet (-, *, •) —
+    * Gopher drops docs where > 90% of lines are bullets. */
+  def bulletLineRatio(text: String): Double = {
+    val lines = text.split("\n", -1)
+    if (lines.isEmpty) return 0.0
+    val b = lines.count { l =>
+      val t = l.dropWhile(_.isWhitespace)
+      t.nonEmpty && (t.head == '-' || t.head == '*' || t.head == '•')
+    }
+    b.toDouble / lines.length
+  }
+
+  /** Fraction of lines ending (ignoring trailing spaces) with "..." or the
+    * unicode ellipsis — Gopher drops docs where > 30% of lines do. */
+  def ellipsisLineRatio(text: String): Double = {
+    val lines = text.split("\n", -1)
+    if (lines.isEmpty) return 0.0
+    val e = lines.count { l =>
+      val t = l.reverse.dropWhile(_.isWhitespace).reverse
+      t.endsWith("...") || t.endsWith("…")
+    }
+    e.toDouble / lines.length
+  }
+
+  /** Fraction of non-empty words containing at least one ASCII letter —
+    * Gopher requires >= 80%. 0 when there are no words. */
+  def alphaWordRatio(text: String): Double = {
+    val ws = tokens(text).filter(_.nonEmpty)
+    if (ws.isEmpty) return 0.0
+    ws.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+      .toDouble / ws.length
+  }
+
+  /** Gopher's required-stopword list. */
+  val GopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT words of [[GopherStopwords]] appear as whole tokens
+    * — Gopher requires at least 2. */
+  def stopwordHits(text: String): Int = {
+    val ts = tokens(text)
+    var hits = 0
+    var i = 0
+    while (i < GopherStopwords.length) {
+      if (ts.contains(GopherStopwords(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** Overlapping token-window chunks for context-length preparation: token
     * starts advance by stride = maxTokens - overlap; every chunk except
     * possibly the last holds exactly maxTokens tokens, consecutive chunks

@@ -58,6 +58,12 @@ object GraftFunctions {
     column(TopNgramCharRatio(expression(c), n))
   def dup_ngram_char_ratio(c: Column, n: Int): Column =
     column(DupNgramCharRatio(expression(c), n))
+  def bullet_line_ratio(c: Column): Column = column(BulletLineRatio(expression(c)))
+  def ellipsis_line_ratio(c: Column): Column = column(EllipsisLineRatio(expression(c)))
+  def alpha_word_ratio(c: Column): Column = column(AlphaWordRatio(expression(c)))
+  def stopword_hits(c: Column): Column = column(StopwordHits(expression(c)))
+  def symbol_word_ratio(c: Column, symbol: String): Column =
+    column(SymbolWordRatio(expression(c), symbol))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =

@@ -348,3 +348,59 @@ object ChunkText {
       cs.map(UTF8String.fromString).asInstanceOf[Array[Any]])
   }
 }
+
+/** Gopher bullet-line fraction. */
+case class BulletLineRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bullet_line_ratio"
+  override protected def fn: String = "bulletLineRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.bulletLineRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): BulletLineRatio = copy(child = c)
+}
+
+/** Gopher ellipsis-ending-line fraction. */
+case class EllipsisLineRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ellipsis_line_ratio"
+  override protected def fn: String = "ellipsisLineRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.ellipsisLineRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): EllipsisLineRatio = copy(child = c)
+}
+
+/** Gopher fraction of words containing an ASCII letter. */
+case class AlphaWordRatio(child: Expression) extends TextUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "alpha_word_ratio"
+  override protected def fn: String = "alphaWordRatio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.alphaWordRatio(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): AlphaWordRatio = copy(child = c)
+}
+
+/** Gopher distinct required-stopword hits (needs >= 2 of 8). */
+case class StopwordHits(child: Expression) extends TextUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_hits"
+  override protected def fn: String = "stopwordHits"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.stopwordHits(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): StopwordHits = copy(child = c)
+}
+
+/** Gopher symbol-to-word ratio for a fixed symbol ("#", "...", "…"). */
+case class SymbolWordRatio(child: Expression, symbol: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "symbol_word_ratio"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.symbolWordRatio(v.asInstanceOf[UTF8String].toString, symbol)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val symRef = ctx.addReferenceObj("symbol", symbol, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.TextOps.symbolWordRatio($c.toString(), $symRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): SymbolWordRatio = copy(child = c)
+}

@@ -1081,6 +1081,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.size < 10000, s"skew guard must collapse the pair count, got ${pairs.size}")
   }
 
+  test("Gopher filter: complete published rule, signals and keep decision") {
+    import graft.core.text.TextOps
+    assert(TextOps.symbolWordRatio("a # b # c", "#") === 0.4)
+    assert(TextOps.symbolWordRatio("w8ting... more...", "...") === 1.0)
+    assert(TextOps.bulletLineRatio("- a\n* b\n  • c\nplain") === 0.75)
+    assert(TextOps.ellipsisLineRatio("done\nwait...  \nmore…\nok") === 0.5)
+    assert(TextOps.alphaWordRatio("abc 123 a1 456") === 0.5)
+    assert(TextOps.stopwordHits("the cat and the dog") === 2) // the, and
+    assert(TextOps.stopwordHits("nothing here") === 0)
+
+    // a clearly good doc passes; targeted mutations each flip keep=false.
+    // NOTE the good doc must be genuinely non-repetitive: a sentence
+    // repeated 8x is exactly what the n-gram rules exist to reject
+    val good = (TextOps.GopherStopwords ++
+      (0 until 50).map(i => s"word${('a' + i % 26).toChar}$i")).mkString(" ")
+    val rows = Seq(
+      (1L, good),
+      (2L, "too short that the end"),                       // word count
+      (3L, good + (" #tag" * 60)),                          // hash ratio
+      (4L, ("- bullet\n" * 19) + good.split(" ").take(60).mkString(" ")), // bullets
+      (5L, ("xqzjvw " * 80) + "the and"))                   // mean len ok, alpha ok, top1gram? no: top-2gram repetition
+    val out = graft.operators.TextQuality.gopherFilter(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out(1L) === true, "good doc must pass every rule")
+    assert(!out(2L) && !out(3L) && !out(4L) && !out(5L),
+      s"each planted defect must reject: $out")
+    // audit columns identify the failing rule
+    val r3 = graft.operators.TextQuality.gopherFilter(rows.toDF("doc_id", "text"))
+      .filter($"doc_id" === 3L).collect()(0)
+    assert(r3.getAs[Double]("hash_ratio") > 0.1)
+  }
+
   test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
     import graft.core.text.TextOps
     // "a b a b a b": 2-grams "a b"x3, "b a"x2 -> 3*2/6 chars
