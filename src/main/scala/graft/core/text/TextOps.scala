@@ -259,6 +259,8 @@ object TextOps {
     * word — the Gopher "symbol-to-word ratio" signal for "#" and the
     * ellipsis. 0 when there are no words. */
   def symbolWordRatio(text: String, symbol: String): Double = {
+    require(symbol != null && symbol.nonEmpty,
+      "symbolWordRatio needs a non-empty symbol (empty would loop forever)")
     val words = tokens(text).count(_.nonEmpty)
     if (words == 0) return 0.0
     var n = 0
@@ -290,6 +292,11 @@ object TextOps {
     }
     e.toDouble / lines.length
   }
+
+  /** Number of non-empty words (single-space tokenization) — the codegen'd
+    * word counter (the builtin size(filter(split(...))) composition is a
+    * CodegenFallback higher-order function). */
+  def wordCount(text: String): Int = tokens(text).count(_.nonEmpty)
 
   /** Fraction of non-empty words containing at least one ASCII letter —
     * Gopher requires >= 80%. 0 when there are no words. */

@@ -58,6 +58,7 @@ object GraftFunctions {
     column(TopNgramCharRatio(expression(c), n))
   def dup_ngram_char_ratio(c: Column, n: Int): Column =
     column(DupNgramCharRatio(expression(c), n))
+  def word_count(c: Column): Column = column(WordCount(expression(c)))
   def bullet_line_ratio(c: Column): Column = column(BulletLineRatio(expression(c)))
   def ellipsis_line_ratio(c: Column): Column = column(EllipsisLineRatio(expression(c)))
   def alpha_word_ratio(c: Column): Column = column(AlphaWordRatio(expression(c)))
@@ -131,6 +132,12 @@ object GraftFunctions {
     "dup_line_ratio" -> (e => DupLineRatio(e.head)),
     "dup_line_char_ratio" -> (e => DupLineCharRatio(e.head)),
     "char_entropy" -> (e => CharEntropy(e.head)),
+    "word_count" -> (e => WordCount(e.head)),
+    "bullet_line_ratio" -> (e => BulletLineRatio(e.head)),
+    "ellipsis_line_ratio" -> (e => EllipsisLineRatio(e.head)),
+    "alpha_word_ratio" -> (e => AlphaWordRatio(e.head)),
+    "stopword_hits" -> (e => StopwordHits(e.head)),
+    "symbol_word_ratio" -> (e => SymbolWordRatio(e.head, e(1).eval().toString)),
     "top_ngram_char_ratio" -> (e => TopNgramCharRatio(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
     "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,

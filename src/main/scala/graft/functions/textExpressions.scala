@@ -404,3 +404,14 @@ case class SymbolWordRatio(child: Expression, symbol: String)
   }
   override protected def withNewChildInternal(c: Expression): SymbolWordRatio = copy(child = c)
 }
+
+/** Codegen'd non-empty word count (size(filter(split(...))) is a
+  * CodegenFallback higher-order composition). */
+case class WordCount(child: Expression) extends TextUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "word_count"
+  override protected def fn: String = "wordCount"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.wordCount(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): WordCount = copy(child = c)
+}

@@ -25,20 +25,25 @@ case class GopherThresholds(
  * plus a `keep` boolean (true iff EVERY rule passes), so a pipeline can
  * either `.filter(col("keep"))` or audit which rule rejected a page.
  *
- * Purely row-local (codegen'd scalar signals, no shuffle, no state) —
- * the cheapest possible pre-filter to run before any dedup join touches
- * the corpus.
+ * Purely row-local (codegen'd scalar signals, no shuffle, no state) — a
+ * cheap pre-filter to run before any dedup join touches the corpus. Each
+ * signal kernel tokenizes independently (~15 passes over the text per
+ * row); a fused single-pass struct kernel is the known next optimization
+ * if this ever dominates a profile — the per-signal expressions stay for
+ * a-la-carte use either way.
  */
 object TextQuality {
 
   def gopherSignals(text: Column, t: GopherThresholds = GopherThresholds()): Seq[(String, Column)] = {
-    // WORD-level signals see newlines as separators (the engine's
-    // single-space tokenizer would otherwise glue "a\nb" into one word and
-    // miss stopwords/n-grams across line breaks); LINE-level signals run
-    // on the raw text. Symbol counts are line-break-invariant either way.
-    val wordText = regexp_replace(text, "\n", " ")
+    // WORD-level signals see newlines, carriage returns and tabs as
+    // separators (the engine's single-space tokenizer would otherwise glue
+    // "a\nb" or CRLF-ended words into one token and miss stopwords/n-grams
+    // across breaks — routine in crawled text); LINE-level signals run on
+    // the raw text (their kernels already trim \r\t as whitespace). Symbol
+    // counts are break-invariant either way.
+    val wordText = regexp_replace(text, "[\n\r\t]", " ")
     val base = Seq(
-      "n_words" -> size(filter(split(wordText, " "), x => x =!= "")).cast("long"),
+      "n_words" -> word_count(wordText).cast("long"),
       "mean_word_len" -> mean_word_len(wordText),
       "hash_ratio" -> symbol_word_ratio(wordText, "#"),
       "ellipsis_ratio" -> (symbol_word_ratio(wordText, "...") + symbol_word_ratio(wordText, "…")),
@@ -74,11 +79,15 @@ object TextQuality {
   }
 
   /** Input columns + every signal + `keep`. `.filter(col("keep"))` to
-    * apply; keep the signal columns for audit/ablation. */
+    * apply; keep the signal columns for audit/ablation. The decision is
+    * TOTAL: a NULL text yields NULL signals but keep = false (a
+    * three-valued keep would drop such rows from BOTH the kept and the
+    * quarantined partition of a filter/negate pair). One select, not a
+    * withColumn fold (each withColumn re-resolves the whole projection). */
   def gopherFilter(docs: DataFrame, t: GopherThresholds = GopherThresholds(),
                    textCol: String = "text"): DataFrame = {
     val sigs = gopherSignals(col(textCol), t)
-    val withSigs = sigs.foldLeft(docs) { case (d, (name, c)) => d.withColumn(name, c) }
-    withSigs.withColumn("keep", keepRule(t))
+    docs.select(col("*") +: sigs.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("keep", coalesce(keepRule(t), lit(false)))
   }
 }

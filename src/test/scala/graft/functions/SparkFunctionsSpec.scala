@@ -128,7 +128,10 @@ class SparkFunctionsSpec extends AnyFunSuite {
         top_ngram_char_ratio($"text", 2), dup_ngram_char_ratio($"text", 5),
         size(Dedup.shingles($"text", 3)), size(winnow_set($"text")),
         size(minhash_sig(Dedup.shingles($"text", 3), 16)),
-        size(chunk_text($"text", 4, 1)))
+        size(chunk_text($"text", 4, 1)),
+        word_count($"text"), bullet_line_ratio($"text"),
+        ellipsis_line_ratio($"text"), alpha_word_ratio($"text"),
+        stopword_hits($"text"), symbol_word_ratio($"text", "#"))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

@@ -1111,6 +1111,22 @@ class OperatorsSpec extends AnyFunSuite {
     val r3 = graft.operators.TextQuality.gopherFilter(rows.toDF("doc_id", "text"))
       .filter($"doc_id" === 3L).collect()(0)
     assert(r3.getAs[Double]("hash_ratio") > 0.1)
+
+    // CRLF/tab web text tokenizes correctly (words not glued across breaks)
+    val crlf = good.split(" ").grouped(10).map(_.mkString(" ")).mkString("\r\n")
+    val rCrlf = graft.operators.TextQuality.gopherFilter(
+      Seq((9L, crlf)).toDF("doc_id", "text")).collect()(0)
+    assert(rCrlf.getAs[Boolean]("keep") === true,
+      "CRLF line endings must not glue words or hide stopwords")
+    // NULL text: signals null, decision TOTAL (false, never three-valued)
+    val rNull = graft.operators.TextQuality.gopherFilter(
+      Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text")).collect()(0)
+    assert(rNull.getAs[Boolean]("keep") === false)
+    assert(rNull.isNullAt(rNull.fieldIndex("mean_word_len")))
+    // empty symbol fails fast instead of hanging the task
+    assertThrows[Exception] {
+      Seq(Tuple1("x")).toDF("t").select(symbol_word_ratio($"t", "")).collect()
+    }
   }
 
   test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
