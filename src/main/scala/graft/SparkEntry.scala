@@ -480,7 +480,12 @@ object SparkEntry {
           lit("the cat sat with all of them and that was that"))
         .otherwise(lit("#tag #tag"))
       val ml = concat_ws("\n", l1, l2, l3, l4, col("text"))
-      val docs = s.read.parquet(t(dir, "documents")).select(d, ml.as("text"))
+      // the documents table is one parquet split: spread the row-local
+      // signal computation (the expensive part) across cores — a tiny
+      // shuffle of 5k rows buys a 32-way parallel filter pass
+      val docs = s.read.parquet(t(dir, "documents"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(d, ml.as("text"))
       val out = graft.operators.TextQuality.gopherFilter(docs)
       val ratioCols = Seq("mean_word_len", "hash_ratio", "ellipsis_ratio",
         "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",

@@ -155,6 +155,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(capped.size < got.size, "cap must drop some buffered comparisons")
   }
 
+  test("row-local quality filter and chunking run unchanged on a stream") {
+    // stateless operators need no streaming twin — prove the claim: the
+    // SAME gopherFilter/splitByTokens calls run on a file stream and
+    // produce exactly the batch result
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_rowlocal")
+      .toString + "/in"
+    val good = (graft.core.text.TextOps.GopherStopwords ++
+      (0 until 50).map(i => s"tok${('a' + i % 26).toChar}$i")).mkString(" ")
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "too short" else good)).toDF("doc_id", "text")
+    docs.write.parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = graft.operators.Chunking.splitByTokens(
+        graft.operators.TextQuality.gopherFilter(stream)
+          .filter(col("keep")).select($"doc_id", $"text"),
+        maxTokens = 16, overlap = 2)
+      .writeStream.outputMode("append").format("memory").queryName("rowlocal")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT doc_id, chunk_id, text FROM rowlocal")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = graft.operators.Chunking.splitByTokens(
+        graft.operators.TextQuality.gopherFilter(docs)
+          .filter(col("keep")).select($"doc_id", $"text"),
+        maxTokens = 16, overlap = 2)
+      .select($"doc_id", $"chunk_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(!streamed.exists(_._1 % 3 == 0), "rejected docs never reach the sink")
+  }
+
   test("stateful sessionization closes gap-split sessions AND idle sessions via event-time timeout") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Seq(
