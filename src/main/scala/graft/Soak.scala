@@ -77,6 +77,22 @@ object Soak {
         .stripBoilerplateLines(ml, minDf = 1000).count())
     }
 
+    // aggressive shard-level paragraph dedup (the CCNet regime): minDf=2
+    // where a third of 900k distinct lines qualify — the corpus-scale
+    // boilerplate set that a forced broadcast would push through the
+    // driver; here AQE sees the pinned set's true size and decides
+    val hd = docs.select(col("doc_id"), concat_ws("\n",
+      (0 until 3).map(j => format_string(s"s$j-%012x",
+        pmod(xxh3_64(concat((col("doc_id") / 2).cast("long").cast("string"),
+          lit(s"s$j"))), lit(1L << 44)))) ++
+      (3 until 6).map(j => format_string(s"u$j-%012x",
+        pmod(xxh3_64(concat(col("doc_id").cast("string"),
+          lit(s"u$j"))), lit(1L << 44)))): _*).as("text"))
+    timed("stripBoilerplateLines 200k docs minDf=2 (300k of 900k lines boilerplate)") {
+      println("[soak] docs_out=" + graft.operators.Dedup
+        .stripBoilerplateLines(hd, minDf = 2).count())
+    }
+
     // streaming-parity signature build over the corpus (per-row kernel)
     timed("minhashSignatures k=32 over 200k docs") {
       println("[soak] sigs=" + graft.operators.Dedup

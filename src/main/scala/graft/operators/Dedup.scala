@@ -535,20 +535,45 @@ object Dedup {
    * Plan shape: the input is pinned once (it is referenced three times —
    * line explode, df aggregation, final column join — and Catalyst
    * re-expands referenced subtrees); lines explode once with positions;
-   * the (tiny) boilerplate hash set broadcasts into a left-anti equi-join;
-   * surviving lines re-assemble per document (one groupBy on the id).
+   * the boilerplate hash set is pinned (so AQE sees its EXACT size) and
+   * anti-joined with NO forced broadcast: the set is small for large
+   * `minDf`, but `minDf` near 2 on a duplication-heavy crawl (quoted
+   * passages, timestamps, templated text — and shard-level paragraph dedup
+   * a la CCNet legitimately runs at minDf=2) makes it corpus-scale, and a
+   * forced broadcast of it would OOM the driver at exactly the 100-TB
+   * scale this operator targets. AQE broadcasts the pinned frame when it
+   * is actually small and shuffles the 8-byte hashes when it is not.
+   * Surviving lines re-assemble per document (one groupBy on the id).
    * Matching is by 64-bit content hash — the engine's standard
    * content-address assumption (a cross-line collision strips an innocent
    * line with P ~ 2^-64).
+   *
+   * `maxBoilerplateLines` (0 = off, the default) is a fail-fast sanity cap
+   * on the set's cardinality in the spirit of `maxBucketRows`: a
+   * corpus-scale set at a `minDf` the caller believed selective means the
+   * parameter is misconfigured and the strip is about to blank most of the
+   * corpus — better an actionable error than a silently emptied dataset.
+   * The cardinality is always logged.
    */
   def stripBoilerplateLines(docs: DataFrame, minDf: Long,
-                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                            idCol: String = "doc_id", textCol: String = "text",
+                            maxBoilerplateLines: Long = 0L): DataFrame = {
     val pinned = pin(docs)
     val lines = pinned.select(col(idCol), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("col", "line")
-    val boiler = boilerplateLines(pinned, minDf, idCol, textCol)
-      .select(xxh3_64(col("line")).as("__bh"))
-    val kept = lines.join(broadcast(boiler),
+    val boiler = pin(boilerplateLines(pinned, minDf, idCol, textCol)
+      .select(xxh3_64(col("line")).as("__bh")))
+    val nBoiler = boiler.count()
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"stripBoilerplateLines: $nBoiler boilerplate lines at minDf=$minDf")
+    if (maxBoilerplateLines > 0 && nBoiler > maxBoilerplateLines)
+      throw new IllegalStateException(
+        s"stripBoilerplateLines: boilerplate-line set has $nBoiler entries, " +
+          s"over maxBoilerplateLines=$maxBoilerplateLines — minDf=$minDf is " +
+          "classifying a large share of the corpus as boilerplate; raise " +
+          "minDf (or raise/disable the cap if aggressive paragraph dedup " +
+          "is intended)")
+    val kept = lines.join(boiler,
       xxh3_64(col("line")) === col("__bh"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
@@ -646,6 +671,18 @@ object Dedup {
    * (they are the job's input); only the iterative label state resumes.
    * The caller owns cleanup of the directory after the run.
    *
+   * Because resumed label state is only valid for the EXACT edge set it
+   * was computed from, the directory carries an order-independent
+   * fingerprint of the edges (row count + sum of per-edge 64-bit hashes,
+   * written before round 0). A restart whose recomputed `pairs` produce a
+   * different fingerprint — a stale directory reused across inputs, or
+   * pairs that grew between restarts — FAILS FAST instead of silently
+   * resuming: labels for vertices absent from the old rounds would
+   * otherwise only re-enter via labeled neighbors, and wholly-new
+   * components would be missing from the output. A directory containing
+   * rounds but no fingerprint (pre-upgrade or hand-edited) is equally
+   * untrustworthy and also fails fast; clear it to restart from scratch.
+   *
    * Returns (id, component) where component = min id of the cluster.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
@@ -660,13 +697,16 @@ object Dedup {
           "the job). Call sc.setCheckpointDir on a shared filesystem.")
 
     def roundDir(i: Int) = resumePath.map(p => s"$p/round_$i")
+    // strict name match: a stray non-conforming entry (round_3_tmp from
+    // tooling or manual inspection) must be ignored, not crash the restart
+    val RoundName = "round_(\\d+)".r
     def latestCompleteRound(): Option[Int] = resumePath.flatMap { p =>
       val base = new org.apache.hadoop.fs.Path(p)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(base)) None
       else fs.listStatus(base).toSeq
         .map(_.getPath.getName)
-        .collect { case s if s.startsWith("round_") => s.stripPrefix("round_").toInt }
+        .collect { case RoundName(d) => d.toInt }
         .filter(i => fs.exists(new org.apache.hadoop.fs.Path(s"$p/round_$i/_SUCCESS")))
         .sorted.lastOption
     }
@@ -695,6 +735,39 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
     val resumed = latestCompleteRound()
+    // edge-set fingerprint guard (see scaladoc): count + XOR of per-edge
+    // 64-bit hashes — order-independent, overflow-free (XOR, not SUM —
+    // Spark 4 runs ANSI mode where a long SUM over billions of hash values
+    // would throw), and collision-safe here because `edges` is distinct so
+    // no pair can self-cancel. One cheap aggregation over the pinned edges.
+    resumePath.foreach { p =>
+      val fpDir = s"$p/edges_fingerprint"
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = edges.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("x")).head()
+      val (n, x) = (fp.getLong(0), fp.getLong(1))
+      if (resumed.isDefined) {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS")))
+          throw new IllegalStateException(
+            s"connectedComponents: resume directory $p contains label rounds " +
+              "but no edge-set fingerprint — a pre-upgrade or hand-edited " +
+              "directory cannot be trusted to match this input; clear it to " +
+              "restart from scratch")
+        val old = spark.read.parquet(fpDir).head()
+        if (old.getAs[Long]("n") != n || old.getAs[Long]("x") != x)
+          throw new IllegalStateException(
+            s"connectedComponents: resume directory $p was written for a " +
+              s"DIFFERENT edge set (stored count=${old.getAs[Long]("n")} " +
+              s"xor=${old.getAs[Long]("x")}, current count=$n xor=$x) — " +
+              "resuming would silently drop components; clear the directory " +
+              "(or point resumePath elsewhere) to restart from scratch")
+      } else {
+        spark.createDataFrame(Seq((n, x))).toDF("n", "x")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
+      }
+    }
     var labels = resumed match {
       case Some(i) => spark.read.parquet(roundDir(i).get)
       case None => pinRound(edges.select(col("src").as("id")).distinct()

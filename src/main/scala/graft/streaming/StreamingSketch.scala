@@ -173,8 +173,12 @@ object StreamingSketch {
             // deterministic intra-batch order: event time, then id
             rows.toSeq.sortBy(x => (x.ts.getTime, x.id)).foreach { d =>
               if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              st.docs.foreach { prev =>
-                if (prev.id != d.id) {
+              // at-least-once replay guard: a doc already buffered in this
+              // bucket (retried micro-batch, replayed source offsets) must
+              // neither consume a second maxPerBucket slot nor re-emit its
+              // pairs on every later arrival
+              if (!st.docs.exists(_.id == d.id)) {
+                st.docs.foreach { prev =>
                   var m = 0
                   var i = 0
                   while (i < numHashes) {
@@ -186,9 +190,9 @@ object StreamingSketch {
                     out += LshPairOut(math.min(prev.id, d.id),
                       math.max(prev.id, d.id), est)
                 }
+                if (st.docs.length < maxPerBucket)
+                  st = LshBucketState(LshDocSig(d.id, d.sig) :: st.docs)
               }
-              if (st.docs.length < maxPerBucket)
-                st = LshBucketState(LshDocSig(d.id, d.sig) :: st.docs)
             }
             state.update(st)
             if (maxTs > 0L) state.setTimeoutTimestamp(maxTs + stateTtlMs)

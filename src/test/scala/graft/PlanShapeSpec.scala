@@ -159,16 +159,49 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), plan.take(2000))
   }
 
-  test("boilerplate strip: broadcast anti-join on line hashes, no cartesian") {
+  test("boilerplate strip: anti equi-join on line hashes, NO forced broadcast") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = operators.Dedup.stripBoilerplateLines(docs, minDf = 50)
-      .queryExecution.executedPlan.toString
+    val df = operators.Dedup.stripBoilerplateLines(docs, minDf = 50)
+    // the boilerplate set is small only for large minDf — minDf near 2 on a
+    // duplication-heavy crawl makes it corpus-scale, so the join must NOT
+    // carry a broadcast hint: AQE picks broadcast iff the pinned set is
+    // actually small (it has exact stats), shuffles the 8-byte hashes
+    // otherwise
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "stripBoilerplateLines must not force a broadcast of the " +
+        "potentially-unbounded boilerplate set")
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan.take(2000))
-    // the (tiny by definition) boilerplate set must broadcast into the
-    // anti join — a shuffle here would move the whole exploded corpus
-    assert(plan.contains("BroadcastHashJoin") &&
-      "BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(plan).isDefined, plan.take(3000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("boilerplate strip runs shuffled (not broadcast) when broadcast is off") {
+    // proves the join strategy is AQE's choice, not baked in: with the
+    // broadcast threshold disabled the same operator must still plan — as a
+    // shuffled anti join — and still produce the right answer. A forced
+    // broadcast hint would override the threshold and fail this test.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0 until 400).map { i =>
+        // every line shared by exactly two docs => at minDf=2 the WHOLE
+        // distinct line set is boilerplate (the corpus-scale regime)
+        val lines = (0 until 20).map(j => s"pair ${i / 2} line $j")
+        (i.toLong, lines.mkString("\n"))
+      }.toDF("doc_id", "text")
+      val df = operators.Dedup.stripBoilerplateLines(docs, minDf = 2)
+      val out = df.collect()
+      assert(out.length === 400)
+      assert(out.forall(_.getAs[String]("text") == ""),
+        "minDf=2 on an all-shared corpus strips every line")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "with broadcast disabled the anti join must shuffle:\n" + plan.take(3000))
+      assert("(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+        plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("simhash banded join is equi-join only at every radius") {

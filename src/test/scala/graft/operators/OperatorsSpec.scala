@@ -646,6 +646,56 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.stripBoilerplateLines(docs, minDf = 0))
   }
 
+  test("boilerplate cardinality cap fails fast; default (off) allows large sets") {
+    val docs = Seq(
+      (1L, "a\nb"), (2L, "a\nb"), (3L, "c\nd"), (4L, "c\nd")).toDF("doc_id", "text")
+    // 4 distinct boilerplate lines at minDf=2; a cap below that is the
+    // "minDf misconfigured, about to blank the corpus" signal
+    val e = intercept[IllegalStateException](
+      Dedup.stripBoilerplateLines(docs, minDf = 2, maxBoilerplateLines = 3))
+    assert(e.getMessage.contains("maxBoilerplateLines"))
+    // at the cap, and with the default opt-out, the strip runs
+    for (cap <- Seq(4L, 0L))
+      assert(Dedup.stripBoilerplateLines(docs, minDf = 2, maxBoilerplateLines = cap)
+        .collect().forall(_.getAs[String]("text") == ""))
+  }
+
+  test("connected components resume rejects a directory from a different edge set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_fp").toString
+    val chain = (0 until 20).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(chain, maxIter = 2, resumePath = Some(dir)).count()
+    // a restart whose pairs GREW between restarts (new docs arrived) must
+    // fail fast — resuming the old rounds would silently drop the new
+    // component from the output
+    val grown = chain.unionByName(Seq((100L, 101L)).toDF("id_a", "id_b"))
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(grown, resumePath = Some(dir)))
+    assert(e.getMessage.contains("DIFFERENT edge set"), e.getMessage)
+    // rounds present but no fingerprint (pre-upgrade or hand-edited
+    // directory): equally untrustworthy, same fail-fast
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/edges_fingerprint"), true)
+    val e2 = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, resumePath = Some(dir)))
+    assert(e2.getMessage.contains("no edge-set fingerprint"), e2.getMessage)
+  }
+
+  test("connected components resume ignores stray non-round directory names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_stray").toString
+    val chain = (0 until 20).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(chain, maxIter = 2, resumePath = Some(dir),
+      pruneRounds = false).count()
+    // leftovers from tooling or manual inspection must be skipped, not
+    // NumberFormatException the restarted job
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/round_1_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/round_zz"))
+    val comps = Dedup.connectedComponents(chain, resumePath = Some(dir),
+        pruneRounds = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 21 && comps.forall(_._2 == 0L))
+  }
+
   test("minhash_sig per-row expression == the aggregation formulation, bit-identical") {
     // the contract that lets streaming (one stateful-operator budget) and
     // batch share signatures: min(xxhash64(lit(i), xxh3_64(sh))) per doc

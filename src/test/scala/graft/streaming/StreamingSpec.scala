@@ -155,6 +155,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(capped.size < got.size, "cap must drop some buffered comparisons")
   }
 
+  test("streaming LSH replay of a doc neither re-emits its pairs nor eats bucket slots") {
+    // at-least-once sources replay rows: a doc already buffered in its
+    // bucket must be a no-op, not a second occupant. Four identical texts
+    // (same signature -> same bucket in EVERY band): doc 1, doc 1 replayed,
+    // doc 2, doc 3, with maxPerBucket=2. Correct behaviour buffers [1, 2]
+    // and emits each unordered pair exactly once per band; double-buffering
+    // doc 1 would instead emit (1,2) twice per band, steal doc 2's slot,
+    // and never produce (2,3) at all.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    val text = {
+      val r2 = new java.util.Random(7)
+      Array.fill(25)(s"w${r2.nextInt(500)}").mkString(" ")
+    }
+    val arrivals = Seq(1L, 1L, 2L, 3L)
+    arrivals.zipWithIndex.foreach { case (id, i) =>
+      Seq((id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${10 + i}%02d"), text))
+        .toDF("doc_id", "ts", "text").write.parquet(s"$srcDir/c=$i")
+    }
+    val (k, bands) = (16, 4)
+    val q = StreamingSketch.minhashLshPairsStream(
+        spark.readStream.schema(
+            Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), ""))
+              .toDF("doc_id", "ts", "text").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/c=*"),
+        "ts", watermark = "1 hour", stateTtlMs = 3600000L, n = 3,
+        numHashes = k, bands = bands, minEstJaccard = 0.5, maxPerBucket = 2)
+      .writeStream.outputMode("append").format("memory").queryName("stream_lsh_replay")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.sql("SELECT * FROM stream_lsh_replay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for ((a, b) <- Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(emitted.count(_ == (a, b, 1.0)) === bands,
+        s"pair ($a,$b) exactly once per band; got $emitted")
+    assert(emitted.length === 3 * bands, s"no replay-doubled emissions: $emitted")
+  }
+
   test("row-local quality filter and chunking run unchanged on a stream") {
     // stateless operators need no streaming twin — prove the claim: the
     // SAME gopherFilter/splitByTokens calls run on a file stream and
