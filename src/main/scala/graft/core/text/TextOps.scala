@@ -482,6 +482,488 @@ object TextOps {
     max.toDouble / n
   }
 
+  /** All Gopher signal values computed by [[gopherStats]] in one pass.
+    * `topNgram` / `dupNgram` align positionally with the `topNs` / `dupNs`
+    * arguments. */
+  final case class GopherStats(
+      nWords: Long, meanWordLen: Double, hashRatio: Double, ellipsisRatio: Double,
+      bulletLineRatio: Double, ellipsisLineRatio: Double, alphaWordRatio: Double,
+      stopwordHits: Int, dupLineRatio: Double, dupLineCharRatio: Double,
+      topNgram: Array[Double], dupNgram: Array[Double])
+
+  /** Test/diagnostic hook: number of [[gopherStats]] invocations in this
+    * JVM (proves the plan evaluates the fused kernel once per row, not once
+    * per extracted struct field). */
+  val gopherStatsCalls = new java.util.concurrent.atomic.LongAdder
+
+  /** Order-sensitive 64-bit hash combine for the incremental gram-hash
+    * chain (boost-style xor + splitmix64 avalanche). Only self-consistency
+    * matters — gram identity never leaves one invocation. */
+  @inline private def combineHash(prev: Long, next: Long): Long = {
+    var h = prev ^ (next * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L)
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /**
+   * ALL Gopher quality signals (Rae et al. 2021 Table A1) in a single pass:
+   * one newline/tab normalization, one tokenization, one token-hash array,
+   * then every word n-gram statistic from an INCREMENTAL hash chain
+   * (gram-hash for n extends the stored gram-hash for n-1 by one token
+   * hash) with sort-based counting — where the per-signal kernels
+   * re-tokenize and rebuild string-keyed maps ~15 times per row. Produces
+   * BIT-IDENTICAL values to the individual kernels ([[wordCount]],
+   * [[meanWordLen]], [[symbolWordRatio]], [[bulletLineRatio]],
+   * [[ellipsisLineRatio]], [[alphaWordRatio]], [[stopwordHits]],
+   * [[dupLineRatio]], [[dupLineCharRatio]], [[topNgramCharRatio]],
+   * [[dupNgramCharRatio]]) run over the same word/line inputs, with one
+   * caveat: n-gram identity here is a chained 64-bit hash rather than the
+   * gram string, so two DISTINCT grams of a document colliding in 64 bits
+   * (P ~ 2^-64 per pair) could merge counts — the engine's standard
+   * content-address assumption.
+   *
+   * Word-level signals run on text with [\n\r\t] replaced by spaces (the
+   * word tokenizer would otherwise glue "a\nb" into one token); line-level
+   * signals run on the raw text. `topNs`/`dupNs` must be ascending and
+   * >= 1 each.
+   */
+  def gopherStats(text: String, topNs: Array[Int], dupNs: Array[Int]): GopherStats = {
+    gopherStatsCalls.increment()
+    // --- word text: [\n\r\t] -> ' ' (only materialize when needed) ---
+    var needsWt = false
+    var ci = 0
+    while (ci < text.length && !needsWt) {
+      val c = text.charAt(ci)
+      if (c == '\n' || c == '\r' || c == '\t') needsWt = true
+      ci += 1
+    }
+    val wt = if (!needsWt) text else {
+      val a = text.toCharArray
+      var i = 0
+      while (i < a.length) {
+        val c = a(i)
+        if (c == '\n' || c == '\r' || c == '\t') a(i) = ' '
+        i += 1
+      }
+      new String(a)
+    }
+
+    // --- one tokenization; word stats in the same pass ---
+    val ts = if (wt.isEmpty) Array.empty[String] else wt.split(" ", -1)
+    val ws = new Array[String](ts.length)
+    var nW = 0
+    var charTotal = 0L
+    var alphaWords = 0
+    var stopMask = 0
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.nonEmpty) {
+        ws(nW) = t
+        nW += 1
+        charTotal += t.length
+        var hasAlpha = false
+        var j = 0
+        while (j < t.length && !hasAlpha) {
+          val c = t.charAt(j)
+          hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+      }
+      // stopword membership over ALL tokens (empties can't match anyway)
+      var s = 0
+      while (s < GopherStopwords.length) {
+        if ((stopMask & (1 << s)) == 0 && t == GopherStopwords(s)) stopMask |= 1 << s
+        s += 1
+      }
+      i += 1
+    }
+
+    // --- symbol counts over the word text, one char scan ---
+    // "..." is counted non-overlapping left-to-right (indexOf semantics)
+    var cntHash = 0
+    var cntDots = 0
+    var cntUniEll = 0
+    i = 0
+    while (i < wt.length) {
+      val c = wt.charAt(i)
+      if (c == '#') { cntHash += 1; i += 1 }
+      else if (c == '…') { cntUniEll += 1; i += 1 }
+      else if (c == '.' && i + 2 < wt.length &&
+               wt.charAt(i + 1) == '.' && wt.charAt(i + 2) == '.') {
+        cntDots += 1; i += 3
+      } else i += 1
+    }
+    // two separate ratios summed — the exact float arithmetic of
+    // symbol_word_ratio(wt, "...") + symbol_word_ratio(wt, "…")
+    val hashRatio = if (nW == 0) 0.0 else cntHash.toDouble / nW
+    val ellRatio = if (nW == 0) 0.0
+      else cntDots.toDouble / nW + cntUniEll.toDouble / nW
+
+    // --- line stats over the RAW text, one line pass ---
+    val lines = text.split("\n", -1)
+    var bulletLines = 0
+    var ellLines = 0
+    var dupLines = 0
+    var lineChars = 0L
+    var dupLineChars = 0L
+    val seen = new java.util.HashSet[String]()
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      lineChars += l.length
+      if (!seen.add(l)) { dupLines += 1; dupLineChars += l.length }
+      var a = 0
+      while (a < l.length && Character.isWhitespace(l.charAt(a))) a += 1
+      if (a < l.length) {
+        val c = l.charAt(a)
+        if (c == '-' || c == '*' || c == '•') bulletLines += 1
+      }
+      var z = l.length - 1
+      while (z >= 0 && Character.isWhitespace(l.charAt(z))) z -= 1
+      if (z >= 0 && (l.charAt(z) == '…' ||
+          (z >= 2 && l.charAt(z) == '.' && l.charAt(z - 1) == '.' && l.charAt(z - 2) == '.')))
+        ellLines += 1
+      i += 1
+    }
+    val nLines = lines.length // split("\n", -1) never returns empty
+
+    // --- n-gram engine: token hashes once, incremental gram-hash chain ---
+    val topOut = new Array[Double](topNs.length)
+    val dupOut = new Array[Double](dupNs.length)
+    val maxN = (topNs.lastOption.getOrElse(1)).max(dupNs.lastOption.getOrElse(1))
+    if (maxN >= 2 && nW > 0 && charTotal > 0) {
+      val th = new Array[Long](nW)
+      val pre = new Array[Long](nW + 1)
+      i = 0
+      while (i < nW) {
+        th(i) = XXH3.hashString(ws(i))
+        pre(i + 1) = pre(i) + ws(i).length
+        i += 1
+      }
+      val g = th.clone() // gram hashes for current n (starts at n=1)
+      val sbuf = new Array[Long](nW)
+      val covered = new Array[Boolean](nW)
+
+      def countOf(m: Int, h: Long): Int = {
+        // run length of h in sbuf[0, m): two binary searches
+        var lo = 0; var hi = m
+        while (lo < hi) { val mid = (lo + hi) >>> 1
+          if (sbuf(mid) < h) lo = mid + 1 else hi = mid }
+        val first = lo
+        hi = m
+        while (lo < hi) { val mid = (lo + hi) >>> 1
+          if (sbuf(mid) <= h) lo = mid + 1 else hi = mid }
+        lo - first
+      }
+
+      var n = 1 // g already holds the n=1 gram (token) hashes
+      var ti = 0
+      var di = 0
+      while (n <= maxN) {
+        val m = nW - n + 1
+        if (n >= 2 && m > 0) {
+          i = 0
+          while (i < m) { g(i) = combineHash(g(i), th(i + n - 1)); i += 1 }
+        }
+        val isTop = ti < topNs.length && topNs(ti) == n
+        val isDup = di < dupNs.length && dupNs(di) == n
+        if ((isTop || isDup) && m > 0) {
+          System.arraycopy(g, 0, sbuf, 0, m)
+          java.util.Arrays.sort(sbuf, 0, m)
+        }
+        if (isTop) {
+          if (m > 0) {
+            var maxCount = 0
+            i = 0
+            while (i < m) { // run scan over the sorted copy
+              var j = i + 1
+              while (j < m && sbuf(j) == sbuf(i)) j += 1
+              if (j - i > maxCount) maxCount = j - i
+              i = j
+            }
+            // winning gram = count desc, char length desc (the string
+            // tie-break of topNgramCharRatio only orders grams of EQUAL
+            // char length, so it can never change count*len/total)
+            var bestLen = -1L
+            i = 0
+            while (i < m) {
+              if (countOf(m, g(i)) == maxCount) {
+                val len = pre(i + n) - pre(i)
+                if (len > bestLen) bestLen = len
+              }
+              i += 1
+            }
+            topOut(ti) = math.min(1.0, maxCount.toDouble * bestLen / charTotal)
+          }
+          ti += 1
+        }
+        if (isDup) {
+          if (m > 0) {
+            java.util.Arrays.fill(covered, 0, nW, false)
+            i = 0
+            while (i < m) {
+              if (countOf(m, g(i)) >= 2) {
+                var j = i
+                while (j < i + n) { covered(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var dup = 0L
+            i = 0
+            while (i < nW) { if (covered(i)) dup += ws(i).length; i += 1 }
+            dupOut(di) = dup.toDouble / charTotal
+          }
+          di += 1
+        }
+        n += 1
+      }
+    }
+
+    GopherStats(
+      nWords = nW.toLong,
+      meanWordLen = if (nW == 0) 0.0 else charTotal.toDouble / nW,
+      hashRatio = hashRatio,
+      ellipsisRatio = ellRatio,
+      bulletLineRatio = if (nLines == 0) 0.0 else bulletLines.toDouble / nLines,
+      ellipsisLineRatio = if (nLines == 0) 0.0 else ellLines.toDouble / nLines,
+      alphaWordRatio = if (nW == 0) 0.0 else alphaWords.toDouble / nW,
+      stopwordHits = Integer.bitCount(stopMask),
+      dupLineRatio = dupLines.toDouble / nLines,
+      dupLineCharRatio = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars,
+      topNgram = topOut, dupNgram = dupOut)
+  }
+
+  /** Threshold set for [[gopherKeep]] — mirrors the published Gopher rule
+    * (Rae et al. 2021 Table A1); `topNs`/`topMax` and `dupNs`/`dupMax`
+    * align positionally, ns ascending. */
+  final case class GopherParams(
+      minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxHashRatio: Double, maxEllipsisRatio: Double,
+      maxBulletLineRatio: Double, maxEllipsisLineRatio: Double,
+      minAlphaWordRatio: Double, minStopwordHits: Int,
+      maxDupLineRatio: Double, maxDupLineCharRatio: Double,
+      topNs: Array[Int], topMax: Array[Double],
+      dupNs: Array[Int], dupMax: Array[Double])
+
+  /**
+   * The complete Gopher KEEP decision as one short-circuiting kernel:
+   * exactly the conjunction of every threshold check over the
+   * [[gopherStats]] signal values (bit-identical computations, so the
+   * boolean always equals comparing the struct's fields), but staged so a
+   * failing document exits at its FIRST violated stage — word-shape stats
+   * (one tokenization) first, then the symbol scan, then the line pass,
+   * then the n-gram engine in ascending n with a check per n. On a
+   * reject-heavy crawl most documents never reach the n-gram stage at all,
+   * which a struct-valued expression cannot do (its consumer decides which
+   * fields it needs; the kernel computes all of them). This is why
+   * `filter(gopher_keep(text))` is the fast path for pure filtering while
+   * `gopher_signals` serves the audit projection.
+   */
+  def gopherKeep(text: String, p: GopherParams): Boolean = {
+    // --- stage 1: word text + one tokenization; all word-shape checks ---
+    var needsWt = false
+    var ci = 0
+    while (ci < text.length && !needsWt) {
+      val c = text.charAt(ci)
+      if (c == '\n' || c == '\r' || c == '\t') needsWt = true
+      ci += 1
+    }
+    val wt = if (!needsWt) text else {
+      val a = text.toCharArray
+      var i = 0
+      while (i < a.length) {
+        val c = a(i)
+        if (c == '\n' || c == '\r' || c == '\t') a(i) = ' '
+        i += 1
+      }
+      new String(a)
+    }
+    val ts = if (wt.isEmpty) Array.empty[String] else wt.split(" ", -1)
+    val ws = new Array[String](ts.length)
+    var nW = 0
+    var charTotal = 0L
+    var alphaWords = 0
+    var stopMask = 0
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.nonEmpty) {
+        ws(nW) = t
+        nW += 1
+        charTotal += t.length
+        var hasAlpha = false
+        var j = 0
+        while (j < t.length && !hasAlpha) {
+          val c = t.charAt(j)
+          hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          j += 1
+        }
+        if (hasAlpha) alphaWords += 1
+      }
+      var s = 0
+      while (s < GopherStopwords.length) {
+        if ((stopMask & (1 << s)) == 0 && t == GopherStopwords(s)) stopMask |= 1 << s
+        s += 1
+      }
+      i += 1
+    }
+    if (nW < p.minWords || nW > p.maxWords) return false
+    val meanLen = if (nW == 0) 0.0 else charTotal.toDouble / nW
+    if (!(meanLen >= p.minMeanWordLen && meanLen <= p.maxMeanWordLen)) return false
+    val alphaRatioW = if (nW == 0) 0.0 else alphaWords.toDouble / nW
+    if (!(alphaRatioW >= p.minAlphaWordRatio)) return false
+    if (Integer.bitCount(stopMask) < p.minStopwordHits) return false
+
+    // --- stage 2: symbol scan ---
+    var cntHash = 0
+    var cntDots = 0
+    var cntUniEll = 0
+    i = 0
+    while (i < wt.length) {
+      val c = wt.charAt(i)
+      if (c == '#') { cntHash += 1; i += 1 }
+      else if (c == '…') { cntUniEll += 1; i += 1 }
+      else if (c == '.' && i + 2 < wt.length &&
+               wt.charAt(i + 1) == '.' && wt.charAt(i + 2) == '.') {
+        cntDots += 1; i += 3
+      } else i += 1
+    }
+    val hashRatio = if (nW == 0) 0.0 else cntHash.toDouble / nW
+    if (!(hashRatio <= p.maxHashRatio)) return false
+    val ellRatio = if (nW == 0) 0.0
+      else cntDots.toDouble / nW + cntUniEll.toDouble / nW
+    if (!(ellRatio <= p.maxEllipsisRatio)) return false
+
+    // --- stage 3: line pass ---
+    val lines = text.split("\n", -1)
+    var bulletLines = 0
+    var ellLines = 0
+    var dupLines = 0
+    var lineChars = 0L
+    var dupLineChars = 0L
+    val seen = new java.util.HashSet[String]()
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      lineChars += l.length
+      if (!seen.add(l)) { dupLines += 1; dupLineChars += l.length }
+      var a = 0
+      while (a < l.length && Character.isWhitespace(l.charAt(a))) a += 1
+      if (a < l.length) {
+        val c = l.charAt(a)
+        if (c == '-' || c == '*' || c == '•') bulletLines += 1
+      }
+      var z = l.length - 1
+      while (z >= 0 && Character.isWhitespace(l.charAt(z))) z -= 1
+      if (z >= 0 && (l.charAt(z) == '…' ||
+          (z >= 2 && l.charAt(z) == '.' && l.charAt(z - 1) == '.' && l.charAt(z - 2) == '.')))
+        ellLines += 1
+      i += 1
+    }
+    val nLines = lines.length
+    if (!(bulletLines.toDouble / nLines <= p.maxBulletLineRatio)) return false
+    if (!(ellLines.toDouble / nLines <= p.maxEllipsisLineRatio)) return false
+    if (!(dupLines.toDouble / nLines <= p.maxDupLineRatio)) return false
+    val dlc = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+    if (!(dlc <= p.maxDupLineCharRatio)) return false
+
+    // --- stage 4: n-gram engine, ascending n, exit at first violation ---
+    val maxN = (p.topNs.lastOption.getOrElse(1)).max(p.dupNs.lastOption.getOrElse(1))
+    var ti = 0
+    var di = 0
+    if (maxN >= 2 && nW > 0 && charTotal > 0) {
+      val th = new Array[Long](nW)
+      val pre = new Array[Long](nW + 1)
+      i = 0
+      while (i < nW) {
+        th(i) = XXH3.hashString(ws(i))
+        pre(i + 1) = pre(i) + ws(i).length
+        i += 1
+      }
+      val g = th.clone()
+      val sbuf = new Array[Long](nW)
+      val covered = new Array[Boolean](nW)
+      def countOf(m: Int, h: Long): Int = {
+        var lo = 0; var hi = m
+        while (lo < hi) { val mid = (lo + hi) >>> 1
+          if (sbuf(mid) < h) lo = mid + 1 else hi = mid }
+        val first = lo
+        hi = m
+        while (lo < hi) { val mid = (lo + hi) >>> 1
+          if (sbuf(mid) <= h) lo = mid + 1 else hi = mid }
+        lo - first
+      }
+      var n = 1
+      while (n <= maxN) {
+        val m = nW - n + 1
+        if (n >= 2 && m > 0) {
+          i = 0
+          while (i < m) { g(i) = combineHash(g(i), th(i + n - 1)); i += 1 }
+        }
+        val isTop = ti < p.topNs.length && p.topNs(ti) == n
+        val isDup = di < p.dupNs.length && p.dupNs(di) == n
+        if ((isTop || isDup) && m > 0) {
+          System.arraycopy(g, 0, sbuf, 0, m)
+          java.util.Arrays.sort(sbuf, 0, m)
+        }
+        if (isTop) {
+          var ratio = 0.0
+          if (m > 0) {
+            var maxCount = 0
+            i = 0
+            while (i < m) {
+              var j = i + 1
+              while (j < m && sbuf(j) == sbuf(i)) j += 1
+              if (j - i > maxCount) maxCount = j - i
+              i = j
+            }
+            var bestLen = -1L
+            i = 0
+            while (i < m) {
+              if (countOf(m, g(i)) == maxCount) {
+                val len = pre(i + n) - pre(i)
+                if (len > bestLen) bestLen = len
+              }
+              i += 1
+            }
+            ratio = math.min(1.0, maxCount.toDouble * bestLen / charTotal)
+          }
+          if (!(ratio <= p.topMax(ti))) return false
+          ti += 1
+        }
+        if (isDup) {
+          var ratio = 0.0
+          if (m > 0) {
+            java.util.Arrays.fill(covered, 0, nW, false)
+            i = 0
+            while (i < m) {
+              if (countOf(m, g(i)) >= 2) {
+                var j = i
+                while (j < i + n) { covered(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var dup = 0L
+            i = 0
+            while (i < nW) { if (covered(i)) dup += ws(i).length; i += 1 }
+            ratio = dup.toDouble / charTotal
+          }
+          if (!(ratio <= p.dupMax(di))) return false
+          di += 1
+        }
+        n += 1
+      }
+    }
+    // engine skipped (or lists beyond maxN): every remaining signal is 0.0
+    while (ti < p.topNs.length) { if (!(0.0 <= p.topMax(ti))) return false; ti += 1 }
+    while (di < p.dupNs.length) { if (!(0.0 <= p.dupMax(di))) return false; di += 1 }
+    true
+  }
+
   def alphaRatio(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     var a = 0

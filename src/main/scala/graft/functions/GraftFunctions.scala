@@ -65,6 +65,15 @@ object GraftFunctions {
   def stopword_hits(c: Column): Column = column(StopwordHits(expression(c)))
   def symbol_word_ratio(c: Column, symbol: String): Column =
     column(SymbolWordRatio(expression(c), symbol))
+  /** Every Gopher signal as one struct from ONE pass over the text (the
+    * per-signal functions above re-tokenize per call). */
+  def gopher_signals(c: Column, topNs: Seq[Int] = Seq(2, 3, 4),
+                     dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): Column =
+    column(GopherSignalsStruct(expression(c), topNs, dupNs))
+  /** The full Gopher keep decision as one short-circuiting boolean kernel
+    * (fast path for pure filtering; see [[GopherKeep]]). */
+  def gopher_keep(c: Column, p: graft.core.text.TextOps.GopherParams): Column =
+    column(GopherKeep(expression(c), p))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
@@ -138,6 +147,8 @@ object GraftFunctions {
     "alpha_word_ratio" -> (e => AlphaWordRatio(e.head)),
     "stopword_hits" -> (e => StopwordHits(e.head)),
     "symbol_word_ratio" -> (e => SymbolWordRatio(e.head, e(1).eval().toString)),
+    "gopher_signals" -> (e => GopherSignalsStruct(e.head,
+      Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10))),
     "top_ngram_char_ratio" -> (e => TopNgramCharRatio(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
     "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,

@@ -405,6 +405,108 @@ case class SymbolWordRatio(child: Expression, symbol: String)
   override protected def withNewChildInternal(c: Expression): SymbolWordRatio = copy(child = c)
 }
 
+/**
+ * gopher_signals(text) -> struct of EVERY Gopher quality signal (Rae et al.
+ * 2021 Table A1) from ONE pass over the text — the fused kernel behind
+ * [[graft.operators.TextQuality.gopherFilter]]. The per-signal expressions
+ * above re-tokenize per signal (~15 passes/row when composed); this
+ * evaluates [[graft.core.text.TextOps.gopherStats]] once and extracts
+ * struct fields. Field order: the ten base signals, then
+ * top_{n}gram_ratio for each ascending n in `topNs`, then
+ * dup_{n}gram_ratio for each ascending n in `dupNs`.
+ *
+ * Whole-stage codegen's subexpression elimination guarantees one kernel
+ * call per row even after projection collapse pushes a GetStructField per
+ * signal column (pinned by test via TextOps.gopherStatsCalls).
+ */
+case class GopherSignalsStruct(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(topNs.forall(_ >= 1) && dupNs.forall(_ >= 1), "ngram sizes must be >= 1")
+  require(topNs == topNs.sorted.distinct && dupNs == dupNs.sorted.distinct,
+    "ngram size lists must be ascending and distinct")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override val dataType: DataType = StructType(
+    Seq(StructField("n_words", LongType, nullable = false),
+      StructField("mean_word_len", DoubleType, nullable = false),
+      StructField("hash_ratio", DoubleType, nullable = false),
+      StructField("ellipsis_ratio", DoubleType, nullable = false),
+      StructField("bullet_line_ratio", DoubleType, nullable = false),
+      StructField("ellipsis_line_ratio", DoubleType, nullable = false),
+      StructField("alpha_word_ratio", DoubleType, nullable = false),
+      StructField("stopword_hits", IntegerType, nullable = false),
+      StructField("dup_line_ratio", DoubleType, nullable = false),
+      StructField("dup_line_char_ratio", DoubleType, nullable = false)) ++
+    topNs.map(n => StructField(s"top_${n}gram_ratio", DoubleType, nullable = false)) ++
+    dupNs.map(n => StructField(s"dup_${n}gram_ratio", DoubleType, nullable = false)))
+  override def prettyName: String = "gopher_signals"
+  private lazy val topArr = topNs.toArray
+  private lazy val dupArr = dupNs.toArray
+  override def nullSafeEval(v: Any): Any =
+    GopherSignalsStruct.compute(v.asInstanceOf[UTF8String], topArr, dupArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val topRef = ctx.addReferenceObj("topNs", topArr, "int[]")
+    val dupRef = ctx.addReferenceObj("dupNs", dupArr, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GopherSignalsStruct.compute($c, $topRef, $dupRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherSignalsStruct =
+    copy(child = c)
+}
+
+object GopherSignalsStruct {
+  def compute(text: UTF8String, topNs: Array[Int],
+              dupNs: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = graft.core.text.TextOps.gopherStats(text.toString, topNs, dupNs)
+    val vals = new Array[Any](10 + topNs.length + dupNs.length)
+    vals(0) = s.nWords
+    vals(1) = s.meanWordLen
+    vals(2) = s.hashRatio
+    vals(3) = s.ellipsisRatio
+    vals(4) = s.bulletLineRatio
+    vals(5) = s.ellipsisLineRatio
+    vals(6) = s.alphaWordRatio
+    vals(7) = s.stopwordHits
+    vals(8) = s.dupLineRatio
+    vals(9) = s.dupLineCharRatio
+    var i = 0
+    while (i < topNs.length) { vals(10 + i) = s.topNgram(i); i += 1 }
+    while (i - topNs.length < dupNs.length) {
+      vals(10 + i) = s.dupNgram(i - topNs.length); i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/**
+ * gopher_keep(text) -> boolean: the complete Gopher keep decision as ONE
+ * short-circuiting kernel ([[graft.core.text.TextOps.gopherKeep]]). Always
+ * equals the conjunction of threshold checks over `gopher_signals` fields
+ * (bit-identical stats), but a rejected document exits at its first
+ * violated stage — which a struct-valued expression cannot do. Use this
+ * for pure filtering; `gopher_signals` for the audit projection. Putting
+ * the decision in one scalar also keeps `filter(col("keep"))` pushdown
+ * cheap: a 21-conjunct predicate over struct fields would re-evaluate the
+ * struct kernel per conjunct inside FilterExec (no subexpression
+ * elimination within a single predicate).
+ */
+case class GopherKeep(child: Expression, params: graft.core.text.TextOps.GopherParams)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gopher_keep"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.gopherKeep(v.asInstanceOf[UTF8String].toString, params)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // binary name: GopherParams nests in the TextOps object, so the
+    // generated Java must reference TextOps$GopherParams
+    val pRef = ctx.addReferenceObj("gopherParams", params,
+      "graft.core.text.TextOps$GopherParams")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.TextOps.gopherKeep($c.toString(), $pRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): GopherKeep = copy(child = c)
+}
+
 /** Codegen'd non-empty word count (size(filter(split(...))) is a
   * CodegenFallback higher-order composition). */
 case class WordCount(child: Expression) extends TextUnary {

@@ -17,7 +17,19 @@ case class GopherThresholds(
     maxDupLineRatio: Double = 0.3, maxDupLineCharRatio: Double = 0.2,
     maxTopNgramRatio: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
     maxDupNgramRatio: Map[Int, Double] = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
-      8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
+      8 -> 0.12, 9 -> 0.11, 10 -> 0.10)) {
+  /** The kernel-side parameter form ([[graft.core.text.TextOps.gopherKeep]]). */
+  def toParams: graft.core.text.TextOps.GopherParams = {
+    val tops = maxTopNgramRatio.toSeq.sortBy(_._1)
+    val dups = maxDupNgramRatio.toSeq.sortBy(_._1)
+    graft.core.text.TextOps.GopherParams(
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxHashRatio, maxEllipsisRatio, maxBulletLineRatio, maxEllipsisLineRatio,
+      minAlphaWordRatio, minStopwordHits, maxDupLineRatio, maxDupLineCharRatio,
+      tops.map(_._1).toArray, tops.map(_._2).toArray,
+      dups.map(_._1).toArray, dups.map(_._2).toArray)
+  }
+}
 
 /**
  * Document quality filtering — the signals composed into the full
@@ -26,13 +38,21 @@ case class GopherThresholds(
  * either `.filter(col("keep"))` or audit which rule rejected a page.
  *
  * Purely row-local (codegen'd scalar signals, no shuffle, no state) — a
- * cheap pre-filter to run before any dedup join touches the corpus. Each
- * signal kernel tokenizes independently (~15 passes over the text per
- * row); a fused single-pass struct kernel is the known next optimization
- * if this ever dominates a profile — the per-signal expressions stay for
- * a-la-carte use either way.
+ * cheap pre-filter to run before any dedup join touches the corpus.
+ * `gopherFilter` evaluates the FUSED single-pass struct kernel
+ * (`gopher_signals`: one tokenization + an incremental gram-hash chain
+ * for every signal, instead of ~15 independent tokenizations per row —
+ * this operator runs over EVERY page of a crawl before any join, so
+ * per-row cost is the whole cost). The per-signal expressions behind
+ * [[gopherSignals]] remain for a-la-carte use; a property test pins the
+ * fused kernel's 19 values to the individual kernels bit-for-bit.
  */
 object TextQuality {
+
+  private[operators] val baseSignalNames = Seq(
+    "n_words", "mean_word_len", "hash_ratio", "ellipsis_ratio",
+    "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+    "stopword_hits", "dup_line_ratio", "dup_line_char_ratio")
 
   def gopherSignals(text: Column, t: GopherThresholds = GopherThresholds()): Seq[(String, Column)] = {
     // WORD-level signals see newlines, carriage returns and tabs as
@@ -82,12 +102,39 @@ object TextQuality {
     * apply; keep the signal columns for audit/ablation. The decision is
     * TOTAL: a NULL text yields NULL signals but keep = false (a
     * three-valued keep would drop such rows from BOTH the kept and the
-    * quarantined partition of a filter/negate pair). One select, not a
-    * withColumn fold (each withColumn re-resolves the whole projection). */
+    * quarantined partition of a filter/negate pair).
+    *
+    * Plan shape: ONE `gopher_signals` struct per row, expanded to the same
+    * 19 signal columns (names, types, order) the per-signal composition
+    * produced. Projection collapse turns the expansion into 19
+    * GetStructField copies of the struct expression, and whole-stage
+    * codegen's subexpression elimination evaluates the kernel once per
+    * row — pinned by the invocation-count test. `keep` is the SEPARATE
+    * short-circuiting `gopher_keep` kernel (always equal to the rule over
+    * the signal columns — pinned by test): when a caller
+    * `.filter(col("keep"))`s, the pushed-down predicate is one cheap
+    * staged kernel call, and the 19-signal struct is only evaluated for
+    * SURVIVORS — a keep derived from the struct columns would instead
+    * re-evaluate the struct per conjunct inside FilterExec. */
   def gopherFilter(docs: DataFrame, t: GopherThresholds = GopherThresholds(),
                    textCol: String = "text"): DataFrame = {
-    val sigs = gopherSignals(col(textCol), t)
-    docs.select(col("*") +: sigs.map { case (name, c) => c.as(name) }: _*)
-      .withColumn("keep", coalesce(keepRule(t), lit(false)))
+    val topNs = t.maxTopNgramRatio.keys.toSeq.sorted
+    val dupNs = t.maxDupNgramRatio.keys.toSeq.sorted
+    val names = baseSignalNames ++
+      topNs.map(n => s"top_${n}gram_ratio") ++ dupNs.map(n => s"dup_${n}gram_ratio")
+    docs.select(col("*"),
+        graft.functions.GraftFunctions.gopher_signals(col(textCol), topNs, dupNs).as("__gs"))
+      .select(docs.columns.map(col).toIndexedSeq ++
+        names.map(f => col(s"__gs.$f").as(f)): _*)
+      .withColumn("keep", keepColumn(t, textCol))
   }
+
+  /** The keep decision alone (one staged short-circuiting kernel; total:
+    * NULL text -> false). For pure filtering use
+    * `docs.filter(TextQuality.keepColumn())` — no signal columns are ever
+    * computed for rejected rows. */
+  def keepColumn(t: GopherThresholds = GopherThresholds(),
+                 textCol: String = "text"): Column =
+    coalesce(graft.functions.GraftFunctions.gopher_keep(col(textCol), t.toParams),
+      lit(false))
 }

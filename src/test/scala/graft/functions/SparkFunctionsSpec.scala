@@ -131,7 +131,9 @@ class SparkFunctionsSpec extends AnyFunSuite {
         size(chunk_text($"text", 4, 1)),
         word_count($"text"), bullet_line_ratio($"text"),
         ellipsis_line_ratio($"text"), alpha_word_ratio($"text"),
-        stopword_hits($"text"), symbol_word_ratio($"text", "#"))
+        stopword_hits($"text"), symbol_word_ratio($"text", "#"),
+        gopher_signals($"text").getField("n_words"),
+        gopher_keep($"text", graft.operators.GopherThresholds().toParams))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

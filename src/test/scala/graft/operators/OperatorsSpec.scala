@@ -1179,6 +1179,133 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused gopher_signals kernel == the 19 per-signal kernels, bit-for-bit") {
+    import graft.core.text.TextOps
+    val topNs = Array(2, 3, 4)
+    val dupNs = Array(5, 6, 7, 8, 9, 10)
+    val rnd = new java.util.Random(31)
+    val nasty = Seq(
+      "", " ", "   ", "a", "a b", "\n", "\r\n\r\n", "\t\t",
+      "the be to of and that have with",
+      "a  b   c    d", // multi-space runs -> empty tokens
+      "word\r\nword\tword\nthe and",
+      "- bullet\n  * b2\n\t• b3\nplain\n- again",
+      "ends...\nends…  \nmid...dle\nno end",
+      "# ## ### #tag a#b",
+      "... … ...… .. . ....",
+      "dup line\ndup line\ndup line\nother",
+      "a a a a a a a a a a",
+      "x y z w x y z w x y z w",
+      "é ü ñ 123 abc", // non-ASCII letters are NOT alpha words
+      ("tok " * 300).trim,
+      "trailing newline\n", "\nleading newline",
+      (graft.core.text.TextOps.GopherStopwords ++
+        (0 until 40).map(i => s"word${('a' + i % 26).toChar}$i")).mkString(" ")) ++
+      (0 until 30).map { _ =>
+        val w = 1 + rnd.nextInt(120)
+        (0 until w).map(_ => s"w${rnd.nextInt(25)}").mkString(" ")
+      } ++
+      (0 until 10).map { _ => // line-structured with repeats and tabs
+        (0 until 1 + rnd.nextInt(12)).map(_ =>
+          (0 until rnd.nextInt(9)).map(_ => s"t${rnd.nextInt(8)}")
+            .mkString(if (rnd.nextBoolean()) " " else "\t"))
+          .mkString(if (rnd.nextBoolean()) "\n" else "\r\n")
+      }
+    for (text <- nasty) {
+      val s = TextOps.gopherStats(text, topNs, dupNs)
+      val wt = text.replace('\n', ' ').replace('\r', ' ').replace('\t', ' ')
+      assert(s.nWords === TextOps.wordCount(wt).toLong, s"n_words [$text]")
+      assert(s.meanWordLen === TextOps.meanWordLen(wt), s"mean_word_len [$text]")
+      assert(s.hashRatio === TextOps.symbolWordRatio(wt, "#"), s"hash_ratio [$text]")
+      assert(s.ellipsisRatio === TextOps.symbolWordRatio(wt, "...") +
+        TextOps.symbolWordRatio(wt, "…"), s"ellipsis_ratio [$text]")
+      assert(s.bulletLineRatio === TextOps.bulletLineRatio(text), s"bullet [$text]")
+      assert(s.ellipsisLineRatio === TextOps.ellipsisLineRatio(text), s"ell_line [$text]")
+      assert(s.alphaWordRatio === TextOps.alphaWordRatio(wt), s"alpha_word [$text]")
+      assert(s.stopwordHits === TextOps.stopwordHits(wt), s"stopword_hits [$text]")
+      assert(s.dupLineRatio === TextOps.dupLineRatio(text), s"dup_line [$text]")
+      assert(s.dupLineCharRatio === TextOps.dupLineCharRatio(text), s"dup_line_char [$text]")
+      for ((n, i) <- topNs.zipWithIndex)
+        assert(s.topNgram(i) === TextOps.topNgramCharRatio(wt, n), s"top_$n [$text]")
+      for ((n, i) <- dupNs.zipWithIndex)
+        assert(s.dupNgram(i) === TextOps.dupNgramCharRatio(wt, n), s"dup_$n [$text]")
+    }
+  }
+
+  test("gopherFilter (fused) == per-signal composition; kernel runs ONCE per row") {
+    import graft.operators.TextQuality
+    val rnd = new java.util.Random(47)
+    val rows = (0 until 400).map { i =>
+      val w = 1 + rnd.nextInt(150)
+      val words = (0 until w).map(_ => s"v${rnd.nextInt(40)}")
+      val sep = i % 4 match {
+        case 0 => " "; case 1 => "\n"; case 2 => "\r\n"; case _ => " "
+      }
+      (i.toLong, words.mkString(sep) + (if (i % 7 == 0) " the and of..." else ""))
+    }
+    // parquet roundtrip: a LocalRelation would be evaluated eagerly by the
+    // ConvertToLocalRelation optimizer rule (driver-side, before column
+    // pruning), which voids the pruning/short-circuit assertions below —
+    // real corpora are scans
+    val pdir = java.nio.file.Files.createTempDirectory("graft_gopher_fused").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(pdir)
+    val df = spark.read.parquet(pdir)
+    val fused = TextQuality.gopherFilter(df)
+    val viaSignals = df.select(col("*") +:
+        TextQuality.gopherSignals(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", coalesce(TextQuality.keepRule(), lit(false)))
+    assert(fused.columns.toSeq === viaSignals.columns.toSeq, "identical schema")
+    val a = fused.orderBy("doc_id").collect()
+    val b = viaSignals.orderBy("doc_id").collect()
+    assert(a.length === b.length)
+    for ((ra, rb) <- a.zip(b); f <- fused.columns)
+      assert(ra.getAs[Any](f) === rb.getAs[Any](f), s"column $f")
+
+    // the plan's 19 GetStructField copies must share ONE kernel evaluation
+    // per row (whole-stage codegen subexpression elimination) — a per-field
+    // re-evaluation would erase the whole point of the fusion. The filter
+    // path must never touch the struct kernel at all: keep is the separate
+    // short-circuiting gopher_keep scalar, pushed below the projection, so
+    // signals evaluate only for SURVIVORS (zero here: every random doc
+    // fails some rule)
+    graft.core.text.TextOps.gopherStatsCalls.reset()
+    val kept = TextQuality.gopherFilter(df).filter(col("keep")).count()
+    val survivors = graft.core.text.TextOps.gopherStatsCalls.sum()
+    assert(survivors <= 2L * kept,
+      s"signals kernel ran $survivors times for $kept surviving rows — the " +
+        "filter is evaluating the struct for rejected rows")
+    graft.core.text.TextOps.gopherStatsCalls.reset()
+    TextQuality.gopherFilter(df).collect()
+    val calls = graft.core.text.TextOps.gopherStatsCalls.sum()
+    assert(calls >= rows.length, s"kernel must actually run: $calls")
+    assert(calls <= 2L * rows.length,
+      s"kernel ran $calls times for ${rows.length} rows — struct fields are re-evaluating it")
+
+    // keep (gopher_keep kernel) == the rule over the signal columns, on
+    // docs violating EACH stage plus passing docs
+    val stopw = graft.core.text.TextOps.GopherStopwords.mkString(" ")
+    val goodDoc = (graft.core.text.TextOps.GopherStopwords ++
+      (0 until 60).map(i => s"word${('a' + i % 26).toChar}$i")).mkString(" ")
+    val staged = Seq(
+      goodDoc,                                      // passes all
+      "the of and short",                           // stage 1: word count
+      goodDoc + (" #x" * 40),                       // stage 2: hash ratio
+      ("- b\n" * 30) + goodDoc,                     // stage 3: bullets
+      ("same line\n" * 20) + goodDoc,               // stage 3: dup lines
+      (stopw + " ") + ("rep gram " * 60) + goodDoc, // stage 4: top 2-gram
+      goodDoc + " " + goodDoc)                      // stage 4: dup n-grams
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chk = TextQuality.gopherFilter(staged)
+      .withColumn("keep_from_signals",
+        coalesce(TextQuality.keepRule(), lit(false)))
+      .collect()
+    for (r <- chk)
+      assert(r.getAs[Boolean]("keep") === r.getAs[Boolean]("keep_from_signals"),
+        s"doc ${r.getAs[Long]("doc_id")}: gopher_keep disagrees with the signal rule")
+    assert(chk.count(_.getAs[Boolean]("keep")) >= 1, "the good doc passes")
+    assert(chk.count(!_.getAs[Boolean]("keep")) >= 5, "stage-violating docs reject")
+  }
+
   test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
     import graft.core.text.TextOps
     // "a b a b a b": 2-grams "a b"x3, "b a"x2 -> 3*2/6 chars
