@@ -836,6 +836,27 @@ object SparkEntry {
         .select(col("r.check").as("check"), col("r.observed").as("observed"),
           col("r.bound").as("bound"))
     }),
+    "q_dnsmag_v2_roundtrip" -> ((s, dir) => {
+      // sketch state -> reference .dnsmag CBOR export -> read back through
+      // the DataSource V2 provider (spark.read.format("dnsmag")): per-domain
+      // query counts oracle against DuckDB directly, and the HLL payloads
+      // must survive the CBOR hop BYTE-IDENTICAL (hll_match, all true —
+      // false rows would hash-mismatch the oracle's literal true)
+      val ev = s.read.parquet(t(dir, "events"))
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      val state = ev.groupBy(col("event_type").as("domain"))
+        .agg(hll_build(xxh3_64(col("user_id").cast("string"))).as("hll"),
+          count(lit(1)).as("queries"))
+        .withColumn("date", lit(java.sql.Date.valueOf("2000-01-01")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dnsmag_gate").toString
+      graft.io.DnsMagCbor.write(state, s"$tmp/state.dnsmag")
+      val back = s.read.format("dnsmag").load(s"$tmp/state.dnsmag")
+        .filter(col("domain").isNotNull)
+      back.as("b").join(state.as("o"), Seq("domain"))
+        .select(col("domain"), col("b.queries").as("queries"),
+          (col("b.hll") === col("o.hll")).as("hll_match"))
+        .orderBy(col("domain"))
+    }),
     "q_hll_sketch_state" -> ((s, dir) => {
       // the collect->aggregate path over events: per-type sketches MERGED
       // into the global row; merged estimate must track the exact global
@@ -1456,6 +1477,10 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_ann_lsh" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
+    "q_dnsmag_v2_roundtrip" -> """
+      SELECT event_type AS domain, count(*) AS queries, true AS hll_match
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
     "q_hll_sketch_state" -> """
       SELECT CAST(0 AS BIGINT) AS est, CAST(0 AS BIGINT) AS exact WHERE 1 = 0""",
     "q_page_sketches" -> """

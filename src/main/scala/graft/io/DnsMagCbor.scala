@@ -46,16 +46,24 @@ object DnsMagCbor {
     spark.createDataFrame(rows, stateSchema)
   }
 
-  private def datasetToRows(ds: Dataset): Seq[Row] = {
-    val date = java.sql.Date.valueOf(ds.date)
+  /** Dataset -> sketch-state tuples (date ISO string, domain or null, hll
+    * bytes, queries) — the single mapping shared by [[read]] and the
+    * `spark.read.format("dnsmag")` DataSource V2 path
+    * ([[graft.sources.DnsMagDataSource]]), so the two can never drift. */
+  private[graft] def datasetToState(ds: Dataset): Seq[(String, String, Array[Byte], Long)] = {
     val domainRows = ds.domains.toSeq.sortBy(_._1).map { case (name, d) =>
-      Row(date, name, d.hll, d.queries)
+      (ds.date, name, d.hll, d.queries)
     }
     val residualQueries = ds.allQueriesCount - ds.domains.valuesIterator.map(_.queries).sum
     require(residualQueries >= 0,
       s"dnsmag: corrupt dataset ${ds.id}: per-domain query counts exceed all_queries_count")
-    domainRows :+ Row(date, null, ds.allClientsHll, residualQueries)
+    domainRows :+ ((ds.date, null, ds.allClientsHll, residualQueries))
   }
+
+  private def datasetToRows(ds: Dataset): Seq[Row] =
+    datasetToState(ds).map { case (date, domain, hll, queries) =>
+      Row(java.sql.Date.valueOf(date), domain, hll, queries)
+    }
 
   /** Write sketch-state rows as a reference-consumable .dnsmag file (one
     * dataset per date, CBOR sequence if several dates). Deliberately
