@@ -284,7 +284,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_text_quality" -> ((s, dir) => {
-      s.read.parquet(t(dir, "documents"))
+      import s.implicits._
+      // alpha/punct ratios are UNICODE by design (Character.isLetter /
+      // isLetterOrDigit): a multilingual crawl's alpha ratio must count é,
+      // ß, Cyrillic and Greek as letters, or every non-English page fails a
+      // Gopher-style alpha threshold. The oracle matches with RE2 \p{L} /
+      // \p{Nd} classes; appended UTF-8 rows (BMP only — both engines then
+      // count the same characters) force the definition instead of letting
+      // an ASCII corpus mask a divergence.
+      val utf8 = Seq(
+        (900000001L, "café naïve déjà vu über straße"),
+        (900000002L, "русский текст 123 про мир"),
+        (900000003L, "ελληνικά γράμματα 123 !!"),
+        (900000004L, "mixed ascii + ñandú 42% done…")).toDF("doc_id", "text")
+      s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text"))
+        .unionByName(utf8)
         .select(col("doc_id"),
           round(alpha_ratio(col("text")), 9).as("alpha_ratio"),
           round(punct_ratio(col("text")), 9).as("punct_ratio"))
@@ -438,13 +452,23 @@ object SparkEntry {
             lit("@example.com or admin@test.org"))).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(4)) === 0,
           concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit(".1"))).otherwise(lit("")))
+            lit(".1"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call +1-555-"), (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+            lit("-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" card 4242 4242 4242 "),
+            (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"))).otherwise(lit("")))
       s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
           regexp_count(planted,
             lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+")).cast("long").as("n_emails"),
           regexp_count(planted,
-            lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).cast("long").as("n_ipv4"))
+            lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).cast("long").as("n_ipv4"),
+          regexp_count(planted,
+            lit("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}")).cast("long").as("n_phones"),
+          regexp_count(planted,
+            lit("[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}")).cast("long").as("n_cards"))
         .orderBy(col("doc_id"))
     }),
     "q_strip_boilerplate" -> ((s, dir) => {
@@ -701,7 +725,20 @@ object SparkEntry {
         ("the quick brown fox jumps over the lazy dog and runs into the forest", "en"),
         ("der schnelle braune fuchs springt über den faulen hund und rennt in den wald", "de"),
         ("den snabba bruna räven hoppar över den lata hunden och springer in i skogen", "sv"),
-        ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"))
+        ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"),
+        ("el zorro marrón rápido salta sobre el perro perezoso y corre hacia el bosque", "es"),
+        ("la volpe marrone veloce salta sopra il cane pigro e corre nella foresta", "it"),
+        ("a raposa marrom rápida salta sobre o cão preguiçoso e corre para a floresta", "pt"),
+        ("de snelle bruine vos springt over de luie hond en rent het bos in", "nl"),
+        ("nie wiem dlaczego przy drodze do lasu stoi tak wiele starych drzew których nikt nie ścina", "pl"),
+        ("bystraya korichnevaya lisa prygayet cherez lenivogo psa i bezhit v les", "ru"),
+        // close-pair confusion sentences: shared Romance/Germanic
+        // function-word mass, only distinctive grams can decide
+        ("no sabemos qué pasará mañana pero el gobierno ha dicho que la situación está controlada", "es"),
+        ("não sabemos o que vai acontecer amanhã mas o governo disse que a situação está sob controle", "pt"),
+        ("non sappiamo che cosa succederà domani ma il governo ha detto che la situazione è sotto controllo", "it"),
+        ("wir wissen nicht was morgen passieren wird aber die regierung hat gesagt dass die lage unter kontrolle ist", "de"),
+        ("wij weten niet wat er morgen zal gebeuren maar de regering heeft gezegd dat de situatie onder controle is", "nl"))
         .toDF("text", "want")
         .filter(lang_id(col("text")) =!= col("want"))
         .select(lit(-1L).as("doc_id"), lit("lang_id").as("violation"))
@@ -1045,12 +1082,20 @@ object SparkEntry {
              length(text) AS n_chars_computed, n_chars
       FROM documents ORDER BY doc_id""",
     "q_text_quality" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+          (900000001, 'café naïve déjà vu über straße'),
+          (900000002, 'русский текст 123 про мир'),
+          (900000003, 'ελληνικά γράμματα 123 !!'),
+          (900000004, 'mixed ascii + ñandú 42% done…')) v(doc_id, text))
       SELECT doc_id,
-             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             round(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
                    / length(text), 9) AS alpha_ratio,
-             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r]', '', 'g')) AS DOUBLE)
+             round(CAST(length(regexp_replace(text, '[\p{L}\p{Nd} \t\n\r]', '', 'g')) AS DOUBLE)
                    / length(text), 9) AS punct_ratio
-      FROM documents ORDER BY doc_id""",
+      FROM corpus ORDER BY doc_id""",
     "q_text_gopher" -> """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -1178,13 +1223,23 @@ object SparkEntry {
                     ELSE '' END ||
                CASE WHEN doc_id % 4 = 0
                     THEN ' from 10.0.' || (doc_id % 256) || '.1'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' call +1-555-' || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' card 4242 4242 4242 ' || (doc_id % 9000 + 1000)
                     ELSE '' END AS t
         FROM documents)
       SELECT doc_id,
              CAST(len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
              CAST(len(regexp_extract_all(t,
-               '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ipv4
+               '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(t,
+               '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(t,
+               '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS BIGINT) AS n_cards
       FROM p ORDER BY doc_id""",
     "q_strip_boilerplate" -> """
       WITH ml AS (

@@ -150,10 +150,17 @@ object TextOps {
     out
   }
 
-  // ----- language id: tiny trigram profiles for {en, de, sv, fr} -----
+  // ----- language id: tiny trigram profiles, 10 languages -----
   // Profiles are hand-picked high-frequency function-word trigrams per
   // language (public linguistic knowledge, Cavnar & Trenkle style n-gram
-  // matching). Returns the best-scoring language or "und" below threshold.
+  // matching): {en, de, sv, fr, es, it, pt, nl, pl, ru-translit}. Close
+  // pairs (es/pt, de/nl, es/it) are separated by including each language's
+  // DISTINCTIVE function-word grams (pt "ção/ão/uma", es "el /ión/ado",
+  // nl "het/ijn/oor" vs de "ich/sch/ung", pl digraph clusters "prz/rze/ych",
+  // translit-ru case endings "ogo/aya/stv") alongside the shared mass.
+  // Returns the best-scoring language or "und" below the evidence
+  // threshold; ties break toward the earlier profile, so sentences with no
+  // distinctive evidence stay on the bigger-mass languages.
 
   private val Profiles: Array[(String, Array[String])] = Array(
     "en" -> Array(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing",
@@ -163,7 +170,21 @@ object TextOps {
     "sv" -> Array(" oc", "och", "ch ", " at", "att", "tt ", " so", "som", "om ",
       "för", " fö", "en ", "ar ", " är", "är ", "det", " de", "na ", "ing", " ha"),
     "fr" -> Array(" de", "de ", " le", "le ", "es ", " la", "la ", "ent", " et",
-      "et ", "que", " qu", "ue ", "les", "ion", " pa", "par", "ait", " un", "re "))
+      "et ", "que", " qu", "ue ", "les", "ion", " pa", "par", "ait", " un", "re "),
+    "es" -> Array(" de", "de ", " la", "la ", " el", "el ", "que", " qu", "ue ",
+      "os ", "ión", "ció", " en", "en ", " es", "es ", "ado", "una", " co", "ar "),
+    "it" -> Array(" di", "di ", "che", " ch", "he ", " il", "il ", "lla", " co",
+      "con", "per", " pe", "re ", "zio", "ion", "to ", "la ", "del", " de", "gli"),
+    "pt" -> Array(" de", "de ", " da", "da ", " do", "do ", "ção", "ão ", " nã",
+      "não", "em ", " em", "um ", " um", "uma", "par", "ara", "os ", "que", " qu",
+      "ue ", "com", " co"),
+    "nl" -> Array(" de", "de ", "een", " ee", "het", " he", "et ", "van", " va",
+      "an ", "ijn", " zi", "en ", "aar", "oor", "iet", "nie", "ond", "ij ", "dat"),
+    "pl" -> Array("nie", " ni", "ie ", " po", "na ", " na", "ch ", "ego", "prz",
+      "rze", "ych", "ej ", " je", "się", " si", "ię ", "owa", "ani", "dzi", " wy"),
+    "ru" -> Array(" ne", "ne ", " na", "na ", " po", "ogo", "ego", "ost", "stv",
+      "aya", "oro", "eni", " pr", "pro", "pri", "kot", "cht", "hto", " za", "to ",
+      "ya ", "yet"))
 
   def langId(text: String): String = {
     if (text == null || text.length < 6) return "und"

@@ -872,10 +872,41 @@ class OperatorsSpec extends AnyFunSuite {
       ("the quick brown fox jumps over the lazy dog and runs into the forest", "en"),
       ("der schnelle braune fuchs springt über den faulen hund und rennt in den wald", "de"),
       ("den snabba bruna räven hoppar över den lata hunden och springer in i skogen", "sv"),
-      ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"))
+      ("le renard brun rapide saute par dessus le chien paresseux et court dans la forêt", "fr"),
+      ("el zorro marrón rápido salta sobre el perro perezoso y corre hacia el bosque", "es"),
+      ("la volpe marrone veloce salta sopra il cane pigro e corre nella foresta", "it"),
+      ("a raposa marrom rápida salta sobre o cão preguiçoso e corre para a floresta", "pt"),
+      ("de snelle bruine vos springt over de luie hond en rent het bos in", "nl"),
+      ("nie wiem dlaczego przy drodze do lasu stoi tak wiele starych drzew których nikt nie ścina", "pl"),
+      ("bystraya korichnevaya lisa prygayet cherez lenivogo psa i bezhit v les", "ru"))
     val got = samples.toDF("text", "want")
       .withColumn("got", lang_id($"text")).collect()
     got.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"), r.getAs[String]("text")))
+  }
+
+  test("lang_id separates close pairs (es/pt, de/nl, es/it) on function-word-heavy text") {
+    // the confusion cases that sink naive n-gram profiles: Romance pairs
+    // sharing que/de/la mass, and the Germanic de/nl pair sharing de/en.
+    // Sentences are deliberately rich in SHARED function words so only the
+    // distinctive grams can decide.
+    val samples = Seq(
+      ("no sabemos qué pasará mañana pero el gobierno ha dicho que la situación está controlada", "es"),
+      ("la casa que compramos en la ciudad es una de las más antiguas de la región", "es"),
+      ("não sabemos o que vai acontecer amanhã mas o governo disse que a situação está sob controle", "pt"),
+      ("uma das casas que compramos na cidade é uma das mais antigas da região", "pt"),
+      ("non sappiamo che cosa succederà domani ma il governo ha detto che la situazione è sotto controllo", "it"),
+      ("wir wissen nicht was morgen passieren wird aber die regierung hat gesagt dass die lage unter kontrolle ist", "de"),
+      ("wij weten niet wat er morgen zal gebeuren maar de regering heeft gezegd dat de situatie onder controle is", "nl"),
+      ("nie wiemy co się stanie jutro ale rząd powiedział że sytuacja jest pod kontrolą", "pl"),
+      ("my ne znayem chto budet zavtra no pravitelstvo skazalo chto situatsiya pod kontrolem", "ru"))
+    val got = samples.toDF("text", "want")
+      .withColumn("got", lang_id($"text")).collect()
+    got.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"),
+      s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}"))
+    // gibberish and too-short inputs stay unclassified
+    val und = Seq("zzqx vv kkjj qqq", "hi").toDF("text")
+      .withColumn("got", lang_id($"text")).collect()
+    und.foreach(r => assert(r.getAs[String]("got") === "und", r.getAs[String]("text")))
 
     // fingerprint: equal texts -> equal fp; distinct texts here -> distinct fp
     val fp = docs.withColumn("fp", fingerprint64($"text"))
