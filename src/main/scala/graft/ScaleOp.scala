@@ -4,14 +4,19 @@ import org.apache.spark.sql.functions._
 
 /** Dev utility: two-parallelism scaling evidence for a HEAVY operator (the
   * north-rule criterion applied beyond the sketch build):
-  * `runMain graft.ScaleOp <cores> <nDocs>` runs MinHash-LSH near-dedup
-  * (signatures + band join + exact verification) over a deterministic
-  * synthetic corpus with planted near-dups and prints docs/sec. Results
-  * recorded in BASELINE.md; not part of the driver contract. */
+  * `runMain graft.ScaleOp [op] <cores> <nDocs>` runs the chosen operator —
+  * `minhash_lsh` (default: signatures + band join + exact verification) or
+  * `sparse_cosine` (tf vectors + L2AP prefix join + exact dot, the engine's
+  * heaviest gate) — over a deterministic synthetic corpus with planted
+  * near-dups and prints docs/sec. Results recorded in BASELINE.md; not part
+  * of the driver contract. */
 object ScaleOp {
   def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
-    val nDocs = if (args.length > 1) args(1).toLong else 300000L
+    val (op, rest) =
+      if (args.nonEmpty && args(0).forall(_.isDigit)) ("minhash_lsh", args)
+      else (args(0), args.drop(1))
+    val cores = rest(0).toInt
+    val nDocs = if (rest.length > 1) rest(1).toLong else 300000L
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,26 +28,41 @@ object ScaleOp {
     import graft.functions.GraftFunctions._
     // ~24-token docs; every 10th doc is a near-copy of its predecessor
     // (first 23 tokens shared, last token unique), so the join has real
-    // pairs to verify
+    // pairs to verify. minhash_lsh draws tokens from a per-doc-unique hash
+    // space (candidates come only from band collisions); sparse_cosine
+    // draws from a SHARED 30k-token vocabulary — with unique tokens no two
+    // distinct docs share a feature and the prefix join would have nothing
+    // to prune, which is not the regime the L2AP bound exists for
     val seed = when(pmod(col("id"), lit(10)) === 1, col("id") - 1).otherwise(col("id"))
-    val toks = (0 until 23).map(j =>
-      format_string("%011x", pmod(xxh3_64(concat(seed.cast("string"), lit(s"#$j"))),
-        lit(1L << 42)))) :+
-      format_string("%011x", pmod(xxh3_64(concat(col("id").cast("string"), lit("#u"))),
-        lit(1L << 42)))
+    def tok(c: org.apache.spark.sql.Column) = op match {
+      case "sparse_cosine" => concat(lit("v"), pmod(xxh3_64(c), lit(30000)).cast("string"))
+      case _ => format_string("%011x", pmod(xxh3_64(c), lit(1L << 42)))
+    }
+    val toks = (0 until 23).map(j => tok(concat(seed.cast("string"), lit(s"#$j")))) :+
+      tok(concat(col("id").cast("string"), lit("#u")))
     val base = spark.range(nDocs).select(col("id").as("doc_id"),
         concat_ws(" ", toks: _*).as("text"))
       .localCheckpoint() // generation cost excluded
+    val metrics = if (sys.env.get("SCALEOP_STAGES").contains("1")) {
+      val m = new BenchMetrics; spark.sparkContext.addSparkListener(m); Some(m)
+    } else None
     val reps = 3
     val secs = (1 to reps).map { r =>
+      metrics.foreach(_.clear())
       val t0 = System.nanoTime()
-      val pairs = graft.operators.Dedup.minhashLshPairs(base,
-        n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()
+      val pairs = op match {
+        case "minhash_lsh" => graft.operators.Dedup.minhashLshPairs(base,
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()
+        case "sparse_cosine" => graft.operators.Dedup.sparseCosinePairs(base,
+          minCos = 0.8).count()
+        case other => sys.error(s"unknown op $other (minhash_lsh | sparse_cosine)")
+      }
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaleop] rep $r: $s%.2f s ($pairs pairs)")
+      metrics.foreach(m => System.err.println(m.summary(10)))
       s
     }.min
-    println(f"""{"op":"minhash_lsh","cores":$cores,"docs":$nDocs,"sec":$secs%.3f,"docs_per_sec":${nDocs / secs}%.0f}""")
+    println(f"""{"op":"$op%s","cores":$cores,"docs":$nDocs,"sec":$secs%.3f,"docs_per_sec":${nDocs / secs}%.0f}""")
     spark.stop()
   }
 }

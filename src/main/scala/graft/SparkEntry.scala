@@ -471,6 +471,26 @@ object SparkEntry {
             lit("[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}")).cast("long").as("n_cards"))
         .orderBy(col("doc_id"))
     }),
+    "q_repeated_spans" -> ((s, dir) => {
+      // substring-repetition audit (the Lee et al. 2021 span-dedup
+      // family): maximal char spans covered by 40-char windows occurring
+      // >= 2x corpus-wide. Cross-doc repeats planted as a cookie banner in
+      // every even doc; within-doc repeats as an own-prefix echo in every
+      // 5th doc. Oracle recomputes independently in DuckDB from window
+      // STRINGS (the engine uses rolling hashes) with gaps-and-islands
+      // span merging.
+      val L = 40
+      val planted = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" this website uses cookies to improve your experience ok"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" "), substring(col("text"), 1, 45))).otherwise(lit("")))
+          .as("text"))
+      graft.operators.Dedup.repeatedSpans(planted, minLen = L, minDf = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // corpus-level paragraph/line dedup (CCNet/Dolma style): multiline
       // docs synthesized as in q_text_repetition, with a shared cookie
@@ -1241,6 +1261,32 @@ object SparkEntry {
              CAST(len(regexp_extract_all(t,
                '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS BIGINT) AS n_cards
       FROM p ORDER BY doc_id""",
+    "q_repeated_spans" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' this website uses cookies to improve your experience ok'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' ' || substring(text, 1, 45)
+                    ELSE '' END AS t
+        FROM documents),
+      g AS (SELECT doc_id, unnest(range(0, greatest(len(t) - 39, 0))) AS pos, t FROM p),
+      g2 AS (SELECT doc_id, pos, substr(t, CAST(pos AS INTEGER) + 1, 40) AS w FROM g),
+      hot AS (SELECT w FROM g2 GROUP BY 1 HAVING count(*) >= 2),
+      f AS (SELECT doc_id, pos FROM g2 WHERE w IN (SELECT w FROM hot)),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+                   THEN 1 ELSE 0 END AS brk
+            FROM f),
+      isl AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM m)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 40 AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "q_strip_boilerplate" -> """
       WITH ml AS (
         SELECT doc_id,

@@ -985,6 +985,75 @@ object TextOps {
     true
   }
 
+  /**
+   * Rabin–Karp rolling hashes of every k-char window at the given stride:
+   * out(i) = avalanche(polyhash(text[i*stride, i*stride + k))). One pass —
+   * O(n) total for stride 1 (each window rolls from its predecessor in
+   * O(stride)), vs O(n*k) for per-window hashing. The raw polynomial
+   * (base FNV-prime, mod 2^64) rolls; the splitmix64 avalanche is applied
+   * only at emission so grouped counting doesn't see polynomial
+   * clustering. Windows are UTF-16 chars (ASCII/BMP corpora: same as
+   * codepoints). Texts shorter than k yield no windows.
+   *
+   * This is the anchor primitive of substring-repetition dedup (Lee et
+   * al. 2021, "Deduplicating Training Data Makes Language Models
+   * Better"): any repeated substring of length >= k (+ stride - 1 when
+   * striding) contains a repeated window.
+   */
+  def rollingKgramHashes(text: String, k: Int, stride: Int): Array[Long] = {
+    require(k >= 2, "window length k must be >= 2")
+    require(stride >= 1, "stride must be >= 1")
+    if (text == null || text.length < k) return Array.emptyLongArray
+    val n = text.length
+    val b = 0x100000001b3L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= b; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * b + text.charAt(i); i += 1 }
+    @inline def ava(x0: Long): Long = {
+      var x = (x0 ^ (x0 >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val m = (n - k) / stride + 1
+    val out = new Array[Long](m)
+    out(0) = ava(h)
+    var w = 1
+    while (w < m) {
+      var j = (w - 1) * stride
+      val end = j + stride
+      while (j < end) {
+        h = (h - text.charAt(j) * pow) * b + text.charAt(j + k)
+        j += 1
+      }
+      out(w) = ava(h)
+      w += 1
+    }
+    out
+  }
+
+  /** Merge sorted window-start positions into maximal covered spans:
+    * each position p covers [p, p+winLen); overlapping or touching covers
+    * merge. Returns flattened [start0, end0, start1, end1, ...] (ends
+    * exclusive). Input must be ascending (the operator sorts). */
+  def mergeSpans(positions: Array[Long], winLen: Int): Array[Long] = {
+    if (positions.isEmpty) return Array.emptyLongArray
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var start = positions(0)
+    var end = positions(0) + winLen
+    var i = 1
+    while (i < positions.length) {
+      val p = positions(i)
+      if (p <= end) { if (p + winLen > end) end = p + winLen }
+      else { out += start; out += end; start = p; end = p + winLen }
+      i += 1
+    }
+    out += start; out += end
+    out.toArray
+  }
+
   def alphaRatio(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     var a = 0

@@ -74,6 +74,10 @@ object GraftFunctions {
     * (fast path for pure filtering; see [[GopherKeep]]). */
   def gopher_keep(c: Column, p: graft.core.text.TextOps.GopherParams): Column =
     column(GopherKeep(expression(c), p))
+  def rolling_kgram_hashes(c: Column, k: Int, stride: Int = 1): Column =
+    column(RollingKgramHashes(expression(c), k, stride))
+  def merge_spans(positions: Column, winLen: Int): Column =
+    column(MergeSpans(expression(positions), winLen))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =

@@ -508,6 +508,63 @@ case class GopherKeep(child: Expression, params: graft.core.text.TextOps.GopherP
   override protected def withNewChildInternal(c: Expression): GopherKeep = copy(child = c)
 }
 
+/** rolling_kgram_hashes(text, k, stride) -> array<long>: Rabin-Karp
+  * rolling hash of every k-char window (O(n), avalanched at emission) —
+  * the anchor primitive of substring-repetition dedup (Lee et al. 2021).
+  * Window start positions are implicit: out(i) covers chars
+  * [i*stride, i*stride + k). */
+case class RollingKgramHashes(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 2, "window length k must be >= 2")
+  require(stride >= 1, "stride must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_kgram_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.text.TextOps.rollingKgramHashes(
+        v.asInstanceOf[UTF8String].toString, k, stride))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.core.text.TextOps.rollingKgramHashes($c.toString(), $k, $stride))")
+  override protected def withNewChildInternal(c: Expression): RollingKgramHashes =
+    copy(child = c)
+}
+
+/** merge_spans(sorted_positions, winLen) -> array<struct<span_start,
+  * span_end>>: maximal merged char spans covered by winLen-wide windows at
+  * the given (ascending) start positions; ends exclusive. */
+case class MergeSpans(child: Expression, winLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(winLen >= 1, "winLen must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override val dataType: DataType = ArrayType(StructType(Seq(
+    StructField("span_start", LongType, nullable = false),
+    StructField("span_end", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "merge_spans"
+  override def nullSafeEval(v: Any): Any = MergeSpans.merge(
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], winLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MergeSpans.merge($c, $winLen)")
+  override protected def withNewChildInternal(c: Expression): MergeSpans = copy(child = c)
+}
+
+object MergeSpans {
+  def merge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            winLen: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val flat = graft.core.text.TextOps.mergeSpans(arr.toLongArray(), winLen)
+    val rows = new Array[Any](flat.length / 2)
+    var i = 0
+    while (i < rows.length) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](flat(2 * i), flat(2 * i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 /** Codegen'd non-empty word count (size(filter(split(...))) is a
   * CodegenFallback higher-order composition). */
 case class WordCount(child: Expression) extends TextUnary {

@@ -226,7 +226,7 @@ object Dedup {
     require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
     require(ngram >= 1, "ngram must be >= 1")
     val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
-    import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
+    import graft.functions.GraftFunctions.l2ap_prefix
 
     // empty/whitespace-only (or null) texts have NO features in any mode —
     // without this prefilter the ngram>1 whole-text collapse would give
@@ -292,10 +292,9 @@ object Dedup {
     val prefix = state.select(col("id"), explode(col("pref")).as("f"))
       .select(col("id"), col("f.h").as("h"), col("f.w").as("w"), col("f.nx").as("nx"))
       .repartition(state.sparkSession.sparkContext.defaultParallelism)
-    // dedupe BEFORE verification, unlike the shingle join: here verify
-    // ships two (hash, weight) array pairs per row, so the ~2-3x duplicate
-    // factor of multi-shared-prefix pairs costs real shuffle volume, while
-    // the dedup itself shuffles only 16-byte id pairs.
+    // dedupe BEFORE verification: multi-shared-prefix pairs would multiply
+    // every downstream row, while the dedup itself shuffles only 16-byte
+    // id pairs.
     // Join filter = the POSITIONAL bound w_a*w_b + nx_a*nx_b >= t (exact at
     // the first shared feature, see L2apPrefix scaladoc) — strictly tighter
     // than the plain suffix-norm product, so fewer candidates reach the
@@ -306,11 +305,29 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // verification = feature-level aggregating join, NOT arrays shipped
+    // through pair rows: cos(a,b) on unit vectors is the sum of w_a*w_b
+    // over SHARED hashes, so join each candidate pair to side a's unit
+    // features (24-byte rows), equi-join side b's features on (id_b, h) —
+    // the inner join IS the intersection — and sum per pair with map-side
+    // partial aggregation. The previous shape (attach both docs' full
+    // (hash, weight) arrays to every pair, merge-dot per row) sorted
+    // ~KB-wide rows through two sequential joins; stage attribution at
+    // 100k docs showed that ONE stage reading 484MB of array rows and
+    // spilling 10.4GB — the wide-row sort, not the dot products, was the
+    // whole cost, and its spill I/O capped multi-core scaling at ~0.67.
+    // Narrow rows spill nothing and the partial agg halves shuffle volume.
+    // (Float-sum order differs from the sorted merge-dot; both agree with
+    // the 9-decimal rounding contract — pinned by the brute-force equality
+    // tests and the DuckDB oracle, whose own sum order was already
+    // arbitrary.)
+    val feats = state.select(col("id"), explode(arrays_zip(col("hk"), col("wv"))).as("f"))
+      .select(col("id"), col("f.hk").as("h"), col("f.wv").as("w"))
     candidates
-      .join(state.select(col("id").as("id_a"), col("hk").as("hk_a"), col("wv").as("wv_a")), "id_a")
-      .join(state.select(col("id").as("id_b"), col("hk").as("hk_b"), col("wv").as("wv_b")), "id_b")
-      .withColumn("cos", round(
-        sorted_weighted_dot(col("hk_a"), col("wv_a"), col("hk_b"), col("wv_b")), 9))
+      .join(feats.select(col("id").as("id_a"), col("h"), col("w").as("w_a")), Seq("id_a"))
+      .join(feats.select(col("id").as("id_b"), col("h"), col("w").as("w_b")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(col("w_a") * col("w_b")), 9).as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -583,6 +600,55 @@ object Dedup {
       .select(pinned.columns.map(c =>
         if (c == textCol) coalesce(col("__newtext"), lit("")).as(textCol)
         else col(c)).toIndexedSeq: _*)
+  }
+
+  /**
+   * Repeated-substring audit — substring-level duplication detection (the
+   * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+   * Better" family, which dedups repeated SPANS rather than whole
+   * documents): returns every maximal char span covered by
+   * length-`minLen` windows whose content occurs at least `minDf` times
+   * in the corpus (across documents or repeated within one — both are
+   * training-data duplication). Guarantee at stride 1: any repeated
+   * substring of length >= minLen is covered by a reported span, because
+   * every one of its windows repeats. `stride > 1` is the documented
+   * large-scale approximation: only windows at stride offsets are hashed
+   * (index size divides by stride; the guarantee weakens to substrings of
+   * length >= minLen + stride - 1).
+   *
+   * Scale shape: one O(chars) rolling-hash pass per document
+   * (`rolling_kgram_hashes`, Rabin-Karp — NOT O(chars * minLen)); the
+   * position index shuffles (id, pos, 8-byte hash) — never text; hot
+   * windows come from one count aggregation + equi semi join; span
+   * assembly is one groupBy collecting each doc's flagged positions
+   * (bounded by the doc's own length) into a codegen'd merge. There is NO
+   * pair emission anywhere, so unlike the pairwise dedup joins this
+   * cannot go quadratic on corpus-hot boilerplate: a window shared by a
+   * million documents costs a million index rows, not 10^12 pairs.
+   * Matching is by 64-bit rolling hash — the engine's standard
+   * content-address assumption. Spans use Java char offsets (==
+   * codepoints for ASCII/BMP text); ends exclusive. What to DO with the
+   * spans (strip all-but-first occurrence, drop documents, mask) is a
+   * corpus policy the caller applies with the offsets.
+   */
+  def repeatedSpans(docs: DataFrame, minLen: Int = 50, minDf: Long = 2,
+                    stride: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (a window needs two occurrences " +
+      s"to be a repeat), got $minDf")
+    import graft.functions.GraftFunctions.{rolling_kgram_hashes, merge_spans}
+    // pinned: the index is referenced twice (df aggregation + flag join)
+    // and Catalyst re-expands referenced subtrees
+    val grams = pin(docs.select(col(idCol),
+        posexplode(rolling_kgram_hashes(col(textCol), minLen, stride)))
+      .select(col(idCol), (col("pos").cast("long") * stride).as("p"), col("col").as("h")))
+    val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    grams.join(hot, "h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(col(idCol), explode(merge_spans(col("ps"), minLen)).as("s"))
+      .select(col(idCol), col("s.span_start"), col("s.span_end"))
   }
 
   /**

@@ -73,6 +73,53 @@ object StreamingSketch {
         col("hll"), col("queries"))
 
   /**
+   * Windowed value-distribution sketches: per (tumbling window, key), the
+   * mergeable KLL and t-digest of a numeric column plus the count — the
+   * streaming twin of the batch quantile suite. Returns the SKETCH columns
+   * (not point estimates): windows finalize at the watermark, the sink rows
+   * merge downstream with `kll_merge`/`tdigest_merge` across windows, keys
+   * or days, and callers take `kll_quantile`/`tdigest_quantile` where they
+   * read. Order caveat: KLL compaction and t-digest centroiding are
+   * arrival-order-dependent, so streamed sketch BYTES can differ from a
+   * batch build over the same rows — estimates agree within each family's
+   * published rank/centroid error (pinned by StreamingSpec; CMS below has
+   * no such caveat).
+   */
+  def windowedQuantiles(events: DataFrame, tsCol: String, keyCol: String,
+                        valCol: String, windowLen: String,
+                        watermark: String): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(kll_build(col(valCol).cast("double")).as("kll"),
+        tdigest_build(col(valCol).cast("double")).as("tdigest"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col(keyCol), col("kll"), col("tdigest"), col("n"))
+
+  /**
+   * Windowed Count-Min frequency sketch: ONE sketch row per tumbling
+   * window, probeable for any key's count with `cms_est` — per-window
+   * heavy-hitter auditing with O(sketch) state instead of O(distinct keys)
+   * (the exact streaming `groupBy(key).count()` keeps a state-store row per
+   * key; this keeps one counter matrix per window). CMS merge is a
+   * counter-wise SUM, so unlike KLL/t-digest the streamed sketch bytes are
+   * IDENTICAL to a batch build over the same rows regardless of arrival
+   * order or micro-batch boundaries (pinned by StreamingSpec).
+   */
+  def windowedCms(events: DataFrame, tsCol: String, keyCol: String,
+                  windowLen: String, watermark: String): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(cms_build(xxh3_64(col(keyCol).cast("string")), lit(1L)).as("cms"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("cms"), col("n"))
+
+  /**
    * Streaming exact dedup by content signature — the streaming twin of
    * [[graft.operators.Dedup.exact]]: each distinct text's FIRST arrival is
    * emitted, later duplicates are dropped. State is BOUNDED:

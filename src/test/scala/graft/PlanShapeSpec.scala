@@ -204,6 +204,19 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("repeated-substring audit: equi joins only, no pair emission, no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = operators.Dedup.repeatedSpans(docs, minLen = 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // exactly ONE join (position index vs hot windows) — a second join
+    // would mean the operator started emitting pairs
+    assert("Join".r.findAllIn(plan).length <= 3, plan.take(2500))
+  }
+
   test("simhash banded join is equi-join only at every radius") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (h <- Seq(3, 7, 10)) {

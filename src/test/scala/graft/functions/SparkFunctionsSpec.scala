@@ -133,7 +133,9 @@ class SparkFunctionsSpec extends AnyFunSuite {
         ellipsis_line_ratio($"text"), alpha_word_ratio($"text"),
         stopword_hits($"text"), symbol_word_ratio($"text", "#"),
         gopher_signals($"text").getField("n_words"),
-        gopher_keep($"text", graft.operators.GopherThresholds().toParams))
+        gopher_keep($"text", graft.operators.GopherThresholds().toParams),
+        size(rolling_kgram_hashes($"text", 8, 2)),
+        size(merge_spans(sort_array(array(length($"text").cast("long"), lit(3L))), 5)))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

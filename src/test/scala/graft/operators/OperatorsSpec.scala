@@ -1337,6 +1337,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chk.count(!_.getAs[Boolean]("keep")) >= 5, "stage-violating docs reject")
   }
 
+  test("repeated-substring audit == brute-force string-window oracle") {
+    import graft.core.text.TextOps
+    // kernel: rolling hashes agree with per-window equality (poly hash of
+    // equal windows is ALWAYS equal; unequal windows differ w.h.p.)
+    val rnd = new java.util.Random(11)
+    val small = (0 until 120).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val hs = TextOps.rollingKgramHashes(small, 5, 1)
+    for (i <- hs.indices; j <- i + 1 until hs.length)
+      assert((hs(i) == hs(j)) ===
+        (small.substring(i, i + 5) == small.substring(j, j + 5)), s"($i,$j)")
+    assert(TextOps.rollingKgramHashes("abc", 5, 1).isEmpty, "short text: no windows")
+    // stride: positions i*stride, same values as direct hashing
+    val st = TextOps.rollingKgramHashes(small, 7, 3)
+    assert(st.toSeq === (0 to (small.length - 7) / 3).map(i =>
+      TextOps.rollingKgramHashes(small.substring(3 * i, 3 * i + 7), 7, 1)(0)))
+
+    // mergeSpans: overlap, touch, gap
+    assert(TextOps.mergeSpans(Array(0L, 3L, 10L), 5).toSeq === Seq(0L, 8L, 10L, 15L))
+    assert(TextOps.mergeSpans(Array(0L, 5L), 5).toSeq === Seq(0L, 10L), "touching merges")
+    assert(TextOps.mergeSpans(Array(0L, 6L), 5).toSeq === Seq(0L, 5L, 6L, 11L))
+
+    // operator vs an exact brute-force oracle over window STRINGS
+    val L = 30
+    def hex(id: Long, n: Int) = {
+      val r2 = new java.util.Random(id)
+      (0 until n).map(_ => Integer.toHexString(r2.nextInt(16))).mkString
+    }
+    val banner = "COOKIE-BANNER-" + "x" * (L + 16) // 60 chars, > L
+    val corpus = (0L until 12L).map { id =>
+      val base = hex(id, 200)
+      val text =
+        if (id % 4 == 0) base + banner              // cross-doc repeat
+        else if (id == 5L) base.take(80) + base.take(80) + base.drop(80) // within-doc
+        else base
+      (id, text)
+    }
+    val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"), minLen = L, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: count corpus-wide window strings, flag, merge (same rule)
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    for ((_, t) <- corpus; i <- 0 to t.length - L)
+      counts.updateWith(t.substring(i, i + L))(c => Some(c.getOrElse(0) + 1))
+    val expected = (for ((id, t) <- corpus) yield {
+      val ps = (0 to t.length - L).filter(i => counts(t.substring(i, i + L)) >= 2)
+        .map(_.toLong).toArray
+      graft.core.text.TextOps.mergeSpans(ps, L).grouped(2)
+        .map(se => (id, se(0), se(1))).toSeq
+    }).flatten.toSet
+    assert(got === expected)
+    assert(got.exists(_._1 == 5L), "within-doc repetition must be audited")
+    assert(got.count(s => Set(0L, 4L, 8L).contains(s._1)) >= 3,
+      "every banner doc carries a span")
+    assert(!got.exists(s => Set(1L, 2L, 3L, 6L, 7L).contains(s._1)),
+      "unique docs stay clean")
+    // planted-guarantee at stride: a repeat of length >= minLen+stride-1
+    // is always found even though only strided windows are hashed
+    val rep = "R" * (L + 4 - 1)
+    val sCorpus = Seq((1L, hex(100, 150) + rep), (2L, rep + hex(200, 150)))
+      .toDF("doc_id", "text")
+    val sGot = Dedup.repeatedSpans(sCorpus, minLen = L, minDf = 2, stride = 4)
+      .collect()
+    assert(sGot.map(_.getLong(0)).toSet === Set(1L, 2L),
+      s"strided audit must still find the planted repeat: ${sGot.toSeq}")
+    // degenerate minDf fails fast
+    assertThrows[IllegalArgumentException](
+      Dedup.repeatedSpans(sCorpus, minLen = L, minDf = 1))
+  }
+
   test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
     import graft.core.text.TextOps
     // "a b a b a b": 2-grams "a b"x3, "b a"x2 -> 3*2/6 chars

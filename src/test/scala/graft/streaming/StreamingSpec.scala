@@ -51,6 +51,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("streaming windowed quantile + CMS sketches: CMS bytes == batch; quantiles in bound") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"ts".isNotNull && $"event_type".isNotNull && $"value".isNotNull)
+    events.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+
+    import graft.functions.GraftFunctions._
+    // quantile sketches per (day, event_type)
+    val q1 = StreamingSketch.windowedQuantiles(stream, "ts", "event_type", "value",
+        windowLen = "1 day", watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("win_q")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val streamedQ = spark.sql("SELECT * FROM win_q")
+      .select($"win_start".cast("string").as("w"), $"event_type",
+        kll_quantile($"kll", lit(0.5)).as("kll_med"),
+        tdigest_quantile($"tdigest", lit(0.5)).as("td_med"), $"n")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // batch truth: the full sorted value set per (day, type). Quantile
+    // sketches guarantee RANK error (KLL eps ~1.33% at k=200; t-digest
+    // tightest at the median), so the honest check is the TRUE RANK of
+    // each streamed median, never a value-distance bound (on skewed data a
+    // tiny rank error can be a large value gap).
+    val exact = events.withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(sort_array(collect_list($"value")).as("vals"))
+      .select($"window.start".cast("string").as("w"), $"event_type", $"vals")
+      .collect()
+    assert(exact.nonEmpty && streamedQ.size === exact.length)
+    for (r <- exact) {
+      val vals = r.getSeq[Double](2)
+      val (kllMed, tdMed, n) = streamedQ((r.getString(0), r.getString(1)))
+      assert(n === vals.length.toLong)
+      for ((name, m) <- Seq("kll" -> kllMed, "tdigest" -> tdMed)) {
+        assert(m >= vals.head && m <= vals.last, s"$name median outside range")
+        val rank = vals.count(_ <= m).toDouble / vals.length
+        // eps (sketch rank error) + 1/n (small-window discretization: on
+        // n=3 even the exact middle element has count(<=)/n rank 2/3)
+        assert(math.abs(rank - 0.5) <= 0.06 + 1.0 / vals.length,
+          s"$name median $m has true rank $rank in n=${vals.length} " +
+            s"(${r.getString(1)} @ ${r.getString(0)})")
+      }
+    }
+
+    // CMS: counter-wise-sum merge => streamed bytes BIT-IDENTICAL to batch
+    val q2 = StreamingSketch.windowedCms(stream, "ts", "event_type",
+        windowLen = "1 day", watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("win_cms")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val streamedCms = spark.sql("SELECT * FROM win_cms")
+      .collect().map(r => r.getAs[Any]("win_start").toString ->
+        r.getAs[Array[Byte]]("cms").toSeq).toMap
+    val batchCms = events.withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "1 day"))
+      .agg(cms_build(xxh3_64($"event_type".cast("string")), lit(1L)).as("cms"))
+      .select($"window.start".as("win_start"), $"cms")
+      .collect().map(r => r.getAs[Any]("win_start").toString ->
+        r.getAs[Array[Byte]]("cms").toSeq).toMap
+    assert(streamedCms.nonEmpty && streamedCms.keySet === batchCms.keySet)
+    for ((w, bytes) <- streamedCms)
+      assert(bytes === batchCms(w), s"CMS bytes must not depend on arrival order ($w)")
+    // and the per-window sketch answers exact per-key counts (CMS
+    // overestimates only; on 5 keys vs a 2048-wide sketch, collisions are
+    // absent and the estimate is exact)
+    val exactCounts = events.withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "1 day"), $"event_type").count()
+      .select($"window.start".cast("string").as("w"), $"event_type", $"count")
+      .collect()
+    val cmsDf = spark.sql("SELECT * FROM win_cms")
+      .select($"win_start".cast("string").as("w"), $"cms")
+    val probed = cmsDf.as("c").join(
+        exactCounts.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toDF("w", "event_type", "exact").as("e"), Seq("w"))
+      .select($"w", $"event_type", $"exact",
+        cms_est($"cms", xxh3_64($"event_type".cast("string"))).as("est"))
+      .collect()
+    assert(probed.nonEmpty)
+    probed.foreach(r => assert(r.getAs[Long]("est") === r.getAs[Long]("exact"),
+      s"${r.getString(1)}: cms ${r.getAs[Long]("est")} vs exact ${r.getAs[Long]("exact")}"))
+  }
+
   test("streaming exact dedup emits first arrivals only, equals batch distinct texts") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
     // 300 docs over 100 distinct texts, duplicates spread across 3 chunks;
