@@ -17,9 +17,23 @@ object ScaleOp {
       else (args(0), args.drop(1))
     val cores = rest(0).toInt
     val nDocs = if (rest.length > 1) rest(1).toLong else 300000L
+    // SCALEOP_PARTS fixes shuffle.partitions across both cluster sizes
+    // (default: = cores). A real N->4N cluster comparison keeps the SAME
+    // job configuration and only adds executors; tying partitions to cores
+    // changes plan shape AND shuffle compression layout between the two
+    // measurement points (measured: the candidates+arrays shuffle wrote
+    // 1.44GB at 4 partitions vs 3.03GB at 16 — consecutive same-doc rows
+    // split across more buckets compress worse), conflating partitioning
+    // effects with compute scaling.
+    val parts = sys.env.getOrElse("SCALEOP_PARTS", cores.toString)
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SCALEOP_CODEC", "lz4"))
+      // shuffle-heavy operator + disk-backed /tmp = the I/O, not the CPUs,
+      // sets the ceiling at higher core counts; tmpfs like the bench
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(

@@ -226,7 +226,7 @@ object Dedup {
     require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
     require(ngram >= 1, "ngram must be >= 1")
     val tEff = minCos - 1e-9 // float slack: only ever ADMITS candidates
-    import graft.functions.GraftFunctions.l2ap_prefix
+    import graft.functions.GraftFunctions.{l2ap_prefix, sorted_weighted_dot}
 
     // empty/whitespace-only (or null) texts have NO features in any mode —
     // without this prefilter the ngram>1 whole-text collapse would give
@@ -305,29 +305,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verification = feature-level aggregating join, NOT arrays shipped
-    // through pair rows: cos(a,b) on unit vectors is the sum of w_a*w_b
-    // over SHARED hashes, so join each candidate pair to side a's unit
-    // features (24-byte rows), equi-join side b's features on (id_b, h) —
-    // the inner join IS the intersection — and sum per pair with map-side
-    // partial aggregation. The previous shape (attach both docs' full
-    // (hash, weight) arrays to every pair, merge-dot per row) sorted
-    // ~KB-wide rows through two sequential joins; stage attribution at
-    // 100k docs showed that ONE stage reading 484MB of array rows and
-    // spilling 10.4GB — the wide-row sort, not the dot products, was the
-    // whole cost, and its spill I/O capped multi-core scaling at ~0.67.
-    // Narrow rows spill nothing and the partial agg halves shuffle volume.
-    // (Float-sum order differs from the sorted merge-dot; both agree with
-    // the 9-decimal rounding contract — pinned by the brute-force equality
-    // tests and the DuckDB oracle, whose own sum order was already
-    // arbitrary.)
-    val feats = state.select(col("id"), explode(arrays_zip(col("hk"), col("wv"))).as("f"))
-      .select(col("id"), col("f.hk").as("h"), col("f.wv").as("w"))
+    // verification: attach both docs' sorted (hash, weight) arrays to each
+    // candidate pair and merge-dot per row — via SHUFFLE-HASH joins with
+    // the (row-tiny) state side as the build map, NEVER sort-merge. The
+    // candidate side of these joins is pair-count-sized and array-widened;
+    // sort-merge would SORT that fat intermediate, and stage attribution
+    // at 100k docs / ~4.5M candidates showed the sort as the dominant
+    // cost: one stage spilling 10.4GB (25GB for the feature-exploded
+    // alternative, which also multiplies row count by vector length) —
+    // and sort-spill I/O capped 4->16-core scaling at ~0.67. Hash joins
+    // build on the state (bounded: one row per doc) and STREAM the pairs:
+    // no sort, no spill; measured 17.8s -> 9.5s at local[16] on the same
+    // corpus, and scaling recovers to the platform ceiling.
+    val stateA = state.select(col("id").as("id_a"), col("hk").as("hk_a"), col("wv").as("wv_a"))
+    val stateB = state.select(col("id").as("id_b"), col("hk").as("hk_b"), col("wv").as("wv_b"))
     candidates
-      .join(feats.select(col("id").as("id_a"), col("h"), col("w").as("w_a")), Seq("id_a"))
-      .join(feats.select(col("id").as("id_b"), col("h"), col("w").as("w_b")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(sum(col("w_a") * col("w_b")), 9).as("cos"))
+      .join(stateA.hint("shuffle_hash"), "id_a")
+      .join(stateB.hint("shuffle_hash"), "id_b")
+      .withColumn("cos", round(
+        sorted_weighted_dot(col("hk_a"), col("wv_a"), col("hk_b"), col("wv_b")), 9))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
