@@ -893,6 +893,34 @@ object SparkEntry {
         .select(col("r.check").as("check"), col("r.observed").as("observed"),
           col("r.bound").as("bound"))
     }),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC ingestion head: documents written as a spec-layout
+      // member-per-record .warc.gz (driver-side — bounded by the gate SF,
+      // like the dnsmag export), read back through
+      // spark.read.format("warc") with the HTTP header block stripped;
+      // every url/byte must survive exactly. Oracle recomputes the rows
+      // from the documents table directly.
+      val rows = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_gate").toString
+      val out = new java.io.FileOutputStream(s"$tmp/docs.warc.gz")
+      try rows.foreach { r =>
+        val m = new java.util.zip.GZIPOutputStream(out)
+        val body = r.getAs[String]("text").getBytes("UTF-8")
+        graft.core.warc.WarcParser.writeRecord(m, "response", Seq(
+          "WARC-Record-ID" -> s"<urn:uuid:d${r.getAs[Long]("doc_id")}>",
+          "WARC-Target-URI" -> f"https://d${r.getAs[Long]("doc_id")}%08d.example/x",
+          "WARC-Date" -> "2024-03-01T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response"),
+          (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body)
+        m.finish()
+      } finally out.close()
+      graft.sources.WarcDataSource.pages(s, s"$tmp/docs.warc.gz")
+        .select(col("url"), col("warc_ts"),
+          col("html").cast("string").as("body"))
+        .orderBy(col("url"))
+    }),
     "q_dnsmag_v2_roundtrip" -> ((s, dir) => {
       // sketch state -> reference .dnsmag CBOR export -> read back through
       // the DataSource V2 provider (spark.read.format("dnsmag")): per-domain
@@ -1578,6 +1606,11 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_ann_lsh" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
+    "q_warc_roundtrip" -> """
+      SELECT 'https://d' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.example/x' AS url,
+             TIMESTAMP '2024-03-01 00:00:00' AS warc_ts,
+             text AS body
+      FROM documents ORDER BY url""",
     "q_dnsmag_v2_roundtrip" -> """
       SELECT event_type AS domain, count(*) AS queries, true AS hll_match
       FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL

@@ -78,6 +78,7 @@ object GraftFunctions {
     column(RollingKgramHashes(expression(c), k, stride))
   def merge_spans(positions: Column, winLen: Int): Column =
     column(MergeSpans(expression(positions), winLen))
+  def http_body(c: Column): Column = column(HttpBody(expression(c)))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
@@ -153,6 +154,11 @@ object GraftFunctions {
     "symbol_word_ratio" -> (e => SymbolWordRatio(e.head, e(1).eval().toString)),
     "gopher_signals" -> (e => GopherSignalsStruct(e.head,
       Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10))),
+    "http_body" -> (e => HttpBody(e.head)),
+    "rolling_kgram_hashes" -> (e => RollingKgramHashes(e.head,
+      e(1).eval().toString.toInt,
+      if (e.length > 2) e(2).eval().toString.toInt else 1)),
+    "merge_spans" -> (e => MergeSpans(e.head, e(1).eval().toString.toInt)),
     "top_ngram_char_ratio" -> (e => TopNgramCharRatio(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
     "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,

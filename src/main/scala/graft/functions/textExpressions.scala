@@ -565,6 +565,21 @@ object MergeSpans {
   }
 }
 
+/** http_body(payload) -> binary: strip the HTTP message header block from
+  * a WARC response payload (body passthrough when no HTTP status line
+  * leads the bytes — `resource` records carry content directly). */
+case class HttpBody(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "http_body"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.warc.WarcParser.httpBody(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.warc.WarcParser.httpBody($c)")
+  override protected def withNewChildInternal(c: Expression): HttpBody = copy(child = c)
+}
+
 /** Codegen'd non-empty word count (size(filter(split(...))) is a
   * CodegenFallback higher-order composition). */
 case class WordCount(child: Expression) extends TextUnary {

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.warc.WarcParser
+
+/** WARC ingestion: spec-layout parser cases (CRLF/LF, gzip member-per-
+  * record, HTTP header strip, corrupt-length guard), the DataSource V2
+  * read path with per-file partitions and payload-skipping column
+  * pruning, and the WARC -> pages-table head of the pipeline. */
+class WarcSourceSpec extends AnyFunSuite {
+
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def httpPayload(body: String, ctype: String = "text/html"): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" + body).getBytes("UTF-8")
+
+  private def record(i: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    WarcParser.writeRecord(out, "response", Seq(
+      "WARC-Record-ID" -> s"<urn:uuid:rec-$i>",
+      "WARC-Target-URI" -> s"https://example$i.org/page",
+      "WARC-Date" -> f"2024-03-01T10:${i % 60}%02d:00Z",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpPayload(s"<html><body><p>page $i says hello world</p></body></html>"))
+    out.toByteArray
+  }
+
+  private def warcinfo(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    WarcParser.writeRecord(out, "warcinfo",
+      Seq("WARC-Record-ID" -> "<urn:uuid:info>", "Content-Type" -> "application/warc-fields"),
+      "software: graft-test\r\n".getBytes("UTF-8"))
+    out.toByteArray
+  }
+
+  private lazy val warcDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    // plain file: warcinfo + 3 responses
+    val plain = new ByteArrayOutputStream()
+    plain.write(warcinfo())
+    (0 until 3).foreach(i => plain.write(record(i)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), plain.toByteArray)
+    // canonical .warc.gz: one gzip MEMBER per record, concatenated
+    val gz = new ByteArrayOutputStream()
+    (3 until 7).foreach { i =>
+      val m = new GZIPOutputStream(gz)
+      m.write(record(i)); m.finish()
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"), gz.toByteArray)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_SUCCESS"), "")
+    dir
+  }
+
+  test("parser: records round-trip; LF tolerance; http header strip; guards") {
+    val all = WarcParser.records(new java.io.ByteArrayInputStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$warcDir/a.warc")))).toSeq
+    assert(all.map(_.warcType) === Seq("warcinfo", "response", "response", "response"))
+    assert(all(1).url === "https://example0.org/page")
+    assert(all(1).dateMillis.isDefined)
+    assert(new String(WarcParser.httpBody(all(1).payload), "UTF-8")
+      .startsWith("<html><body><p>page 0"))
+    // resource-style payload (no HTTP preamble) passes through untouched
+    assert(new String(WarcParser.httpBody("plain bytes".getBytes("UTF-8")), "UTF-8")
+      === "plain bytes")
+    // bare-LF header lines parse too
+    val lf = ("WARC/1.0\nWARC-Type: metadata\nContent-Length: 2\n\nhi\n\n").getBytes("UTF-8")
+    val lfRec = WarcParser.records(new java.io.ByteArrayInputStream(lf)).toSeq
+    assert(lfRec.map(r => (r.warcType, new String(r.payload, "UTF-8"))) === Seq(("metadata", "hi")))
+    // corrupt Content-Length fails fast instead of allocating
+    val bad = ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 999999999999\r\n\r\n").getBytes("UTF-8")
+    val e = intercept[java.io.IOException](
+      WarcParser.records(new java.io.ByteArrayInputStream(bad)).toSeq)
+    assert(e.getMessage.contains("Content-Length"))
+    // payload skipping keeps the true length and still walks the stream
+    val skipped = WarcParser.records(new java.io.ByteArrayInputStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$warcDir/a.warc"))),
+      keepPayload = false).toSeq
+    assert(skipped.map(_.warcType) === all.map(_.warcType))
+    assert(skipped.map(_.contentLength) === all.map(_.contentLength))
+    assert(skipped.forall(_.payload.isEmpty))
+  }
+
+  test("format(\"warc\"): dir read, gzip members, per-file partitions, type filter") {
+    val df = spark.read.format("warc").load(warcDir)
+    assert(df.rdd.getNumPartitions === 2, "one partition per WARC file")
+    val rows = df.collect()
+    assert(rows.length === 8, "warcinfo + 7 responses across plain and gz")
+    val resp = spark.read.format("warc").option("types", "response").load(warcDir)
+      .orderBy("url").collect()
+    assert(resp.length === 7)
+    assert(resp.map(_.getAs[String]("url")).toSeq ===
+      (0 until 7).map(i => s"https://example$i.org/page"))
+    assert(resp.forall(_.getAs[java.sql.Timestamp]("warc_ts") != null))
+    assert(resp.forall(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+      .startsWith("HTTP/1.1 200 OK")))
+  }
+
+  test("column pruning skips payload bytes; content_length stays true") {
+    val df = spark.read.format("warc").option("types", "response").load(warcDir)
+    val meta = df.select($"url", $"content_length")
+    val scanLine = "BatchScan warc[^\n]*".r
+      .findFirstIn(meta.queryExecution.executedPlan.toString).getOrElse("")
+    assert(!scanLine.contains("payload"), s"payload must be pruned: $scanLine")
+    val lens = meta.collect().map(_.getAs[Long]("content_length"))
+    assert(lens.length === 7 && lens.forall(_ > 100), "true lengths without payload")
+  }
+
+  test("WARC -> pages table head: url/ts/html/text, header block stripped") {
+    val pages = WarcDataSource.pages(spark, warcDir).orderBy("url").collect()
+    assert(pages.length === 7)
+    val p0 = pages(0)
+    assert(p0.getAs[String]("url") === "https://example0.org/page")
+    assert(new String(p0.getAs[Array[Byte]]("html"), "UTF-8").startsWith("<html>"))
+    assert(p0.getAs[String]("text").contains("page 0 says hello world"),
+      s"extracted text: ${p0.getAs[String]("text")}")
+    // the pages head feeds the magnitude pipeline directly
+    val state = graft.pipelines.Magnitude.collect(
+      WarcDataSource.pages(spark, warcDir).withColumn("warc_ts",
+        coalesce($"warc_ts", lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))))
+    assert(state.count() > 0)
+  }
+}
