@@ -135,7 +135,8 @@ class SparkFunctionsSpec extends AnyFunSuite {
         gopher_signals($"text").getField("n_words"),
         gopher_keep($"text", graft.operators.GopherThresholds().toParams),
         size(rolling_kgram_hashes($"text", 8, 2)),
-        size(merge_spans(sort_array(array(length($"text").cast("long"), lit(3L))), 5)))
+        size(merge_spans(sort_array(array(length($"text").cast("long"), lit(3L))), 5)),
+        length(http_body(encode($"text", "UTF-8"))))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators
