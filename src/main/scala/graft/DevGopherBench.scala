@@ -55,7 +55,7 @@ object DevGopherBench {
     val good = spark.range(200000).select(col("id").as("doc_id"),
       concat_ws(" ", (0 until 60).map(j =>
         when(lit(j) < 8, lit(goodWords(j % 8))).otherwise(
-          format_string(s"w$j%%x", pmod(xxh3_64(concat(col("id").cast("string"),
+          format_string("w" + j + "%x", pmod(xxh3_64(concat(col("id").cast("string"),
             lit(s"#$j"))), lit(1L << 20))))): _*).as("text")).localCheckpoint()
     println("[dev] good docs=" + good.count())
     timed("fused keep-only (mostly pass)") {

@@ -904,8 +904,14 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
       val tmp = java.nio.file.Files.createTempDirectory("graft_warc_gate").toString
       val out = new java.io.FileOutputStream(s"$tmp/docs.warc.gz")
+      // close() each gzip member to release its native Deflater
+      // deterministically (finish() alone leaves one Deflater per record to
+      // finalization); the shield keeps member close() from closing the file
+      val shield = new java.io.FilterOutputStream(out) {
+        override def close(): Unit = flush()
+      }
       try rows.foreach { r =>
-        val m = new java.util.zip.GZIPOutputStream(out)
+        val m = new java.util.zip.GZIPOutputStream(shield)
         val body = r.getAs[String]("text").getBytes("UTF-8")
         graft.core.warc.WarcParser.writeRecord(m, "response", Seq(
           "WARC-Record-ID" -> s"<urn:uuid:d${r.getAs[Long]("doc_id")}>",
@@ -914,7 +920,7 @@ object SparkEntry {
           "Content-Type" -> "application/http; msgtype=response"),
           (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body)
-        m.finish()
+        m.close()
       } finally out.close()
       graft.sources.WarcDataSource.pages(s, s"$tmp/docs.warc.gz")
         .select(col("url"), col("warc_ts"),

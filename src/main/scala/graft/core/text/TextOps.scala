@@ -551,6 +551,18 @@ object TextOps {
    */
   def gopherStats(text: String, topNs: Array[Int], dupNs: Array[Int]): GopherStats = {
     gopherStatsCalls.increment()
+    gopherCompute(text, topNs, dupNs, null)
+  }
+
+  /** ONE kernel for both entry points — [[gopherStats]] (check = null:
+    * compute every signal) and [[gopherKeep]] (check != null: verify each
+    * stage's thresholds as soon as its values exist and return null at the
+    * FIRST violation, so a rejected document never reaches the n-gram
+    * engine). A single body keeps the two contracts from drifting: the
+    * keep decision is, by construction, the threshold rule over exactly
+    * the values the struct kernel reports. */
+  private def gopherCompute(text: String, topNs: Array[Int], dupNs: Array[Int],
+                            check: GopherParams): GopherStats = {
     // --- word text: [\n\r\t] -> ' ' (only materialize when needed) ---
     var needsWt = false
     var ci = 0
@@ -602,6 +614,17 @@ object TextOps {
       i += 1
     }
 
+    // stage 1 thresholds (keep mode): word-shape stats from one pass
+    val meanLen = if (nW == 0) 0.0 else charTotal.toDouble / nW
+    val alphaWordRatioV = if (nW == 0) 0.0 else alphaWords.toDouble / nW
+    val stopHits = Integer.bitCount(stopMask)
+    if (check != null) {
+      if (nW < check.minWords || nW > check.maxWords) return null
+      if (!(meanLen >= check.minMeanWordLen && meanLen <= check.maxMeanWordLen)) return null
+      if (!(alphaWordRatioV >= check.minAlphaWordRatio)) return null
+      if (stopHits < check.minStopwordHits) return null
+    }
+
     // --- symbol counts over the word text, one char scan ---
     // "..." is counted non-overlapping left-to-right (indexOf semantics)
     var cntHash = 0
@@ -622,6 +645,10 @@ object TextOps {
     val hashRatio = if (nW == 0) 0.0 else cntHash.toDouble / nW
     val ellRatio = if (nW == 0) 0.0
       else cntDots.toDouble / nW + cntUniEll.toDouble / nW
+    if (check != null) {
+      if (!(hashRatio <= check.maxHashRatio)) return null
+      if (!(ellRatio <= check.maxEllipsisRatio)) return null
+    }
 
     // --- line stats over the RAW text, one line pass ---
     val lines = text.split("\n", -1)
@@ -650,12 +677,22 @@ object TextOps {
       i += 1
     }
     val nLines = lines.length // split("\n", -1) never returns empty
+    val bulletRatio = if (nLines == 0) 0.0 else bulletLines.toDouble / nLines
+    val ellLineRatio = if (nLines == 0) 0.0 else ellLines.toDouble / nLines
+    val dupLineRatioV = dupLines.toDouble / nLines
+    val dupLineCharRatioV = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+    if (check != null) {
+      if (!(bulletRatio <= check.maxBulletLineRatio)) return null
+      if (!(ellLineRatio <= check.maxEllipsisLineRatio)) return null
+      if (!(dupLineRatioV <= check.maxDupLineRatio)) return null
+      if (!(dupLineCharRatioV <= check.maxDupLineCharRatio)) return null
+    }
 
     // --- n-gram engine: token hashes once, incremental gram-hash chain ---
     val topOut = new Array[Double](topNs.length)
     val dupOut = new Array[Double](dupNs.length)
     val maxN = (topNs.lastOption.getOrElse(1)).max(dupNs.lastOption.getOrElse(1))
-    if (maxN >= 2 && nW > 0 && charTotal > 0) {
+    if ((topNs.nonEmpty || dupNs.nonEmpty) && nW > 0 && charTotal > 0) {
       val th = new Array[Long](nW)
       val pre = new Array[Long](nW + 1)
       i = 0
@@ -719,6 +756,7 @@ object TextOps {
             }
             topOut(ti) = math.min(1.0, maxCount.toDouble * bestLen / charTotal)
           }
+          if (check != null && !(topOut(ti) <= check.topMax(ti))) return null
           ti += 1
         }
         if (isDup) {
@@ -737,23 +775,31 @@ object TextOps {
             while (i < nW) { if (covered(i)) dup += ws(i).length; i += 1 }
             dupOut(di) = dup.toDouble / charTotal
           }
+          if (check != null && !(dupOut(di) <= check.dupMax(di))) return null
           di += 1
         }
         n += 1
       }
+    } else if (check != null) {
+      // engine skipped (no tokens/chars or no requested sizes): every
+      // n-gram signal is 0.0 and must still face its threshold
+      var k = 0
+      while (k < topNs.length) { if (!(0.0 <= check.topMax(k))) return null; k += 1 }
+      k = 0
+      while (k < dupNs.length) { if (!(0.0 <= check.dupMax(k))) return null; k += 1 }
     }
 
     GopherStats(
       nWords = nW.toLong,
-      meanWordLen = if (nW == 0) 0.0 else charTotal.toDouble / nW,
+      meanWordLen = meanLen,
       hashRatio = hashRatio,
       ellipsisRatio = ellRatio,
-      bulletLineRatio = if (nLines == 0) 0.0 else bulletLines.toDouble / nLines,
-      ellipsisLineRatio = if (nLines == 0) 0.0 else ellLines.toDouble / nLines,
-      alphaWordRatio = if (nW == 0) 0.0 else alphaWords.toDouble / nW,
-      stopwordHits = Integer.bitCount(stopMask),
-      dupLineRatio = dupLines.toDouble / nLines,
-      dupLineCharRatio = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars,
+      bulletLineRatio = bulletRatio,
+      ellipsisLineRatio = ellLineRatio,
+      alphaWordRatio = alphaWordRatioV,
+      stopwordHits = stopHits,
+      dupLineRatio = dupLineRatioV,
+      dupLineCharRatio = dupLineCharRatioV,
       topNgram = topOut, dupNgram = dupOut)
   }
 
@@ -784,206 +830,8 @@ object TextOps {
    * `filter(gopher_keep(text))` is the fast path for pure filtering while
    * `gopher_signals` serves the audit projection.
    */
-  def gopherKeep(text: String, p: GopherParams): Boolean = {
-    // --- stage 1: word text + one tokenization; all word-shape checks ---
-    var needsWt = false
-    var ci = 0
-    while (ci < text.length && !needsWt) {
-      val c = text.charAt(ci)
-      if (c == '\n' || c == '\r' || c == '\t') needsWt = true
-      ci += 1
-    }
-    val wt = if (!needsWt) text else {
-      val a = text.toCharArray
-      var i = 0
-      while (i < a.length) {
-        val c = a(i)
-        if (c == '\n' || c == '\r' || c == '\t') a(i) = ' '
-        i += 1
-      }
-      new String(a)
-    }
-    val ts = if (wt.isEmpty) Array.empty[String] else wt.split(" ", -1)
-    val ws = new Array[String](ts.length)
-    var nW = 0
-    var charTotal = 0L
-    var alphaWords = 0
-    var stopMask = 0
-    var i = 0
-    while (i < ts.length) {
-      val t = ts(i)
-      if (t.nonEmpty) {
-        ws(nW) = t
-        nW += 1
-        charTotal += t.length
-        var hasAlpha = false
-        var j = 0
-        while (j < t.length && !hasAlpha) {
-          val c = t.charAt(j)
-          hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-          j += 1
-        }
-        if (hasAlpha) alphaWords += 1
-      }
-      var s = 0
-      while (s < GopherStopwords.length) {
-        if ((stopMask & (1 << s)) == 0 && t == GopherStopwords(s)) stopMask |= 1 << s
-        s += 1
-      }
-      i += 1
-    }
-    if (nW < p.minWords || nW > p.maxWords) return false
-    val meanLen = if (nW == 0) 0.0 else charTotal.toDouble / nW
-    if (!(meanLen >= p.minMeanWordLen && meanLen <= p.maxMeanWordLen)) return false
-    val alphaRatioW = if (nW == 0) 0.0 else alphaWords.toDouble / nW
-    if (!(alphaRatioW >= p.minAlphaWordRatio)) return false
-    if (Integer.bitCount(stopMask) < p.minStopwordHits) return false
-
-    // --- stage 2: symbol scan ---
-    var cntHash = 0
-    var cntDots = 0
-    var cntUniEll = 0
-    i = 0
-    while (i < wt.length) {
-      val c = wt.charAt(i)
-      if (c == '#') { cntHash += 1; i += 1 }
-      else if (c == '…') { cntUniEll += 1; i += 1 }
-      else if (c == '.' && i + 2 < wt.length &&
-               wt.charAt(i + 1) == '.' && wt.charAt(i + 2) == '.') {
-        cntDots += 1; i += 3
-      } else i += 1
-    }
-    val hashRatio = if (nW == 0) 0.0 else cntHash.toDouble / nW
-    if (!(hashRatio <= p.maxHashRatio)) return false
-    val ellRatio = if (nW == 0) 0.0
-      else cntDots.toDouble / nW + cntUniEll.toDouble / nW
-    if (!(ellRatio <= p.maxEllipsisRatio)) return false
-
-    // --- stage 3: line pass ---
-    val lines = text.split("\n", -1)
-    var bulletLines = 0
-    var ellLines = 0
-    var dupLines = 0
-    var lineChars = 0L
-    var dupLineChars = 0L
-    val seen = new java.util.HashSet[String]()
-    i = 0
-    while (i < lines.length) {
-      val l = lines(i)
-      lineChars += l.length
-      if (!seen.add(l)) { dupLines += 1; dupLineChars += l.length }
-      var a = 0
-      while (a < l.length && Character.isWhitespace(l.charAt(a))) a += 1
-      if (a < l.length) {
-        val c = l.charAt(a)
-        if (c == '-' || c == '*' || c == '•') bulletLines += 1
-      }
-      var z = l.length - 1
-      while (z >= 0 && Character.isWhitespace(l.charAt(z))) z -= 1
-      if (z >= 0 && (l.charAt(z) == '…' ||
-          (z >= 2 && l.charAt(z) == '.' && l.charAt(z - 1) == '.' && l.charAt(z - 2) == '.')))
-        ellLines += 1
-      i += 1
-    }
-    val nLines = lines.length
-    if (!(bulletLines.toDouble / nLines <= p.maxBulletLineRatio)) return false
-    if (!(ellLines.toDouble / nLines <= p.maxEllipsisLineRatio)) return false
-    if (!(dupLines.toDouble / nLines <= p.maxDupLineRatio)) return false
-    val dlc = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
-    if (!(dlc <= p.maxDupLineCharRatio)) return false
-
-    // --- stage 4: n-gram engine, ascending n, exit at first violation ---
-    val maxN = (p.topNs.lastOption.getOrElse(1)).max(p.dupNs.lastOption.getOrElse(1))
-    var ti = 0
-    var di = 0
-    if (maxN >= 2 && nW > 0 && charTotal > 0) {
-      val th = new Array[Long](nW)
-      val pre = new Array[Long](nW + 1)
-      i = 0
-      while (i < nW) {
-        th(i) = XXH3.hashString(ws(i))
-        pre(i + 1) = pre(i) + ws(i).length
-        i += 1
-      }
-      val g = th.clone()
-      val sbuf = new Array[Long](nW)
-      val covered = new Array[Boolean](nW)
-      def countOf(m: Int, h: Long): Int = {
-        var lo = 0; var hi = m
-        while (lo < hi) { val mid = (lo + hi) >>> 1
-          if (sbuf(mid) < h) lo = mid + 1 else hi = mid }
-        val first = lo
-        hi = m
-        while (lo < hi) { val mid = (lo + hi) >>> 1
-          if (sbuf(mid) <= h) lo = mid + 1 else hi = mid }
-        lo - first
-      }
-      var n = 1
-      while (n <= maxN) {
-        val m = nW - n + 1
-        if (n >= 2 && m > 0) {
-          i = 0
-          while (i < m) { g(i) = combineHash(g(i), th(i + n - 1)); i += 1 }
-        }
-        val isTop = ti < p.topNs.length && p.topNs(ti) == n
-        val isDup = di < p.dupNs.length && p.dupNs(di) == n
-        if ((isTop || isDup) && m > 0) {
-          System.arraycopy(g, 0, sbuf, 0, m)
-          java.util.Arrays.sort(sbuf, 0, m)
-        }
-        if (isTop) {
-          var ratio = 0.0
-          if (m > 0) {
-            var maxCount = 0
-            i = 0
-            while (i < m) {
-              var j = i + 1
-              while (j < m && sbuf(j) == sbuf(i)) j += 1
-              if (j - i > maxCount) maxCount = j - i
-              i = j
-            }
-            var bestLen = -1L
-            i = 0
-            while (i < m) {
-              if (countOf(m, g(i)) == maxCount) {
-                val len = pre(i + n) - pre(i)
-                if (len > bestLen) bestLen = len
-              }
-              i += 1
-            }
-            ratio = math.min(1.0, maxCount.toDouble * bestLen / charTotal)
-          }
-          if (!(ratio <= p.topMax(ti))) return false
-          ti += 1
-        }
-        if (isDup) {
-          var ratio = 0.0
-          if (m > 0) {
-            java.util.Arrays.fill(covered, 0, nW, false)
-            i = 0
-            while (i < m) {
-              if (countOf(m, g(i)) >= 2) {
-                var j = i
-                while (j < i + n) { covered(j) = true; j += 1 }
-              }
-              i += 1
-            }
-            var dup = 0L
-            i = 0
-            while (i < nW) { if (covered(i)) dup += ws(i).length; i += 1 }
-            ratio = dup.toDouble / charTotal
-          }
-          if (!(ratio <= p.dupMax(di))) return false
-          di += 1
-        }
-        n += 1
-      }
-    }
-    // engine skipped (or lists beyond maxN): every remaining signal is 0.0
-    while (ti < p.topNs.length) { if (!(0.0 <= p.topMax(ti))) return false; ti += 1 }
-    while (di < p.dupNs.length) { if (!(0.0 <= p.dupMax(di))) return false; di += 1 }
-    true
-  }
+  def gopherKeep(text: String, p: GopherParams): Boolean =
+    gopherCompute(text, p.topNs, p.dupNs, p) != null
 
   /**
    * Rabin–Karp rolling hashes of every k-char window at the given stride:
@@ -1034,12 +882,22 @@ object TextOps {
     out
   }
 
-  /** Merge sorted window-start positions into maximal covered spans:
-    * each position p covers [p, p+winLen); overlapping or touching covers
+  /** Merge window-start positions into maximal covered spans: each
+    * position p covers [p, p+winLen); overlapping or touching covers
     * merge. Returns flattened [start0, end0, start1, end1, ...] (ends
-    * exclusive). Input must be ascending (the operator sorts). */
-  def mergeSpans(positions: Array[Long], winLen: Int): Array[Long] = {
-    if (positions.isEmpty) return Array.emptyLongArray
+    * exclusive). The input is defensively sorted (a copy) when not already
+    * ascending — the result is a property of the SET of windows, and the
+    * expression is SQL-exposed where callers owe no ordering. */
+  def mergeSpans(positions0: Array[Long], winLen: Int): Array[Long] = {
+    if (positions0.isEmpty) return Array.emptyLongArray
+    var sorted = true
+    var s = 1
+    while (s < positions0.length && sorted) {
+      sorted = positions0(s - 1) <= positions0(s); s += 1
+    }
+    val positions =
+      if (sorted) positions0
+      else { val c = positions0.clone(); java.util.Arrays.sort(c); c }
     val out = new scala.collection.mutable.ArrayBuffer[Long](8)
     var start = positions(0)
     var end = positions(0) + winLen

@@ -76,21 +76,32 @@ object WarcParser {
               s"warc: expected version line, got '${line.take(40)}'")
           val version = line
           val hdrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var lastKey: String = null
           var h = readLine(in)
           while (h != null && h.nonEmpty) {
-            val i = h.indexOf(':')
-            if (i <= 0) throw new java.io.IOException(s"warc: bad header '${h.take(60)}'")
-            hdrs(h.substring(0, i).trim) = h.substring(i + 1).trim
+            if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
+              // spec §4: a header value may fold onto continuation lines
+              // beginning with space/tab
+              if (lastKey == null)
+                throw new java.io.IOException(s"warc: continuation before any header")
+              hdrs(lastKey) = hdrs(lastKey) + " " + h.trim
+            } else {
+              val i = h.indexOf(':')
+              if (i <= 0) throw new java.io.IOException(s"warc: bad header '${h.take(60)}'")
+              lastKey = h.substring(0, i).trim
+              hdrs(lastKey) = h.substring(i + 1).trim
+            }
             h = readLine(in)
           }
           if (h == null) throw new java.io.IOException("warc: EOF inside header block")
           val len = hdrs.collectFirst {
             case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
           }.getOrElse(throw new java.io.IOException("warc: record without Content-Length"))
-          if (len < 0 || len > maxRecordBytes)
+          // Int.MaxValue cap is structural (byte[] indexing), not tunable
+          if (len < 0 || len > maxRecordBytes || len > Int.MaxValue - 8)
             throw new java.io.IOException(
-              s"warc: Content-Length $len outside [0, $maxRecordBytes] — corrupt " +
-                "record or raise maxRecordBytes")
+              s"warc: Content-Length $len outside [0, min($maxRecordBytes, " +
+                s"${Int.MaxValue - 8})] — corrupt record or raise maxRecordBytes")
           val payload =
             if (keepPayload) {
               val buf = new Array[Byte](len.toInt)
@@ -146,17 +157,18 @@ object WarcParser {
     if (payload.length < 5 ||
         !(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' && payload(3) == 'P'))
       return payload
+    // ONE left-to-right scan for the EARLIEST header terminator of either
+    // form (CRLF CRLF canonical, LF LF bare-LF tolerance). Two sequential
+    // scans would be wrong: bare-LF headers over a CRLF-bodied page have
+    // no CRLFCRLF in the header block but plenty in the body, and a
+    // CRLFCRLF-first scan would split mid-body and silently discard the
+    // front of the page.
     var i = 0
     val n = payload.length
-    while (i + 3 < n) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+    while (i + 1 < n) {
+      if (payload(i) == '\r' && i + 3 < n && payload(i + 1) == '\n' &&
           payload(i + 2) == '\r' && payload(i + 3) == '\n')
         return java.util.Arrays.copyOfRange(payload, i + 4, n)
-      i += 1
-    }
-    // LF LF tolerance
-    i = 0
-    while (i + 1 < n) {
       if (payload(i) == '\n' && payload(i + 1) == '\n')
         return java.util.Arrays.copyOfRange(payload, i + 2, n)
       i += 1

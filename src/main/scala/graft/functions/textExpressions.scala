@@ -532,9 +532,10 @@ case class RollingKgramHashes(child: Expression, k: Int, stride: Int)
     copy(child = c)
 }
 
-/** merge_spans(sorted_positions, winLen) -> array<struct<span_start,
-  * span_end>>: maximal merged char spans covered by winLen-wide windows at
-  * the given (ascending) start positions; ends exclusive. */
+/** merge_spans(positions, winLen) -> array<struct<span_start, span_end>>:
+  * maximal merged char spans covered by winLen-wide windows at the given
+  * start positions (any order — the result is a property of the window
+  * SET; null elements rejected); ends exclusive. */
 case class MergeSpans(child: Expression, winLen: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(winLen >= 1, "winLen must be >= 1")
@@ -553,6 +554,14 @@ case class MergeSpans(child: Expression, winLen: Int)
 object MergeSpans {
   def merge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
             winLen: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    var ni = 0
+    val nel = arr.numElements()
+    while (ni < nel) {
+      if (arr.isNullAt(ni))
+        throw new IllegalArgumentException(
+          "merge_spans: position array must not contain NULL elements")
+      ni += 1
+    }
     val flat = graft.core.text.TextOps.mergeSpans(arr.toLongArray(), winLen)
     val rows = new Array[Any](flat.length / 2)
     var i = 0

@@ -95,25 +95,10 @@ private[sources] class DnsMagScan(paths: Seq[String], required: StructType)
   override def toBatch: Batch = this
   override def description(): String = s"dnsmag ${paths.mkString(", ")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val hconf = spark.sessionState.newHadoopConf()
-    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
-    val files: Seq[FileStatus] = paths.flatMap { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(hconf)
-      val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty[FileStatus])
-      if (matched.isEmpty)
-        throw new java.io.FileNotFoundException(s"dnsmag source: path does not exist: $p")
-      matched.toSeq.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(f => f.isFile && !hidden(f.getPath.getName))
-        else Seq(st)
-      }
-    }
-    files.map(f => DnsMagInputPartition(f.getPath.toString)).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DataFileListing.listDataFiles(paths,
+        SparkSession.active.sessionState.newHadoopConf(), "dnsmag")
+      .map(f => DnsMagInputPartition(f.getPath.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(

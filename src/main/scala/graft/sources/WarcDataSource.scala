@@ -102,23 +102,10 @@ private[sources] class WarcScan(paths: Seq[String], types: Seq[String],
   override def toBatch: Batch = this
   override def description(): String = s"warc ${paths.mkString(", ")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val hconf = SparkSession.active.sessionState.newHadoopConf()
-    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
-    val files: Seq[FileStatus] = paths.flatMap { p =>
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(hconf)
-      val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty[FileStatus])
-      if (matched.isEmpty)
-        throw new java.io.FileNotFoundException(s"warc source: path does not exist: $p")
-      matched.toSeq.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(f => f.isFile && !hidden(f.getPath.getName))
-        else Seq(st)
-      }
-    }
-    files.map(f => WarcInputPartition(f.getPath.toString)).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DataFileListing.listDataFiles(paths,
+        SparkSession.active.sessionState.newHadoopConf(), "warc")
+      .map(f => WarcInputPartition(f.getPath.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames, types.toArray, maxRecordBytes,

@@ -162,8 +162,13 @@ object StreamingSketch {
    * [[dedupExact]]): duplicates arriving farther apart than the
    * watermark/TTL horizon can be missed; run batch LSH over the sink for
    * longer horizons. A pair sharing several bands can be emitted once per
-   * band (different state keys cannot coordinate); `.dropDuplicates` the
-   * sink or tolerate idempotent pair handling downstream.
+   * band (different state keys cannot coordinate), and an at-least-once
+   * source replaying a doc that was compared but NOT buffered (its bucket
+   * was at `maxPerBucket`) re-emits that doc's pairs — BUFFERED docs are
+   * replay-guarded, but remembering over-cap arrivals would need exactly
+   * the unbounded state the cap exists to avoid. Both cases are duplicate
+   * EMISSIONS of true pairs, never wrong pairs: `.dropDuplicates` the sink
+   * or tolerate idempotent pair handling downstream.
    */
   def minhashLshPairsStream(docs: DataFrame, tsCol: String, watermark: String,
                             stateTtlMs: Long, n: Int = 3, numHashes: Int = 32,

@@ -1260,6 +1260,19 @@ class OperatorsSpec extends AnyFunSuite {
         assert(s.topNgram(i) === TextOps.topNgramCharRatio(wt, n), s"top_$n [$text]")
       for ((n, i) <- dupNs.zipWithIndex)
         assert(s.dupNgram(i) === TextOps.dupNgramCharRatio(wt, n), s"dup_$n [$text]")
+      // n=1-only configuration (no n >= 2 to drag the engine in): the
+      // unigram signal must still compute, and the keep kernel must still
+      // enforce its threshold
+      val s1 = TextOps.gopherStats(text, Array(1), Array.empty)
+      assert(s1.topNgram(0) === TextOps.topNgramCharRatio(wt, 1), s"top_1 only [$text]")
+      val p1 = graft.operators.GopherThresholds(
+        minWords = 0, minMeanWordLen = 0, maxMeanWordLen = 1e9,
+        minAlphaWordRatio = 0, minStopwordHits = 0,
+        maxHashRatio = 1e9, maxEllipsisRatio = 1e9, maxBulletLineRatio = 1e9,
+        maxEllipsisLineRatio = 1e9, maxDupLineRatio = 1e9, maxDupLineCharRatio = 1e9,
+        maxTopNgramRatio = Map(1 -> 0.5), maxDupNgramRatio = Map.empty).toParams
+      assert(TextOps.gopherKeep(text, p1) === (s1.topNgram(0) <= 0.5),
+        s"keep must enforce the top-1-gram threshold [$text]")
     }
   }
 

@@ -47,10 +47,12 @@ class WarcSourceSpec extends AnyFunSuite {
     (0 until 3).foreach(i => plain.write(record(i)))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), plain.toByteArray)
     // canonical .warc.gz: one gzip MEMBER per record, concatenated
+    // (close() releases each member's native Deflater; ByteArrayOutputStream
+    // close is a no-op so the buffer survives)
     val gz = new ByteArrayOutputStream()
     (3 until 7).foreach { i =>
       val m = new GZIPOutputStream(gz)
-      m.write(record(i)); m.finish()
+      m.write(record(i)); m.close()
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"), gz.toByteArray)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_SUCCESS"), "")
@@ -84,6 +86,24 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(skipped.map(_.warcType) === all.map(_.warcType))
     assert(skipped.map(_.contentLength) === all.map(_.contentLength))
     assert(skipped.forall(_.payload.isEmpty))
+  }
+
+  test("parser: folded headers, earliest header terminator, structural length cap") {
+    // spec-valid folded (continuation) header lines join with a space
+    val folded = ("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://x\r\n" +
+      " example/long/path\r\nContent-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val fr = WarcParser.records(new java.io.ByteArrayInputStream(folded)).toSeq
+    assert(fr.head.url === "https://x example/long/path")
+    // bare-LF HTTP headers over a CRLF body: the EARLIEST terminator wins —
+    // a CRLFCRLF-first scan would split inside the body and drop its front
+    val mixed = ("HTTP/1.1 200 OK\nContent-Type: text/html\n\n" +
+      "line one\r\n\r\nline two").getBytes("UTF-8")
+    assert(new String(WarcParser.httpBody(mixed), "UTF-8") === "line one\r\n\r\nline two")
+    // raising maxRecordBytes past 2 GiB must not defeat the byte[] cap
+    val big = ("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 3000000000\r\n\r\n").getBytes("UTF-8")
+    val e = intercept[java.io.IOException](WarcParser.records(
+      new java.io.ByteArrayInputStream(big), maxRecordBytes = 8L << 30).toSeq)
+    assert(e.getMessage.contains("Content-Length"))
   }
 
   test("format(\"warc\"): dir read, gzip members, per-file partitions, type filter") {

@@ -257,6 +257,10 @@ class StreamingSpec extends AnyFunSuite {
     arrivals.zipWithIndex.foreach { case (id, i) =>
       Seq((id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${10 + i}%02d"), text))
         .toDF("doc_id", "ts", "text").write.parquet(s"$srcDir/c=$i")
+      // FileStreamSource orders by modification time: pin distinct mtimes
+      // so fast-disk ties cannot reorder the intended arrival sequence
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$srcDir/c=$i")).forEach(p =>
+        p.toFile.setLastModified(1700000000000L + i * 10000L))
     }
     val (k, bands) = (16, 4)
     val q = StreamingSketch.minhashLshPairsStream(
