@@ -29,15 +29,21 @@ object Dedup {
     * times recomputes k times unless pinned. Reliable checkpoint when the
     * session has a checkpoint dir (the cluster deployment path — durable on
     * the shared FS, survives executor loss); localCheckpoint otherwise.
-    * createDataFrame mints fresh attribute ids so the pinned frame can be
-    * referenced several times in one plan (self-joins/self-unions of the
-    * same attribute ids trip Catalyst's constraint rewrites). */
+    * Re-wrapping the checkpoint's internal row RDD mints fresh attribute
+    * ids so the pinned frame can be referenced several times in one plan
+    * (self-joins/self-unions of the same attribute ids trip Catalyst's
+    * constraint rewrites) — via the graftshim internal constructor, NOT
+    * `createDataFrame(toJavaRDD, schema)`, which re-encodes every row
+    * through the boxed RowEncoder (measured ~50 CPU-seconds on a 1.5M-row
+    * pin; the checkpoint already holds copied UnsafeRows, so the re-wrap
+    * is zero-copy). */
   private[operators] def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cut =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    spark.createDataFrame(cut.toJavaRDD, df.schema)
+    org.apache.spark.sql.graftshim.shims.internalCreateDataFrame(
+      spark, cut.queryExecution.toRdd, df.schema)
   }
 
   /** Exact dedup: keep the smallest id per identical text, keyed by a
@@ -634,7 +640,12 @@ object Dedup {
       s"to be a repeat), got $minDf")
     import graft.functions.GraftFunctions.{rolling_kgram_hashes, merge_spans}
     // pinned: the index is referenced twice (df aggregation + flag join)
-    // and Catalyst re-expands referenced subtrees
+    // and Catalyst re-expands referenced subtrees. (Measured and NOT done:
+    // repartitioning the index before the pin — on a small single-split
+    // input the pin holds 1-2 partitions and downstream exchange map sides
+    // run serially, but the repartition's own map side IS that same serial
+    // explode, so it only adds a shuffle; at crawl scale the input has
+    // thousands of splits and neither effect exists.)
     val grams = pin(docs.select(col(idCol),
         posexplode(rolling_kgram_hashes(col(textCol), minLen, stride)))
       .select(col(idCol), (col("pos").cast("long") * stride).as("p"), col("col").as("h")))

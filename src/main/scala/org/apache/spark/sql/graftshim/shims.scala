@@ -16,4 +16,18 @@ object shims {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an InternalRow RDD with FRESH attribute ids — the
+    * re-rooting primitive behind the engine's `pin` (self-join-safe
+    * references to a materialized frame). The public alternative,
+    * `createDataFrame(df.toJavaRDD, schema)`, round-trips every row
+    * through the boxed RowEncoder on write AND per downstream reference —
+    * measured ~50 CPU-seconds on a 1.5M-row pin; this is a zero-copy
+    * re-wrap of the already-checkpointed rows. */
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
