@@ -491,6 +491,25 @@ object SparkEntry {
       graft.operators.Dedup.repeatedSpans(planted, minLen = L, minDf = 2)
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    "q_strip_spans" -> ((s, dir) => {
+      // the APPLY step of span dedup: audit the planted corpus (same
+      // construction as q_repeated_spans) and SPLICE every flagged range
+      // out. Oracle rebuilds each stripped text character-by-character in
+      // DuckDB (chars not covered by any merged span, in order) — a
+      // completely independent formulation of the splice.
+      val L = 40
+      val planted = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" this website uses cookies to improve your experience ok"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" "), substring(col("text"), 1, 45))).otherwise(lit("")))
+          .as("text"))
+      graft.operators.Dedup.stripSpans(planted,
+          graft.operators.Dedup.repeatedSpans(planted, minLen = L, minDf = 2))
+        .orderBy(col("doc_id"))
+    }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // corpus-level paragraph/line dedup (CCNet/Dolma style): multiline
       // docs synthesized as in q_text_repetition, with a shared cookie
@@ -1321,6 +1340,40 @@ object SparkEntry {
       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
              CAST(max(pos) + 40 AS BIGINT) AS span_end
       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q_strip_spans" -> """
+      WITH p AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' this website uses cookies to improve your experience ok'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' ' || substring(text, 1, 45)
+                    ELSE '' END AS t
+        FROM documents),
+      g AS (SELECT doc_id, unnest(range(0, greatest(len(t) - 39, 0))) AS pos, t FROM p),
+      g2 AS (SELECT doc_id, pos, substr(t, CAST(pos AS INTEGER) + 1, 40) AS w FROM g),
+      hot AS (SELECT w FROM g2 GROUP BY 1 HAVING count(*) >= 2),
+      f AS (SELECT doc_id, pos FROM g2 WHERE w IN (SELECT w FROM hot)),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40
+                   THEN 1 ELSE 0 END AS brk
+            FROM f),
+      isl AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM m),
+      spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+                FROM isl GROUP BY doc_id, island),
+      chars AS (SELECT doc_id, unnest(range(0, len(t))) AS ci, t FROM p),
+      keptc AS (SELECT c.doc_id, c.ci, substr(c.t, CAST(c.ci AS INTEGER) + 1, 1) AS ch
+                FROM chars c LEFT JOIN spans sp
+                  ON sp.doc_id = c.doc_id AND c.ci >= sp.s AND c.ci < sp.e
+                WHERE sp.doc_id IS NULL)
+      SELECT p.doc_id,
+             coalesce(string_agg(k.ch, '' ORDER BY k.ci), '') AS text
+      FROM p LEFT JOIN keptc k ON k.doc_id = p.doc_id
+      GROUP BY p.doc_id ORDER BY p.doc_id""",
     "q_strip_boilerplate" -> """
       WITH ml AS (
         SELECT doc_id,

@@ -912,6 +912,30 @@ object TextOps {
     out.toArray
   }
 
+  /** Remove [start, end) char ranges from a text (the splice step of
+    * span-level dedup). Ranges may arrive unsorted/overlapping (they are
+    * sorted and merged here — the result is a property of the covered
+    * SET) and are clamped to the text's bounds. */
+  def spliceOut(text: String, starts: Array[Long], ends: Array[Long]): String = {
+    if (starts.isEmpty) return text
+    val n = starts.length
+    val idx = Array.range(0, n).sortBy(starts(_))
+    val sb = new java.lang.StringBuilder(text.length)
+    var cursor = 0
+    var k = 0
+    while (k < n) {
+      val s = math.max(0L, math.min(starts(idx(k)), text.length.toLong)).toInt
+      val e = math.max(0L, math.min(ends(idx(k)), text.length.toLong)).toInt
+      if (e > s) {
+        if (s > cursor) sb.append(text, cursor, s)
+        if (e > cursor) cursor = e
+      }
+      k += 1
+    }
+    if (cursor < text.length) sb.append(text, cursor, text.length)
+    sb.toString
+  }
+
   def alphaRatio(text: String): Double = {
     if (text == null || text.isEmpty) return 0.0
     var a = 0

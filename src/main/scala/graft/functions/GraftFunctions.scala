@@ -79,6 +79,8 @@ object GraftFunctions {
   def merge_spans(positions: Column, winLen: Int): Column =
     column(MergeSpans(expression(positions), winLen))
   def http_body(c: Column): Column = column(HttpBody(expression(c)))
+  def splice_out(text: Column, spans: Column): Column =
+    column(SpliceOut(expression(text), expression(spans)))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
@@ -159,6 +161,7 @@ object GraftFunctions {
       e(1).eval().toString.toInt,
       if (e.length > 2) e(2).eval().toString.toInt else 1)),
     "merge_spans" -> (e => MergeSpans(e.head, e(1).eval().toString.toInt)),
+    "splice_out" -> (e => SpliceOut(e.head, e(1))),
     "top_ngram_char_ratio" -> (e => TopNgramCharRatio(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
     "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,

@@ -589,6 +589,47 @@ case class HttpBody(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): HttpBody = copy(child = c)
 }
 
+/** splice_out(text, array<struct<span_start, span_end>>) -> string with
+  * the [start, end) char ranges removed — the apply step of span-level
+  * dedup ([[graft.operators.Dedup.stripSpans]]). Ranges may be unsorted or
+  * overlapping; out-of-bounds offsets clamp. */
+case class SpliceOut(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType,
+    ArrayType(StructType(Seq(
+      StructField("span_start", LongType), StructField("span_end", LongType)))))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "splice_out"
+  override def nullSafeEval(text: Any, spans: Any): Any =
+    SpliceOut.splice(text.asInstanceOf[UTF8String],
+      spans.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.SpliceOut.splice($t, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SpliceOut =
+    copy(left = l, right = r)
+}
+
+object SpliceOut {
+  def splice(text: UTF8String,
+             spans: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = spans.numElements()
+    if (n == 0) return text
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (spans.isNullAt(i))
+        throw new IllegalArgumentException("splice_out: span array must not contain NULLs")
+      val r = spans.getStruct(i, 2)
+      starts(i) = r.getLong(0)
+      ends(i) = r.getLong(1)
+      i += 1
+    }
+    UTF8String.fromString(
+      graft.core.text.TextOps.spliceOut(text.toString, starts, ends))
+  }
+}
+
 /** Codegen'd non-empty word count (size(filter(split(...))) is a
   * CodegenFallback higher-order composition). */
 case class WordCount(child: Expression) extends TextUnary {

@@ -659,6 +659,37 @@ object Dedup {
   }
 
   /**
+   * Remove char ranges from documents — the APPLY step of span-level
+   * dedup: feed it [[repeatedSpans]] output (filtered by whatever policy
+   * the corpus wants: drop every occurrence like C4's line dedup, keep
+   * the first like Lee et al., keep spans under a length cap, ...) and
+   * every listed [start, end) range disappears from that doc's text;
+   * docs with no spans pass through untouched, all other columns
+   * preserved. Overlapping/unsorted ranges are merged per doc before
+   * splicing (the codegen'd kernel re-merges defensively), and
+   * out-of-bounds offsets clamp — offsets are Java char offsets, matching
+   * [[repeatedSpans]].
+   *
+   * Scale shape: spans aggregate per doc (one groupBy on the id — span
+   * count per doc is bounded by its own length), then ONE left equi-join
+   * against the corpus and a row-local splice. No shuffle of text except
+   * the join's own movement of the corpus rows.
+   */
+  def stripSpans(docs: DataFrame, spans: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.splice_out
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(docs.columns.map(c =>
+        if (c == textCol)
+          when(col("__spans").isNull, col(textCol))
+            .otherwise(splice_out(col(textCol), col("__spans"))).as(textCol)
+        else col(c)).toIndexedSeq: _*)
+  }
+
+  /**
    * Winnowing overlap pairs — LOCAL duplication detection (shared passages,
    * quotations, boilerplate blocks) that whole-document Jaccard misses:
    * docs sharing >= `minShared` winnowing fingerprints. By the winnowing

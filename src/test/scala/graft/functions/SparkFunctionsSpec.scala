@@ -136,7 +136,9 @@ class SparkFunctionsSpec extends AnyFunSuite {
         gopher_keep($"text", graft.operators.GopherThresholds().toParams),
         size(rolling_kgram_hashes($"text", 8, 2)),
         size(merge_spans(sort_array(array(length($"text").cast("long"), lit(3L))), 5)),
-        length(http_body(encode($"text", "UTF-8"))))
+        length(http_body(encode($"text", "UTF-8"))),
+        length(splice_out($"text",
+          array(struct(lit(0L).as("span_start"), lit(2L).as("span_end"))))))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

@@ -1418,6 +1418,48 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.repeatedSpans(sCorpus, minLen = L, minDf = 1))
   }
 
+  test("stripSpans splices audited ranges out; policy-agnostic, schema preserved") {
+    import graft.core.text.TextOps
+    // kernel: unsorted + overlapping + out-of-bounds ranges
+    assert(TextOps.spliceOut("0123456789", Array(7L, 2L), Array(9L, 4L)) === "01456 9".replace(" ", ""))
+    assert(TextOps.spliceOut("0123456789", Array(2L, 3L), Array(5L, 8L)) === "0189")
+    assert(TextOps.spliceOut("abc", Array(-5L, 2L), Array(1L, 99L)) === "b", "clamped")
+    assert(TextOps.spliceOut("abc", Array.empty, Array.empty) === "abc")
+
+    // end-to-end: audit + strip removes exactly the covered chars
+    val L = 30
+    def hex(id: Long, n: Int) = {
+      val r2 = new java.util.Random(id * 7 + 3)
+      (0 until n).map(_ => Integer.toHexString(r2.nextInt(16))).mkString
+    }
+    val banner = "B" * (L + 10)
+    val corpus = (0L until 8L).map { id =>
+      val base = hex(id, 150)
+      (id, if (id % 2 == 0) base + banner else base, s"l${id % 3}")
+    }.toDF("doc_id", "text", "lang")
+    val spans = Dedup.repeatedSpans(corpus, minLen = L, minDf = 2)
+    val stripped = Dedup.stripSpans(corpus, spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val spanMap = spans.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)).toMap
+    for ((id, text, lang) <- corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))) {
+      val expect = spanMap.get(id) match {
+        case None => text
+        case Some(ss) =>
+          val keep = (0 until text.length).filterNot(i =>
+            ss.exists(s => i >= s._1 && i < s._2))
+          keep.map(text.charAt).mkString
+      }
+      assert(stripped(id)._1 === expect, s"doc $id")
+      assert(stripped(id)._2 === lang, "other columns preserved")
+    }
+    assert((0L until 8L by 2).forall(id => !stripped(id)._1.contains("BBB")),
+      "banner gone from every even doc")
+    assert((1L until 8L by 2).forall(id => stripped(id)._1.length === 150),
+      "unique docs untouched")
+  }
+
   test("Gopher n-gram repetition: top-n-gram and duplicated-n-gram char fractions") {
     import graft.core.text.TextOps
     // "a b a b a b": 2-grams "a b"x3, "b a"x2 -> 3*2/6 chars
