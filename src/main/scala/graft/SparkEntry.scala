@@ -912,6 +912,39 @@ object SparkEntry {
         .select(col("r.check").as("check"), col("r.observed").as("observed"),
           col("r.bound").as("bound"))
     }),
+    "q_resample_counts" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic resampling (up AND down) to exact per-stratum
+      // counts: en downsamples at sf0.1 / upsamples at sf0.01, de always
+      // upsamples, zh flips direction across SFs — every invariant checked
+      // as a violation row (oracle: empty): exact totals, maximally even
+      // per-doc copies (floor/ceil of T/c with exactly T mod c ceils),
+      // contiguous 0-based epochs, whitelist semantics
+      val targets = Map("en" -> 500L, "de" -> 1000L, "zh" -> 100L)
+      val docs = s.read.parquet(t(dir, "documents"))
+      val out = graft.operators.Sampling.resampleToCounts(docs, "lang", targets)
+        .localCheckpoint()
+      val exp = docs.filter($"lang".isInCollection(targets.keys.toSeq))
+        .groupBy($"lang").agg(count(lit(1)).as("c"))
+        .join(targets.toSeq.toDF("lang", "t"), "lang")
+      val perDoc = out.groupBy($"lang", $"doc_id")
+        .agg(count(lit(1)).as("k"), min($"epoch").as("emin"),
+          max($"epoch").as("emax"), countDistinct($"epoch").as("edis"))
+      val v1 = out.groupBy($"lang").agg(count(lit(1)).as("n")).join(exp, "lang")
+        .filter($"n" =!= $"t").select($"lang", lit("stratum_total").as("violation"))
+      val v2 = perDoc.join(exp, "lang")
+        .filter($"k" =!= floor($"t" / $"c") && $"k" =!= floor($"t" / $"c") + 1)
+        .select($"lang", lit("copies_uneven").as("violation"))
+      val v3 = perDoc.filter($"emin" =!= 0L || $"emax" =!= $"k" - 1L || $"edis" =!= $"k")
+        .select($"lang", lit("epoch_range").as("violation"))
+      val v4 = perDoc.join(exp, "lang").groupBy($"lang", $"t", $"c")
+        .agg(sum(when($"k" === floor($"t" / $"c") + 1L, 1L).otherwise(0L)).as("nceil"))
+        .filter($"nceil" =!= pmod($"t", $"c"))
+        .select($"lang", lit("extra_count").as("violation"))
+      val v5 = out.filter(!$"lang".isInCollection(targets.keys.toSeq))
+        .select($"lang", lit("whitelist").as("violation"))
+      v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
+    }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC ingestion head: documents written as a spec-layout
       // member-per-record .warc.gz (driver-side — bounded by the gate SF,
@@ -1665,6 +1698,8 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_ann_lsh" -> """
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
+    "q_resample_counts" -> """
+      SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
     "q_warc_roundtrip" -> """
       SELECT 'https://d' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.example/x' AS url,
              TIMESTAMP '2024-03-01 00:00:00' AS warc_ts,

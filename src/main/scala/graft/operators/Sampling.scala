@@ -123,6 +123,76 @@ object Sampling {
   }
 
   /**
+   * Resample every targeted stratum to an EXACT row count, deterministic —
+   * the REPLICATION half of mix balancing ([[toDistribution]] can only
+   * shrink to the largest feasible mix; real training mixes UPSAMPLE
+   * low-resource strata, i.e. run multiple epochs over the same documents,
+   * as in published multilingual/temperature-weighted mixes). A stratum
+   * with c rows and target T emits floor(T/c) copies of EVERY row plus one
+   * extra copy for the (T mod c) rows chosen by the engine's hashed-key
+   * order — totals are exactly T, every row appears floor(T/c) or
+   * ceil(T/c) times (maximally even), and T < c degrades to the same
+   * deterministic top-T downsample the other samplers use. The output adds
+   * an `epoch` column (0-based copy index) so downstream shuffles can
+   * interleave epochs instead of emitting a doc's copies back-to-back.
+   * Strata absent from `targets` (or NULL) are dropped — a mix is a
+   * whitelist; a positive target for an EMPTY stratum fails fast (rows
+   * cannot be manufactured).
+   *
+   * Scale shape: one count aggregation (#targets rows to the driver),
+   * quotas broadcast back, the extra-copy selection is the shared
+   * two-phase top-k (NO global per-stratum rank — a window rank over a
+   * hot stratum would serialize into one task), and replication is a
+   * row-local sequence explode whose output size is exactly the requested
+   * sum of targets.
+   */
+  def resampleToCounts(df: DataFrame, strataCol: String, targets: Map[String, Long],
+                       keyCol: String = "doc_id", maxEpochs: Long = 10000L): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(_ >= 0L), "targets must be >= 0")
+    val sCol = col(strataCol).cast("string")
+    val inT = df.filter(sCol.isNotNull && sCol.isInCollection(targets.keys.toSeq))
+    val counts = inT.groupBy(sCol.as("__s")).agg(count(lit(1)).as("__c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (s, t) =>
+      require(t == 0L || counts.getOrElse(s, 0L) > 0L,
+        s"resampleToCounts: stratum '$s' has no rows but a target of $t — " +
+          "rows cannot be manufactured; drop it from the mix or fix the corpus")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val plan = targets.toSeq.map { case (s, t) =>
+      val c = counts.getOrElse(s, 0L)
+      // fail-fast sanity cap (maxEpochs; 0 = opt out): each row's copies
+      // materialize as one sequence array, and a target implying e.g.
+      // 500000 epochs of a tiny stratum is a misconfigured mix, not a
+      // plan — better an actionable error than an executor OOM
+      if (c > 0 && maxEpochs > 0)
+        require(t / c <= maxEpochs,
+          s"resampleToCounts: stratum '$s' target $t over $c rows implies " +
+            s"${t / c} epochs, over maxEpochs=$maxEpochs — raise/disable the " +
+            "cap if this extreme upsampling is intended")
+      (s, if (c == 0) 0L else t / c, if (c == 0) 0L else t % c)
+    }
+    val quotaDf = plan.toDF("__stratum", "__base", "__quota")
+    val withQuota = inT.join(broadcast(quotaDf), sCol === col("__stratum"))
+      .drop("__stratum")
+    // the (T mod c) extra-copy rows, selected by the shared two-phase top-k
+    val extras = takeByQuota(
+        withQuota.drop("__base"), strataCol, keyCol, df.columns.toIndexedSeq :+ "__quota")
+      .drop("__quota")
+      .select(col(strataCol).as("__xs"), col(keyCol).as("__xk"))
+    val flagged = withQuota.join(extras,
+        sCol === col("__xs").cast("string") && col(keyCol) <=> col("__xk"), "left")
+      .withColumn("__copies",
+        col("__base") + when(col("__xk").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") >= 1L)
+    flagged
+      .select(df.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(0L), col("__copies") - 1L)).as("epoch"): _*)
+  }
+
+  /**
    * EXACT per-stratum quotas, deterministic: each stratum keeps its
    * ceil(fraction * |stratum|) smallest rows by hashed-key order (a stable
    * pseudo-random order — so the quota is met exactly AND the chosen rows

@@ -383,6 +383,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mixed === Map("x" -> 29, "y" -> 71), s"float floor lost a row: $mixed")
   }
 
+  test("resampleToCounts: exact totals, even epochs, whitelist, guards, partition-invariant") {
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"text $i", if (i < 200) "big" else if (i < 290) "mid" else "tiny"))
+      .toDF("doc_id", "text", "lang")
+    // big: 200 rows downsampled to 150; mid: 90 upsampled to 250 (2 epochs
+    // + 70 extras); tiny: 10 upsampled to 95 (9 epochs + 5 extras);
+    // "other" absent from targets -> dropped
+    val targets = Map("big" -> 150L, "mid" -> 250L, "tiny" -> 95L)
+    val out = Sampling.resampleToCounts(docs, "lang", targets)
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("epoch")))
+    assert(out.columns.toSeq === docs.columns.toSeq :+ "epoch")
+    val perStratum = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perStratum === Map("big" -> 150, "mid" -> 250, "tiny" -> 95),
+      s"exact totals: $perStratum")
+    // per-doc copies maximally even: floor(T/c) or ceil(T/c); epochs 0..k-1
+    for ((lang, t, c) <- Seq(("big", 150L, 200L), ("mid", 250L, 90L), ("tiny", 95L, 10L))) {
+      val byDoc = rows.filter(_._2 == lang).groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+      for ((id, epochs) <- byDoc) {
+        assert(epochs.length === t / c || epochs.length === t / c + 1,
+          s"$lang doc $id copies ${epochs.length}")
+        assert(epochs.sorted.toSeq === (0L until epochs.length).toSeq,
+          s"$lang doc $id epochs not 0..k-1")
+      }
+      assert(byDoc.values.count(_.length == t / c + 1) === (t % c),
+        s"$lang extra-copy count")
+    }
+    // partition invariance: same (doc_id, epoch) multiset on any layout
+    val again = Sampling.resampleToCounts(docs.repartition(7), "lang", targets)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"))).sorted
+    assert(again.toSeq === rows.map(r => (r._1, r._3)).sorted.toSeq)
+    // downsample selection agrees with the engine's deterministic order
+    val bigKept = rows.filter(_._2 == "big").map(_._1).toSet
+    val viaQuota = Sampling.capPerStratum(docs.filter($"lang" === "big"), "lang", 150)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bigKept === viaQuota, "T<c degrades to the shared top-T selection")
+    // guards: target for an empty stratum; absurd epoch count
+    assertThrows[IllegalArgumentException](
+      Sampling.resampleToCounts(docs, "lang", Map("nope" -> 5L)))
+    assertThrows[IllegalArgumentException](
+      Sampling.resampleToCounts(docs, "lang", Map("tiny" -> 1000000L)))
+    assert(Sampling.resampleToCounts(docs, "lang", Map("tiny" -> 1000000L),
+      maxEpochs = 0L).count() === 1000000L, "opt-out cap still exact")
+  }
+
   test("sampling hash encoding is unambiguous (no sentinel/salt collisions)") {
     // (key='a#b', salt='') and (key='a', salt='b') must NOT make identical
     // decisions, and a NULL key must not be chained to a literal sentinel
