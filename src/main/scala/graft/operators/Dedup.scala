@@ -93,9 +93,17 @@ object Dedup {
    */
   def verifyJaccardPairsWithSets(candidates: DataFrame, sets: DataFrame,
                                  minJaccard: Double): DataFrame = {
+    // SHUFFLE-HASH joins with the per-doc set table as the build side (one
+    // bounded array row per doc): the candidate side is pair-count-sized
+    // and array-widened after the first join, and a sort-merge join would
+    // SORT that fat intermediate — the same sort-spill class measured at
+    // 10.4GB on the sparse-cosine verify (see sparseCosinePairs); hash
+    // joins stream the pairs and sort nothing
     candidates
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("inter", sortedIntersectCount(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
