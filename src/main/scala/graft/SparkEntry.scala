@@ -961,6 +961,10 @@ object SparkEntry {
       // finalization); the shield keeps member close() from closing the file
       val shield = new java.io.FilterOutputStream(out) {
         override def close(): Unit = flush()
+        // FilterOutputStream's default array write degrades to per-byte
+        // syscalls on the raw FileOutputStream
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
       }
       try rows.foreach { r =>
         val m = new java.util.zip.GZIPOutputStream(shield)

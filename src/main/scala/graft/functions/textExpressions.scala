@@ -621,6 +621,10 @@ object SpliceOut {
       if (spans.isNullAt(i))
         throw new IllegalArgumentException("splice_out: span array must not contain NULLs")
       val r = spans.getStruct(i, 2)
+      if (r.isNullAt(0) || r.isNullAt(1))
+        throw new IllegalArgumentException(
+          "splice_out: span_start/span_end must not be NULL (getLong on a " +
+            "null slot would silently splice offset 0)")
       starts(i) = r.getLong(0)
       ends(i) = r.getLong(1)
       i += 1

@@ -175,17 +175,24 @@ object Sampling {
       (s, if (c == 0) 0L else t / c, if (c == 0) 0L else t % c)
     }
     val quotaDf = plan.toDF("__stratum", "__base", "__quota")
-    val withQuota = inT.join(broadcast(quotaDf), sCol === col("__stratum"))
-      .drop("__stratum")
+    // pinned: referenced by the extras branch AND the flagged join below
+    // (plus the counts action above) — Catalyst re-expands referenced
+    // subtrees, so unpinned this would scan the corpus three times
+    val withQuota = Dedup.pin(inT.join(broadcast(quotaDf), sCol === col("__stratum"))
+      .drop("__stratum"))
     // the (T mod c) extra-copy rows, selected by the shared two-phase top-k
     val extras = takeByQuota(
         withQuota.drop("__base"), strataCol, keyCol, df.columns.toIndexedSeq :+ "__quota")
       .drop("__quota")
-      .select(col(strataCol).as("__xs"), col(keyCol).as("__xk"))
+      // explicit marker: a NULL-key row (legitimate per the module
+      // contract) selected as an extra must still flag — testing the
+      // joined key's nullness would silently drop its copy
+      .select(col(strataCol).as("__xs"), col(keyCol).as("__xk"),
+        lit(1L).as("__xflag"))
     val flagged = withQuota.join(extras,
         sCol === col("__xs").cast("string") && col(keyCol) <=> col("__xk"), "left")
       .withColumn("__copies",
-        col("__base") + when(col("__xk").isNotNull, lit(1L)).otherwise(lit(0L)))
+        col("__base") + coalesce(col("__xflag"), lit(0L)))
       .filter(col("__copies") >= 1L)
     flagged
       .select(df.columns.map(col).toIndexedSeq :+

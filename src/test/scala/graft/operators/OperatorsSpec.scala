@@ -419,6 +419,13 @@ class OperatorsSpec extends AnyFunSuite {
     val viaQuota = Sampling.capPerStratum(docs.filter($"lang" === "big"), "lang", 150)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(bigKept === viaQuota, "T<c degrades to the shared top-T selection")
+    // NULL keys are legitimate (module contract): a NULL-key row selected
+    // as an extra copy must still count — totals stay EXACT
+    val withNull = Seq((Option(1L), "x"), (Option(2L), "x"), (Option.empty[Long], "x"))
+      .toDF("doc_id", "lang")
+    for (t <- Seq(2L, 3L, 7L))
+      assert(Sampling.resampleToCounts(withNull, "lang", Map("x" -> t)).count() === t,
+        s"NULL-key stratum must still hit target $t exactly")
     // guards: target for an empty stratum; absurd epoch count
     assertThrows[IllegalArgumentException](
       Sampling.resampleToCounts(docs, "lang", Map("nope" -> 5L)))
