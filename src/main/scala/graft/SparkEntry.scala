@@ -777,7 +777,14 @@ object SparkEntry {
         ("não sabemos o que vai acontecer amanhã mas o governo disse que a situação está sob controle", "pt"),
         ("non sappiamo che cosa succederà domani ma il governo ha detto che la situazione è sotto controllo", "it"),
         ("wir wissen nicht was morgen passieren wird aber die regierung hat gesagt dass die lage unter kontrolle ist", "de"),
-        ("wij weten niet wat er morgen zal gebeuren maar de regering heeft gezegd dat de situatie onder controle is", "nl"))
+        ("wij weten niet wat er morgen zal gebeuren maar de regering heeft gezegd dat de situatie onder controle is", "nl"),
+        // non-Latin scripts: decisive by Unicode-range share (kana
+        // separates ja from zh; native Cyrillic vs the translit profile)
+        ("快速的棕色狐狸跳过了懒狗然后跑进了森林", "zh"),
+        ("素早い茶色のキツネはのろまな犬を飛び越えて森へ走った", "ja"),
+        ("빠른 갈색 여우가 게으른 개를 뛰어넘어 숲으로 달려갔다", "ko"),
+        ("быстрая коричневая лиса перепрыгнула через ленивую собаку", "ru"),
+        ("η γρήγορη καφέ αλεπού πήδηξε πάνω από το τεμπέλικο σκυλί", "el"))
         .toDF("text", "want")
         .filter(lang_id(col("text")) =!= col("want"))
         .select(lit(-1L).as("doc_id"), lit("lang_id").as("violation"))

@@ -150,7 +150,11 @@ object TextOps {
     out
   }
 
-  // ----- language id: tiny trigram profiles, 10 languages -----
+  // ----- language id: script detection + tiny trigram profiles -----
+  // Non-Latin scripts resolve FIRST by Unicode-range share (zh/ja/ko via
+  // Han/kana/hangul, native-Cyrillic ru, Greek el — scripts are decisive
+  // evidence no trigram vote should overrule); Latin-script text then
+  // votes over the 10 trigram profiles below.
   // Profiles are hand-picked high-frequency function-word trigrams per
   // language (public linguistic knowledge, Cavnar & Trenkle style n-gram
   // matching): {en, de, sv, fr, es, it, pt, nl, pl, ru-translit}. Close
@@ -189,6 +193,35 @@ object TextOps {
   def langId(text: String): String = {
     if (text == null || text.length < 6) return "und"
     val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(4000) + " "
+    // ---- script pass first: non-Latin scripts are DECISIVE, trigram
+    // profiles never see them. kana => ja; hangul => ko; Han without kana
+    // => zh (Japanese prose always mixes kana in); native-Cyrillic => ru
+    // (the trigram profile covers transliterated ru); Greek => el. A
+    // >=30% script share over counted letters calls it; mixed/boilerplate
+    // pages below the bar fall through to the trigram vote.
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var grk = 0
+    var letters = 0
+    var ci = 1
+    while (ci < t.length - 1) {
+      val c = t.charAt(ci)
+      if (Character.isLetter(c)) {
+        letters += 1
+        if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)) han += 1
+        else if (c >= 0x3040 && c <= 0x30FF) kana += 1
+        else if ((c >= 0xAC00 && c <= 0xD7AF) || (c >= 0x1100 && c <= 0x11FF)) hangul += 1
+        else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+        else if (c >= 0x0370 && c <= 0x03FF) grk += 1
+      }
+      ci += 1
+    }
+    if (letters > 0) {
+      if ((kana * 10 >= letters * 3) || (kana > 0 && (han + kana) * 10 >= letters * 3))
+        return "ja"
+      if (hangul * 10 >= letters * 3) return "ko"
+      if (han * 10 >= letters * 3) return "zh"
+      if (cyr * 10 >= letters * 3) return "ru"
+      if (grk * 10 >= letters * 3) return "el"
+    }
     var best = "und"
     var bestScore = 0
     var p = 0

@@ -959,6 +959,21 @@ class OperatorsSpec extends AnyFunSuite {
     val und = Seq("zzqx vv kkjj qqq", "hi").toDF("text")
       .withColumn("got", lang_id($"text")).collect()
     und.foreach(r => assert(r.getAs[String]("got") === "und", r.getAs[String]("text")))
+    // non-Latin scripts resolve by script share, decisively: Han-only ->
+    // zh, kana present -> ja (Japanese prose always mixes kana), hangul ->
+    // ko, native Cyrillic -> ru, Greek -> el; CJK mixed with some Latin
+    // (product names) still calls the script
+    val scripts = Seq(
+      ("快速的棕色狐狸跳过了懒狗然后跑进了森林", "zh"),
+      ("素早い茶色のキツネはのろまな犬を飛び越えて森へ走った", "ja"),
+      ("日本語のテキストです、漢字とかなが混ざります", "ja"),
+      ("빠른 갈색 여우가 게으른 개를 뛰어넘어 숲으로 달려갔다", "ko"),
+      ("быстрая коричневая лиса перепрыгнула через ленивую собаку", "ru"),
+      ("η γρήγορη καφέ αλεπού πήδηξε πάνω από το τεμπέλικο σκυλί", "el"),
+      ("我们使用 Spark 处理数据 速度很快", "zh"))
+      .toDF("text", "want").withColumn("got", lang_id($"text")).collect()
+    scripts.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"),
+      s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}"))
 
     // fingerprint: equal texts -> equal fp; distinct texts here -> distinct fp
     val fp = docs.withColumn("fp", fingerprint64($"text"))
