@@ -42,15 +42,15 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
+  // writes arrive with the DataFrame's own (pages-shaped) schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table = {
-    require(schema == WarcDataSource.Schema,
-      s"warc source has a fixed schema ${WarcDataSource.Schema.simpleString}")
+                        properties: util.Map[String, String]): Table =
     new WarcTable(DnsMagDataSource.pathsFrom(properties),
       Option(properties.get("types")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty),
-      Option(properties.get("maxRecordBytes")).map(_.toLong).getOrElse(256L << 20))
-  }
+      Option(properties.get("maxRecordBytes")).map(_.toLong).getOrElse(256L << 20),
+      schema)
 }
 
 object WarcDataSource {
@@ -78,13 +78,24 @@ object WarcDataSource {
 }
 
 private[sources] class WarcTable(paths: Seq[String], types: Seq[String],
-                                 maxRecordBytes: Long) extends Table with SupportsRead {
+                                 maxRecordBytes: Long, tableSchema: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc ${paths.mkString(", ")}"
-  override def schema(): StructType = WarcDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == WarcDataSource.Schema,
+      s"warc reads have a fixed schema ${WarcDataSource.Schema.simpleString}; " +
+        "drop the user-specified .schema(...)")
     new WarcScanBuilder(paths, types, maxRecordBytes)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(info, paths)
 }
 
 private[sources] class WarcScanBuilder(paths: Seq[String], types: Seq[String],
