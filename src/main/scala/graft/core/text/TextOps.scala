@@ -200,6 +200,7 @@ object TextOps {
     // >=30% script share over counted letters calls it; mixed/boilerplate
     // pages below the bar fall through to the trigram vote.
     var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var grk = 0
+    var ara = 0; var heb = 0; var tha = 0; var dev = 0
     var letters = 0
     var ci = 1
     while (ci < t.length - 1) {
@@ -211,6 +212,10 @@ object TextOps {
         else if ((c >= 0xAC00 && c <= 0xD7AF) || (c >= 0x1100 && c <= 0x11FF)) hangul += 1
         else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
         else if (c >= 0x0370 && c <= 0x03FF) grk += 1
+        else if ((c >= 0x0600 && c <= 0x06FF) || (c >= 0x0750 && c <= 0x077F)) ara += 1
+        else if (c >= 0x0590 && c <= 0x05FF) heb += 1
+        else if (c >= 0x0E00 && c <= 0x0E7F) tha += 1
+        else if (c >= 0x0900 && c <= 0x097F) dev += 1
       }
       ci += 1
     }
@@ -221,6 +226,10 @@ object TextOps {
       if (han * 10 >= letters * 3) return "zh"
       if (cyr * 10 >= letters * 3) return "ru"
       if (grk * 10 >= letters * 3) return "el"
+      if (ara * 10 >= letters * 3) return "ar"
+      if (heb * 10 >= letters * 3) return "he"
+      if (tha * 10 >= letters * 3) return "th"
+      if (dev * 10 >= letters * 3) return "hi"
     }
     var best = "und"
     var bestScore = 0

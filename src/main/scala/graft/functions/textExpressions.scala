@@ -49,8 +49,8 @@ case class WinnowMin64(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): WinnowMin64 = copy(child = c)
 }
 
-/** Language id: decisive Unicode-script detection (zh/ja/ko/el + native
-  * ru) followed by trigram profiles over
+/** Language id: decisive Unicode-script detection (zh/ja/ko/el/ar/he/
+  * th/hi + native ru) followed by trigram profiles over
   * {en,de,sv,fr,es,it,pt,nl,pl,ru-translit}; "und" if unsure. */
 case class LangId(child: Expression) extends TextUnary {
   override def dataType: DataType = StringType

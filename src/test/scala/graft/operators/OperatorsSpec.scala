@@ -970,7 +970,11 @@ class OperatorsSpec extends AnyFunSuite {
       ("빠른 갈색 여우가 게으른 개를 뛰어넘어 숲으로 달려갔다", "ko"),
       ("быстрая коричневая лиса перепрыгнула через ленивую собаку", "ru"),
       ("η γρήγορη καφέ αλεπού πήδηξε πάνω από το τεμπέλικο σκυλί", "el"),
-      ("我们使用 Spark 处理数据 速度很快", "zh"))
+      ("我们使用 Spark 处理数据 速度很快", "zh"),
+      ("الثعلب البني السريع يقفز فوق الكلب الكسول", "ar"),
+      ("השועל החום המהיר קופץ מעל הכלב העצלן", "he"),
+      ("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ", "th"),
+      ("तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूद जाती है", "hi"))
       .toDF("text", "want").withColumn("got", lang_id($"text")).collect()
     scripts.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"),
       s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}"))
