@@ -220,7 +220,10 @@ object TextOps {
       ci += 1
     }
     if (letters > 0) {
-      if ((kana * 10 >= letters * 3) || (kana > 0 && (han + kana) * 10 >= letters * 3))
+      // ja needs BOTH a CJK-dominant page and a real kana share (>= 5%):
+      // Japanese prose is kana-heavy, while a Chinese page with one
+      // stylistic kana (brand names like 优の良品) must stay zh
+      if ((han + kana) * 10 >= letters * 3 && kana * 20 >= letters)
         return "ja"
       if (hangul * 10 >= letters * 3) return "ko"
       if (han * 10 >= letters * 3) return "zh"

@@ -32,10 +32,17 @@ object WarcParser {
     def url: String = header("WARC-Target-URI").orNull
     def recordId: String = header("WARC-Record-ID").orNull
     def contentType: String = header("Content-Type").orNull
-    /** WARC-Date (ISO 8601, e.g. 2017-03-22T17:43:20Z) as epoch millis. */
-    def dateMillis: Option[Long] = header("WARC-Date").flatMap { s =>
-      try Some(java.time.Instant.parse(s).toEpochMilli)
-      catch { case _: java.time.format.DateTimeParseException => None }
+    /** WARC-Date (ISO 8601, e.g. 2017-03-22T17:43:20Z) as epoch MICROS —
+      * full sub-second precision survives a write/read round trip. */
+    def dateMicros: Option[Long] = header("WARC-Date").flatMap { s =>
+      try {
+        val i = java.time.Instant.parse(s)
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L))
+      } catch {
+        case _: java.time.format.DateTimeParseException => None
+        case _: ArithmeticException => None
+      }
     }
   }
 
@@ -178,13 +185,27 @@ object WarcParser {
 
   // ---------- writer (tests + exporting page tables as WARC) ----------
 
-  /** Serialize one record (canonical CRLF form). */
+  /** Header values must not smuggle line structure: a crawl-derived URL
+    * with an embedded newline would split its header line (corrupting the
+    * record, or forging headers). Control characters collapse to a single
+    * space — header values are METADATA; the byte-exactness contract is on
+    * payloads. */
+  private def sanitizeHeader(v: String): String = {
+    var i = 0
+    var clean = true
+    while (i < v.length && clean) { clean = v.charAt(i) >= ' '; i += 1 }
+    if (clean) v else v.map(c => if (c < ' ') ' ' else c)
+  }
+
+  /** Serialize one record (canonical CRLF form; header values sanitized). */
   def writeRecord(out: java.io.OutputStream, warcType: String, headers: Seq[(String, String)],
                   payload: Array[Byte]): Unit = {
     val sb = new StringBuilder(256)
     sb.append("WARC/1.0\r\n")
-    sb.append("WARC-Type: ").append(warcType).append("\r\n")
-    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("WARC-Type: ").append(sanitizeHeader(warcType)).append("\r\n")
+    headers.foreach { case (k, v) =>
+      sb.append(sanitizeHeader(k)).append(": ").append(sanitizeHeader(v)).append("\r\n")
+    }
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
     out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     out.write(payload)

@@ -71,8 +71,12 @@ object WarcDataSource {
     import graft.functions.GraftFunctions.{extract_text, http_body}
     spark.read.format("warc").option("types", "response,resource").load(path)
       .filter(col("url").isNotNull)
+      // only RESPONSE payloads carry an HTTP message to strip; resource
+      // records hold content directly — an exported document that happens
+      // to BEGIN with the bytes "HTTP" must come back untouched
       .select(col("url"), col("warc_ts"),
-        http_body(col("payload")).as("html"))
+        when(col("warc_type") === "response", http_body(col("payload")))
+          .otherwise(col("payload")).as("html"))
       .withColumn("text", extract_text(col("html")))
   }
 }
@@ -159,7 +163,7 @@ private[sources] class WarcPartitionReader(
         case "warc_type" => UTF8String.fromString(r.warcType)
         case "record_id" => Option(r.recordId).map(UTF8String.fromString).orNull
         case "url" => Option(r.url).map(UTF8String.fromString).orNull
-        case "warc_ts" => r.dateMillis.map(m => m * 1000L).map(Long.box).orNull
+        case "warc_ts" => r.dateMicros.map(Long.box).orNull
         case "content_type" => Option(r.contentType).map(UTF8String.fromString).orNull
         case "content_length" => r.contentLength
         case "payload" => r.payload

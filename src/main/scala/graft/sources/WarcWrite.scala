@@ -51,11 +51,17 @@ private[sources] class WarcWriteBuilder(info: LogicalWriteInfo, paths: Seq[Strin
 }
 
 private[sources] object WarcWrite {
-  def payloadCol(schema: StructType): String =
-    schema.fieldNames.find(n => n == "payload" || n == "html").getOrElse(
-      throw new IllegalArgumentException(
+  def payloadCol(schema: StructType): String = {
+    val cands = schema.fieldNames.filter(n => n == "payload" || n == "html")
+    require(cands.length == 1,
+      if (cands.isEmpty)
         s"warc write needs a binary 'payload' or 'html' column; got " +
-          schema.fieldNames.mkString(", ")))
+          schema.fieldNames.mkString(", ")
+      else
+        "warc write: BOTH 'payload' and 'html' present — drop one so the " +
+          "exported bytes are unambiguous")
+    cands.head
+  }
 
   def validateSchema(schema: StructType): Unit = {
     require(schema.fieldNames.contains("url"),
@@ -81,9 +87,13 @@ private[sources] class WarcBatchWrite(dir: String, schema: StructType, truncate:
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf.value)
+    // overwrite truncates ALL visible files (matching Spark's file-source
+    // overwrite semantics — leaving non-part-named archives behind would
+    // silently mix stale records into the new export); hidden entries and
+    // the in-flight temp dir stay
     if (truncate && fs.exists(base))
       fs.listStatus(base).filter(st => st.isFile &&
-          (st.getPath.getName.startsWith("part-") || st.getPath.getName == "_SUCCESS"))
+          !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_temporary"))
         .foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(base)
     messages.collect { case m: WarcCommit if m.tempPath != null => m }.foreach { m =>
@@ -145,7 +155,12 @@ private[sources] class WarcDataWriter(dir: String, schema: StructType,
         "warc write: NULL url or payload — silently dropping export rows is " +
           "data loss; filter them explicitly first")
     ensureOpen()
-    val ts = if (iTs >= 0 && !row.isNullAt(iTs)) row.getLong(iTs) / 1000L else 0L
+    // full microsecond precision (floorDiv/floorMod: correct pre-1970 too);
+    // Instant.toString omits a zero fraction, so whole-second dates stay in
+    // the WARC/1.0 canonical second-granularity form
+    val tsMicros = if (iTs >= 0 && !row.isNullAt(iTs)) row.getLong(iTs) else 0L
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(tsMicros, 1000000L), Math.floorMod(tsMicros, 1000000L) * 1000L)
     val ct = if (iCt >= 0 && !row.isNullAt(iCt)) row.getUTF8String(iCt).toString
              else "application/octet-stream"
     val m = new java.util.zip.GZIPOutputStream(shield, 1 << 16)
@@ -153,7 +168,7 @@ private[sources] class WarcDataWriter(dir: String, schema: StructType,
       "WARC-Record-ID" -> s"<urn:uuid:${UUID.nameUUIDFromBytes(
         (uuid + n).getBytes("UTF-8"))}>",
       "WARC-Target-URI" -> row.getUTF8String(iUrl).toString,
-      "WARC-Date" -> java.time.Instant.ofEpochMilli(ts).toString,
+      "WARC-Date" -> inst.toString,
       "Content-Type" -> ct),
       row.getBinary(iPayload))
     m.close() // ends the gzip member and releases its Deflater; shield keeps the file open

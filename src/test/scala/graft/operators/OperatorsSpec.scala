@@ -974,7 +974,9 @@ class OperatorsSpec extends AnyFunSuite {
       ("الثعلب البني السريع يقفز فوق الكلب الكسول", "ar"),
       ("השועל החום המהיר קופץ מעל הכלב העצלן", "he"),
       ("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ", "th"),
-      ("तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूद जाती है", "hi"))
+      ("तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूद जाती है", "hi"),
+      // one stylistic kana in a Han-dominant page must NOT flip to ja
+      ("优の良品是一家来自香港的零食连锁店我们都很喜欢他们的产品因为种类很多价格也不贵", "zh"))
       .toDF("text", "want").withColumn("got", lang_id($"text")).collect()
     scripts.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"),
       s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}"))

@@ -64,7 +64,7 @@ class WarcSourceSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$warcDir/a.warc")))).toSeq
     assert(all.map(_.warcType) === Seq("warcinfo", "response", "response", "response"))
     assert(all(1).url === "https://example0.org/page")
-    assert(all(1).dateMillis.isDefined)
+    assert(all(1).dateMicros.isDefined)
     assert(new String(WarcParser.httpBody(all(1).payload), "UTF-8")
       .startsWith("<html><body><p>page 0"))
     // resource-style payload (no HTTP preamble) passes through untouched
@@ -162,6 +162,43 @@ class WarcSourceSpec extends AnyFunSuite {
     // overwrite truncates previous parts
     pages.limit(5).repartition(1).write.format("warc").mode("overwrite").save(dir)
     assert(spark.read.format("warc").load(dir).count() === 5)
+    // micro-precision timestamps round-trip exactly (WARC-Date written
+    // with the fractional second; whole seconds keep the canonical form)
+    val microTs = java.sql.Timestamp.valueOf("2024-02-01 10:00:00.123456")
+    val mdir = dir + "_micro"
+    Seq(("https://m.example/p", microTs, "m".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "html").write.format("warc").mode("append").save(mdir)
+    assert(spark.read.format("warc").load(mdir).collect()(0)
+      .getAs[java.sql.Timestamp]("warc_ts") === microTs)
+    // a crawl-dirty url with an embedded newline cannot corrupt the
+    // archive: control chars collapse to spaces, the file stays readable
+    val ndir = dir + "_nl"
+    Seq(("https://x.example/a\nb", microTs, "n".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "html").write.format("warc").mode("append").save(ndir)
+    assert(spark.read.format("warc").load(ndir).collect()(0)
+      .getAs[String]("url") === "https://x.example/a b")
+    // overwrite truncates EVERY visible archive, not just part-named
+    // files — stale records must not survive into the new export
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$warcDir/b.warc.gz"),
+      java.nio.file.Paths.get(s"$dir/segment-legacy.warc.gz"))
+    pages.limit(2).write.format("warc").mode("overwrite").save(dir)
+    assert(spark.read.format("warc").load(dir).count() === 2,
+      "no stale records after overwrite")
+    // an exported document that BEGINS with the bytes 'HTTP' comes back
+    // untouched through pages() (resource records are never header-stripped)
+    val hdir = dir + "_http"
+    val tricky = "HTTP is a protocol\r\n\r\nIt was designed in the 90s"
+    Seq(("https://t.example/doc", microTs, tricky.getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "html").write.format("warc").mode("append").save(hdir)
+    assert(new String(WarcDataSource.pages(spark, hdir).collect()(0)
+      .getAs[Array[Byte]]("html"), "UTF-8") === tricky)
+    // ambiguous payload columns rejected
+    val e0 = intercept[Exception](
+      Seq(("u", "a".getBytes("UTF-8"), "b".getBytes("UTF-8")))
+        .toDF("url", "payload", "html").write.format("warc").mode("append")
+        .save(dir + "_amb"))
+    assert(e0.getMessage.contains("BOTH"), e0.getMessage)
     // NULL url/payload fail fast instead of silently dropping export rows
     val bad = Seq((null.asInstanceOf[String], "x".getBytes("UTF-8")))
       .toDF("url", "payload")
