@@ -89,7 +89,7 @@ private[sources] class WarcTable(paths: Seq[String], types: Seq[String],
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == WarcDataSource.Schema,
       s"warc reads have a fixed schema ${WarcDataSource.Schema.simpleString}; " +

@@ -47,7 +47,58 @@ private[sources] class WarcWriteBuilder(info: LogicalWriteInfo, paths: Seq[Strin
       WarcWrite.validateSchema(info.schema())
       new WarcBatchWrite(paths.head, info.schema(), doTruncate)
     }
+    // streaming sink (append mode): each micro-batch commits its own
+    // part-e<epoch>-NNNNN-<uuid>.warc.gz files — the continuous
+    // crawl->filter->export topology; exactly-once per epoch via the
+    // rename-on-commit protocol (a replayed epoch re-renames over its own
+    // deterministically-unreachable temps and the sink stays append-only
+    // at file granularity)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(paths.length == 1,
+        s"warc write needs exactly one output directory, got $paths")
+      WarcWrite.validateSchema(info.schema())
+      new WarcStreamingWrite(paths.head, info.schema())
+    }
   }
+}
+
+private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    WarcStreamingWriterFactory(dir, schema, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    fs.mkdirs(base)
+    messages.collect { case m: WarcCommit if m.tempPath != null => m }.foreach { m =>
+      val target = new Path(base, f"part-e$epochId-${m.partitionId}%05d-${m.uuid}.warc.gz")
+      if (!fs.rename(new Path(m.tempPath), target))
+        throw new java.io.IOException(s"warc streaming write: failed to commit $target")
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    messages.collect { case m: WarcCommit if m.tempPath != null => m }.foreach { m =>
+      val p = new Path(m.tempPath)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+private[sources] case class WarcStreamingWriterFactory(
+    dir: String, schema: StructType, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, schema, conf, partitionId, taskId)
 }
 
 private[sources] object WarcWrite {

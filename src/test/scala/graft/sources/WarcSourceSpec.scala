@@ -214,6 +214,41 @@ class WarcSourceSpec extends AnyFunSuite {
       e2.getMessage.toLowerCase.contains("binary"), e2.getMessage)
   }
 
+  test("warc STREAMING sink: filtered crawl stream exports to archives per epoch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_warc_ss").toString
+    val sinkDir = srcDir + "/sink"
+    val ckpt = srcDir + "/ckpt"
+    val pages = (0 until 30).map(i =>
+      (s"https://s$i.example/p", java.sql.Timestamp.valueOf(f"2024-02-02 09:00:${i % 60}%02d"),
+        s"<html>stream doc $i</html>".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "html")
+    pages.filter($"url" < "https://s2").write.parquet(s"$srcDir/in/c=0")
+    pages.filter($"url" >= "https://s2").write.parquet(s"$srcDir/in/c=1")
+    val q = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/in/c=*")
+      .filter(length($"html") > 0)
+      .writeStream.format("warc").option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val back = spark.read.format("warc").load(sinkDir).orderBy("url").collect()
+    assert(back.length === 30)
+    assert(back.map(_.getAs[String]("url")).toSeq ===
+      pages.orderBy("url").collect().map(_.getAs[String]("url")).toSeq)
+    assert(back.forall(r => new String(r.getAs[Array[Byte]]("payload"), "UTF-8")
+      .startsWith("<html>stream doc")))
+    // per-epoch part FILES (the temp dir itself stays — deleting it
+    // wholesale could race in-flight writers of a later epoch), no
+    // leftover temp files
+    val files = new java.io.File(sinkDir).listFiles().filter(_.isFile)
+      .map(_.getName).filterNot(_.startsWith("."))
+    assert(files.forall(f => f.startsWith("part-e") && f.endsWith(".warc.gz")),
+      files.toSeq.toString)
+    assert(!new java.io.File(s"$sinkDir/_temporary_warc").exists() ||
+      new java.io.File(s"$sinkDir/_temporary_warc").listFiles().isEmpty)
+  }
+
   test("WARC -> pages table head: url/ts/html/text, header block stripped") {
     val pages = WarcDataSource.pages(spark, warcDir).orderBy("url").collect()
     assert(pages.length === 7)
