@@ -48,11 +48,14 @@ private[sources] class WarcWriteBuilder(info: LogicalWriteInfo, paths: Seq[Strin
       new WarcBatchWrite(paths.head, info.schema(), doTruncate)
     }
     // streaming sink (append mode): each micro-batch commits its own
-    // part-e<epoch>-NNNNN-<uuid>.warc.gz files — the continuous
-    // crawl->filter->export topology; exactly-once per epoch via the
-    // rename-on-commit protocol (a replayed epoch re-renames over its own
-    // deterministically-unreachable temps and the sink stays append-only
-    // at file granularity)
+    // part-e<epoch>-NNNNN.warc.gz files — the continuous
+    // crawl->filter->export topology. Target names are DETERMINISTIC per
+    // (epoch, partition) and commit replaces an existing target: a
+    // replayed epoch (driver died between sink commit and offset-log
+    // write) overwrites its own previous files instead of adding
+    // duplicates — idempotent epoch commit, exactly-once at file
+    // granularity. Task-attempt races are handled by Spark's commit
+    // coordinator (one winning attempt per partition).
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(paths.length == 1,
         s"warc write needs exactly one output directory, got $paths")
@@ -77,7 +80,10 @@ private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
     val fs = base.getFileSystem(conf.value)
     fs.mkdirs(base)
     messages.collect { case m: WarcCommit if m.tempPath != null => m }.foreach { m =>
-      val target = new Path(base, f"part-e$epochId-${m.partitionId}%05d-${m.uuid}.warc.gz")
+      // deterministic target; replace any copy a previous attempt of this
+      // SAME epoch committed (idempotent replay, no duplicates)
+      val target = new Path(base, f"part-e$epochId-${m.partitionId}%05d.warc.gz")
+      if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(new Path(m.tempPath), target))
         throw new java.io.IOException(s"warc streaming write: failed to commit $target")
     }
