@@ -156,6 +156,17 @@ object GraftFunctions {
     "symbol_word_ratio" -> (e => SymbolWordRatio(e.head, e(1).eval().toString)),
     "gopher_signals" -> (e => GopherSignalsStruct(e.head,
       Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10))),
+    // paper-default thresholds; GopherThresholds() is the single source of
+    // truth for the published Table A1 values (the operators package also
+    // depends on this one — an intentional same-module cycle beats
+    // duplicating the defaults)
+    "gopher_keep" -> (e => GopherKeep(e.head,
+      graft.operators.GopherThresholds().toParams)),
+    "winnow_set" -> (e => WinnowSet(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 8,
+      if (e.length > 2) e(2).eval().toString.toInt else 4)),
+    "chunk_text" -> (e => ChunkText(e.head, e(1).eval().toString.toInt,
+      if (e.length > 2) e(2).eval().toString.toInt else 0)),
     "http_body" -> (e => HttpBody(e.head)),
     "rolling_kgram_hashes" -> (e => RollingKgramHashes(e.head,
       e(1).eval().toString.toInt,

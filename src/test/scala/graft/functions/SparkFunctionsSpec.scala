@@ -104,6 +104,20 @@ class SparkFunctionsSpec extends AnyFunSuite {
              size(word_shingles('a b c d e')) AS nsh""").collect()(0)
     assert(sig.getSeq[Long](0).length === 8)
     assert(sig.getAs[Int]("nsh") === 3)
+    // the quality/span/chunk surface from pure SQL: paper-default keep
+    // rule, winnowing fingerprints, context chunks, span splice
+    val q = spark.sql("""
+      SELECT gopher_keep('too short to pass') AS keep,
+             size(winnow_set('some text for fingerprints here')) AS nfp,
+             size(chunk_text('a b c d e f g h', 4, 1)) AS nchunks,
+             splice_out('0123456789',
+               array(named_struct('span_start', CAST(2 AS BIGINT),
+                                  'span_end', CAST(5 AS BIGINT)))) AS spliced""")
+      .collect()(0)
+    assert(q.getAs[Boolean]("keep") === false)
+    assert(q.getAs[Int]("nfp") >= 1)
+    assert(q.getAs[Int]("nchunks") === 3) // windows of 4, stride 3: [0..3],[3..6],[6..7]
+    assert(q.getAs[String]("spliced") === "0156789")
   }
 
   test("custom-kernel codegen COMPILES (no silent interpreted fallback)") {
