@@ -859,7 +859,39 @@ object TextOps {
       minAlphaWordRatio: Double, minStopwordHits: Int,
       maxDupLineRatio: Double, maxDupLineCharRatio: Double,
       topNs: Array[Int], topMax: Array[Double],
-      dupNs: Array[Int], dupMax: Array[Double])
+      dupNs: Array[Int], dupMax: Array[Double]) {
+    // Structural equality over the array fields (case-class default is
+    // reference equality on arrays): two GopherKeep/GopherSignals
+    // expressions built from separate toParams calls must canonicalize
+    // EQUAL or Catalyst subexpression elimination never dedups them.
+    override def equals(other: Any): Boolean = other match {
+      case o: GopherParams =>
+        minWords == o.minWords && maxWords == o.maxWords &&
+        minMeanWordLen == o.minMeanWordLen && maxMeanWordLen == o.maxMeanWordLen &&
+        maxHashRatio == o.maxHashRatio && maxEllipsisRatio == o.maxEllipsisRatio &&
+        maxBulletLineRatio == o.maxBulletLineRatio &&
+        maxEllipsisLineRatio == o.maxEllipsisLineRatio &&
+        minAlphaWordRatio == o.minAlphaWordRatio &&
+        minStopwordHits == o.minStopwordHits &&
+        maxDupLineRatio == o.maxDupLineRatio &&
+        maxDupLineCharRatio == o.maxDupLineCharRatio &&
+        java.util.Arrays.equals(topNs, o.topNs) &&
+        java.util.Arrays.equals(topMax, o.topMax) &&
+        java.util.Arrays.equals(dupNs, o.dupNs) &&
+        java.util.Arrays.equals(dupMax, o.dupMax)
+      case _ => false
+    }
+    override def hashCode(): Int = {
+      var h = minWords * 31 + maxWords
+      h = h * 31 + java.lang.Double.hashCode(minMeanWordLen)
+      h = h * 31 + java.lang.Double.hashCode(minAlphaWordRatio)
+      h = h * 31 + minStopwordHits
+      h = h * 31 + java.util.Arrays.hashCode(topNs)
+      h = h * 31 + java.util.Arrays.hashCode(topMax)
+      h = h * 31 + java.util.Arrays.hashCode(dupNs)
+      h * 31 + java.util.Arrays.hashCode(dupMax)
+    }
+  }
 
   /**
    * The complete Gopher KEEP decision as one short-circuiting kernel:

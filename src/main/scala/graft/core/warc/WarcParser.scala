@@ -64,9 +64,14 @@ object WarcParser {
     * values allocating unbounded buffers. `keepPayload = false` SKIPS
     * payload bytes in the stream instead of buffering them — the
     * column-pruned metadata scan path (contentLength still reports the
-    * true size). */
+    * true size). `typeFilter` is the WARC-Type pushdown: records whose
+    * type fails it are dropped HERE, after headers but before the payload
+    * is buffered, so their bodies always take the skip path — a
+    * `types=response` scan of a mixed crawl never allocates
+    * request/warcinfo payloads. */
   def records(raw: InputStream, maxRecordBytes: Long = 256L << 20,
-              keepPayload: Boolean = true): Iterator[WarcRecord] = {
+              keepPayload: Boolean = true,
+              typeFilter: String => Boolean = null): Iterator[WarcRecord] = {
     val in = maybeGunzip(raw)
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
@@ -74,62 +79,68 @@ object WarcParser {
       private def advance(): Unit = {
         if (nextRec != null || done) return
         try {
-          var line = readLine(in)
-          // skip inter-record blank lines (the record terminator CRLFs)
-          while (line != null && line.isEmpty) line = readLine(in)
-          if (line == null) { done = true; in.close(); return }
-          if (!line.startsWith("WARC/"))
-            throw new java.io.IOException(
-              s"warc: expected version line, got '${line.take(40)}'")
-          val version = line
-          val hdrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-          var lastKey: String = null
-          var h = readLine(in)
-          while (h != null && h.nonEmpty) {
-            if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
-              // spec §4: a header value may fold onto continuation lines
-              // beginning with space/tab
-              if (lastKey == null)
-                throw new java.io.IOException(s"warc: continuation before any header")
-              hdrs(lastKey) = hdrs(lastKey) + " " + h.trim
-            } else {
-              val i = h.indexOf(':')
-              if (i <= 0) throw new java.io.IOException(s"warc: bad header '${h.take(60)}'")
-              lastKey = h.substring(0, i).trim
-              hdrs(lastKey) = h.substring(i + 1).trim
+          while (nextRec == null && !done) {
+            var line = readLine(in)
+            // skip inter-record blank lines (the record terminator CRLFs)
+            while (line != null && line.isEmpty) line = readLine(in)
+            if (line == null) { done = true; in.close(); return }
+            if (!line.startsWith("WARC/"))
+              throw new java.io.IOException(
+                s"warc: expected version line, got '${line.take(40)}'")
+            val version = line
+            val hdrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            var lastKey: String = null
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
+                // spec §4: a header value may fold onto continuation lines
+                // beginning with space/tab
+                if (lastKey == null)
+                  throw new java.io.IOException(s"warc: continuation before any header")
+                hdrs(lastKey) = hdrs(lastKey) + " " + h.trim
+              } else {
+                val i = h.indexOf(':')
+                if (i <= 0) throw new java.io.IOException(s"warc: bad header '${h.take(60)}'")
+                lastKey = h.substring(0, i).trim
+                hdrs(lastKey) = h.substring(i + 1).trim
+              }
+              h = readLine(in)
             }
-            h = readLine(in)
+            if (h == null) throw new java.io.IOException("warc: EOF inside header block")
+            val len = hdrs.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
+            }.getOrElse(throw new java.io.IOException("warc: record without Content-Length"))
+            // Int.MaxValue cap is structural (byte[] indexing), not tunable
+            if (len < 0 || len > maxRecordBytes || len > Int.MaxValue - 8)
+              throw new java.io.IOException(
+                s"warc: Content-Length $len outside [0, min($maxRecordBytes, " +
+                  s"${Int.MaxValue - 8})] — corrupt record or raise maxRecordBytes")
+            val wanted = typeFilter == null || typeFilter(
+              hdrs.collectFirst {
+                case (k, v) if k.equalsIgnoreCase("WARC-Type") => v
+              }.getOrElse(""))
+            val payload =
+              if (wanted && keepPayload) {
+                val buf = new Array[Byte](len.toInt)
+                var off = 0
+                while (off < len) {
+                  val n = in.read(buf, off, len.toInt - off)
+                  if (n < 0) throw new EOFException(s"warc: EOF at $off of $len payload bytes")
+                  off += n
+                }
+                buf
+              } else {
+                var left = len
+                val scratch = new Array[Byte](8192)
+                while (left > 0) {
+                  val n = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+                  if (n < 0) throw new EOFException(s"warc: EOF with $left payload bytes left")
+                  left -= n
+                }
+                Array.emptyByteArray
+              }
+            if (wanted) nextRec = WarcRecord(version, hdrs.toMap, len, payload)
           }
-          if (h == null) throw new java.io.IOException("warc: EOF inside header block")
-          val len = hdrs.collectFirst {
-            case (k, v) if k.equalsIgnoreCase("Content-Length") => v.toLong
-          }.getOrElse(throw new java.io.IOException("warc: record without Content-Length"))
-          // Int.MaxValue cap is structural (byte[] indexing), not tunable
-          if (len < 0 || len > maxRecordBytes || len > Int.MaxValue - 8)
-            throw new java.io.IOException(
-              s"warc: Content-Length $len outside [0, min($maxRecordBytes, " +
-                s"${Int.MaxValue - 8})] — corrupt record or raise maxRecordBytes")
-          val payload =
-            if (keepPayload) {
-              val buf = new Array[Byte](len.toInt)
-              var off = 0
-              while (off < len) {
-                val n = in.read(buf, off, len.toInt - off)
-                if (n < 0) throw new EOFException(s"warc: EOF at $off of $len payload bytes")
-                off += n
-              }
-              buf
-            } else {
-              var left = len
-              val scratch = new Array[Byte](8192)
-              while (left > 0) {
-                val n = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
-                if (n < 0) throw new EOFException(s"warc: EOF with $left payload bytes left")
-                left -= n
-              }
-              Array.emptyByteArray
-            }
-          nextRec = WarcRecord(version, hdrs.toMap, len, payload)
         } catch {
           case e: Throwable => try in.close() catch { case _: Throwable => () }; throw e
         }
@@ -143,13 +154,27 @@ object WarcParser {
     }
   }
 
+  /** Longest header line the parser will buffer. Real WARC header lines
+    * are tens to hundreds of bytes (the longest in the wild are long
+    * Target-URIs); a "line" beyond this is a binary/non-WARC input with no
+    * LF, and failing fast here keeps memory O(one record's headers)
+    * instead of O(file) before the version-line check can fire. */
+  private val MaxHeaderLineBytes = 64 << 10
+
   /** Read one header line: bytes to LF, trailing CR stripped (CRLF per
-    * spec; bare LF tolerated). null at EOF before any byte. */
+    * spec; bare LF tolerated). null at EOF before any byte. Fails fast
+    * past [[MaxHeaderLineBytes]] — corrupt or non-WARC input. */
   private def readLine(in: InputStream): String = {
     val buf = new java.io.ByteArrayOutputStream(96)
     var c = in.read()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+    while (c >= 0 && c != '\n') {
+      if (buf.size() >= MaxHeaderLineBytes)
+        throw new java.io.IOException(
+          s"warc: header line exceeds $MaxHeaderLineBytes bytes — " +
+            "corrupt or non-WARC input")
+      buf.write(c); c = in.read()
+    }
     val bytes = buf.toByteArray
     val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
             else bytes.length

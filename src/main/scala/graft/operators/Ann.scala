@@ -29,14 +29,32 @@ object Ann {
         org.apache.spark.sql.graftshim.shims.expression(a),
         org.apache.spark.sql.graftshim.shims.expression(b)))
 
+  /** Fail-fast guard on the query-batch contract: brute-force and ADC
+    * top-k embed the query side driver-side (collect or broadcast), so a
+    * caller passing a whole corpus as `queries` must get an actionable
+    * error, not a driver OOM — the same philosophy as Packing's
+    * `maxBucketRows`. The check itself is bounded: it looks at most
+    * `maxQueries + 1` rows via a pushed-down limit. */
+  private[operators] def requireQueryBatch(queries: DataFrame, maxQueries: Int): Unit = {
+    require(maxQueries > 0, "maxQueries must be > 0")
+    val n = queries.limit(maxQueries + 1).count()
+    require(n <= maxQueries,
+      s"query batch has > $maxQueries rows — this top-k embeds the query side " +
+        "on the driver; batch your queries (or raise maxQueries if you have " +
+        "the driver memory for it)")
+  }
+
   /**
    * Exact top-k neighbors for each query id. `queries` must be small enough
-   * to broadcast (it is the user's query batch); the corpus side never
-   * shuffles — one scan, one broadcast-nested-loop, then a per-query top-k
-   * window over (query, corpus-partition) partial results.
+   * to broadcast (it is the user's query batch — enforced by `maxQueries`);
+   * the corpus side never shuffles — one scan, one broadcast-nested-loop,
+   * then a per-query top-k window over (query, corpus-partition) partial
+   * results.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxQueries: Int = 65536): DataFrame = {
+    requireQueryBatch(queries, maxQueries)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))

@@ -785,7 +785,7 @@ object Dedup {
    *
    * Because resumed label state is only valid for the EXACT edge set it
    * was computed from, the directory carries an order-independent
-   * fingerprint of the edges (row count + sum of per-edge 64-bit hashes,
+   * fingerprint of the edges (row count + XOR of per-edge 64-bit hashes,
    * written before round 0). A restart whose recomputed `pairs` produce a
    * different fingerprint — a stale directory reused across inputs, or
    * pairs that grew between restarts — FAILS FAST instead of silently

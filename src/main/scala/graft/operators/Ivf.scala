@@ -136,7 +136,8 @@ object Ivf {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            centroids: Array[Array[Double]], nprobe: Int = 4,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           excludeSelf: Boolean = true): DataFrame = {
+           excludeSelf: Boolean = true, maxQueries: Int = 65536): DataFrame = {
+    Ann.requireQueryBatch(queries, maxQueries)
     val lists = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("cluster", element_at(nearestCentroids(col("nn_vec"), centroids, 1), 1))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

@@ -134,7 +134,9 @@ object Pq {
    */
   def adcTopK(codes: DataFrame, queries: DataFrame, k: Int, model: PqModel,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              codeCol: String = "pq_code", excludeSelf: Boolean = true): DataFrame = {
+              codeCol: String = "pq_code", excludeSelf: Boolean = true,
+              maxQueries: Int = 65536): DataFrame = {
+    Ann.requireQueryBatch(queries, maxQueries)
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).collect()
     val qIds = qRows.map(idLong(_, 0))
     val luts = qRows.map { r =>
@@ -163,7 +165,9 @@ object Pq {
   private[operators] def adcTopKProbed(lists: DataFrame, queries: DataFrame, k: Int,
                                        model: PqModel, centroids: Array[Array[Double]],
                                        nprobe: Int, idCol: String, vecCol: String,
-                                       excludeSelf: Boolean = true): DataFrame = {
+                                       excludeSelf: Boolean = true,
+                                       maxQueries: Int = 65536): DataFrame = {
+    Ann.requireQueryBatch(queries, maxQueries)
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")).collect()
     val luts = qRows.map { r =>
       val q = r.getAs[scala.collection.Seq[Any]]("q_vec").map {

@@ -148,9 +148,13 @@ private[sources] class WarcPartitionReader(
     p.getFileSystem(conf.value).open(p)
   }
   // when `payload` is pruned, record bodies are SKIPPED in the stream —
-  // never allocated — and content_length still reports the true size
-  private val iter = WarcParser.records(stream, maxRecordBytes, keepPayload = needPayload)
-    .filter(r => types.isEmpty || types.exists(_.equalsIgnoreCase(r.warcType)))
+  // never allocated — and content_length still reports the true size; the
+  // `types` option is pushed INTO the parser so rejected records (e.g.
+  // large request/warcinfo payloads on a mixed crawl) also take the skip
+  // path instead of being buffered then dropped
+  private val iter = WarcParser.records(stream, maxRecordBytes, keepPayload = needPayload,
+    typeFilter = if (types.isEmpty) null
+                 else t => types.exists(_.equalsIgnoreCase(t)))
 
   private var current: InternalRow = _
   override def next(): Boolean = {

@@ -28,13 +28,15 @@ import graft.core.warc.WarcParser
  * an export back byte-identically.
  *
  * Commit protocol: each task streams its partition into
- * `_temporary_warc/<uuid>` as a member-per-record .warc.gz (O(record)
- * memory, Deflater released per member); the driver commit renames the
- * temp files to `part-NNNNN-<uuid>.warc.gz` and drops a `_SUCCESS`
- * marker; abort (or a losing speculative attempt, via Spark's commit
- * coordinator) deletes its temp file. Overwrite mode truncates committed
- * part files before renaming the new ones. Empty partitions produce no
- * file.
+ * `_temporary_warc/<jobUuid>/<uuid>` as a member-per-record .warc.gz
+ * (O(record) memory, Deflater released per member); the driver commit
+ * renames the temp files to `part-NNNNN-<uuid>.warc.gz` and drops a
+ * `_SUCCESS` marker; abort (or a losing speculative attempt, via Spark's
+ * commit coordinator) deletes its temp file. The temp subdir is PER JOB:
+ * commit/abort sweep only their own job's subdir, so two concurrent
+ * append jobs into the same output directory cannot delete each other's
+ * in-flight files. Overwrite mode truncates committed part files before
+ * renaming the new ones. Empty partitions produce no file.
  */
 private[sources] class WarcWriteBuilder(info: LogicalWriteInfo, paths: Seq[String])
     extends WriteBuilder with SupportsTruncate {
@@ -69,11 +71,14 @@ private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  // one temp namespace per query run: concurrent streams into the same
+  // output directory never touch each other's in-flight files
+  private val streamUuid = UUID.randomUUID().toString
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    WarcStreamingWriterFactory(dir, schema, conf)
+    WarcStreamingWriterFactory(dir, streamUuid, schema, conf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
@@ -87,24 +92,47 @@ private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
       if (!fs.rename(new Path(m.tempPath), target))
         throw new java.io.IOException(s"warc streaming write: failed to commit $target")
     }
+    // epoch-encoded temp layout lets commit PRUNE: every temp subdir of
+    // this stream at epoch <= the one just committed holds only orphans —
+    // files from task attempts that died without abort() (executor loss)
+    // or losing speculative attempts. Without this the temp dir grows for
+    // the lifetime of a continuous query.
+    val parent = new Path(base, "_temporary_warc")
+    val streamTmp = new Path(parent, streamUuid)
+    if (fs.exists(streamTmp)) {
+      fs.listStatus(streamTmp).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("e") &&
+            scala.util.Try(n.drop(1).toLong).toOption.exists(_ <= epochId))
+          fs.delete(st.getPath, true)
+      }
+      // drop empty dirs so a finished stream leaves no skeleton behind
+      // (best-effort; the next epoch recreates them on first write)
+      try {
+        if (fs.listStatus(streamTmp).isEmpty) fs.delete(streamTmp, false)
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf.value)
-    messages.collect { case m: WarcCommit if m.tempPath != null => m }.foreach { m =>
-      val p = new Path(m.tempPath)
-      if (fs.exists(p)) fs.delete(p, false)
-    }
+    // the whole epoch subdir is this epoch's in-flight state (including
+    // files of tasks that died without reporting a commit message)
+    val epochTmp = new Path(new Path(new Path(base, "_temporary_warc"), streamUuid),
+      s"e$epochId")
+    if (fs.exists(epochTmp)) fs.delete(epochTmp, true)
   }
 }
 
 private[sources] case class WarcStreamingWriterFactory(
-    dir: String, schema: StructType, conf: SerializableConfiguration)
+    dir: String, streamUuid: String, schema: StructType, conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, schema, conf, partitionId, taskId)
+    new WarcDataWriter(dir, s"_temporary_warc/$streamUuid/e$epochId",
+      schema, conf, partitionId, taskId)
 }
 
 private[sources] object WarcWrite {
@@ -137,9 +165,12 @@ private[sources] class WarcBatchWrite(dir: String, schema: StructType, truncate:
     extends BatchWrite {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  // per-job temp subdir: commit/abort sweep ONLY this job's in-flight
+  // files — a concurrent append job into the same directory keeps its own
+  private val jobUuid = UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WarcWriterFactory(dir, schema, conf)
+    WarcWriterFactory(dir, s"_temporary_warc/$jobUuid", schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
@@ -158,30 +189,40 @@ private[sources] class WarcBatchWrite(dir: String, schema: StructType, truncate:
       if (!fs.rename(new Path(m.tempPath), target))
         throw new java.io.IOException(s"warc write: failed to commit $target")
     }
-    val tmp = new Path(base, "_temporary_warc")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    cleanupTemp(fs, base)
     fs.create(new Path(base, "_SUCCESS"), true).close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)
-    val fs = base.getFileSystem(conf.value)
-    val tmp = new Path(base, "_temporary_warc")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    cleanupTemp(base.getFileSystem(conf.value), base)
+  }
+
+  /** Remove THIS job's temp subdir; drop the shared `_temporary_warc`
+    * parent too when no other job is mid-flight in it (best-effort — a
+    * racing job recreates it on its first write). */
+  private def cleanupTemp(fs: org.apache.hadoop.fs.FileSystem, base: Path): Unit = {
+    val parent = new Path(base, "_temporary_warc")
+    val mine = new Path(parent, jobUuid)
+    if (fs.exists(mine)) fs.delete(mine, true)
+    try {
+      if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+    } catch { case _: java.io.IOException => () }
   }
 }
 
 private[sources] case class WarcCommit(partitionId: Int, uuid: String, tempPath: String)
     extends WriterCommitMessage
 
-private[sources] case class WarcWriterFactory(dir: String, schema: StructType,
+private[sources] case class WarcWriterFactory(dir: String, tempSub: String,
+                                              schema: StructType,
                                               conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, schema, conf, partitionId, taskId)
+    new WarcDataWriter(dir, tempSub, schema, conf, partitionId, taskId)
 }
 
-private[sources] class WarcDataWriter(dir: String, schema: StructType,
+private[sources] class WarcDataWriter(dir: String, tempSub: String, schema: StructType,
                                       conf: SerializableConfiguration,
                                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -197,7 +238,7 @@ private[sources] class WarcDataWriter(dir: String, schema: StructType,
   private var n = 0L
 
   private def ensureOpen(): Unit = if (out == null) {
-    tempPath = new Path(new Path(dir, "_temporary_warc"), s"$uuid-$partitionId-$taskId")
+    tempPath = new Path(new Path(dir, tempSub), s"$uuid-$partitionId-$taskId")
     val fs = tempPath.getFileSystem(conf.value)
     out = fs.create(tempPath, true)
     shield = new java.io.FilterOutputStream(out) {

@@ -120,6 +120,26 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(q.getAs[String]("spliced") === "0156789")
   }
 
+  test("gopher_keep params canonicalize: separate toParams calls compare equal") {
+    // GopherParams holds Array fields; without structural equals two
+    // expressions built from separate GopherThresholds().toParams calls
+    // would never be semantically equal, defeating subexpression
+    // elimination when gopher_keep appears more than once in a plan
+    val p1 = graft.operators.GopherThresholds().toParams
+    val p2 = graft.operators.GopherThresholds().toParams
+    assert(p1 === p2)
+    assert(p1.hashCode === p2.hashCode)
+    assert(p1 !== graft.operators.GopherThresholds(minWords = 51).toParams)
+    // resolved child (a literal): the only remaining difference between
+    // the two expressions is the params object itself
+    val c = org.apache.spark.sql.catalyst.expressions.Literal("some text")
+    val e1 = graft.functions.GopherKeep(c, p1)
+    val e2 = graft.functions.GopherKeep(c, p2)
+    assert(e1 === e2)
+    assert(e1.semanticEquals(e2),
+      "structurally identical gopher_keep expressions must canonicalize equal")
+  }
+
   test("custom-kernel codegen COMPILES (no silent interpreted fallback)") {
     // a companion kernel that loses its static forwarder (e.g. shadowed by
     // an inherited member like Expression.eval) still passes result tests:

@@ -834,6 +834,16 @@ class OperatorsSpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](Dedup.simhashPairsFromSigs(df, h))
   }
 
+  test("query-batch guard: corpus passed as queries fails fast, not driver OOM") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      Ann.bruteForceTopK(embs, embs, k = 5, maxQueries = 8))
+    assert(e.getMessage.contains("maxQueries") || e.getMessage.contains("query batch"),
+      e.getMessage)
+    // the guard looks at most maxQueries+1 rows — a batch at the cap passes
+    assert(Ann.bruteForceTopK(embs, embs.limit(8), k = 1, maxQueries = 8).count() > 0)
+  }
+
   test("ANN brute force matches driver-side exact cosine; LSH recall >= 0.8") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val queries = embs.limit(8)

@@ -106,6 +106,30 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Content-Length"))
   }
 
+  test("parser: header-line cap fails fast on LF-less binary; type pushdown skips payloads") {
+    // a binary/non-WARC input with no LF must not buffer the whole file
+    // into one "line" before the version-line check fires
+    val junk = new Array[Byte](128 << 10) // 128 KiB, no LF anywhere
+    java.util.Arrays.fill(junk, 'W'.toByte)
+    val e = intercept[java.io.IOException](
+      WarcParser.records(new java.io.ByteArrayInputStream(junk)).toSeq)
+    assert(e.getMessage.contains("header line"), e.getMessage)
+    // pushed-down type filter: only matching records emitted, their
+    // payloads intact; stream position stays correct across skipped bodies
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$warcDir/a.warc"))
+    val resp = WarcParser.records(new java.io.ByteArrayInputStream(bytes),
+      typeFilter = _.equalsIgnoreCase("response")).toSeq
+    assert(resp.map(_.warcType) === Seq("response", "response", "response"))
+    assert(resp.forall(r => r.payload.length == r.contentLength))
+    assert(new String(WarcParser.httpBody(resp.head.payload), "UTF-8")
+      .startsWith("<html><body><p>page 0"))
+    // filter composes with payload skipping (metadata-only pruned scan)
+    val skimmed = WarcParser.records(new java.io.ByteArrayInputStream(bytes),
+      keepPayload = false, typeFilter = _ == "warcinfo").toSeq
+    assert(skimmed.map(_.warcType) === Seq("warcinfo"))
+    assert(skimmed.head.payload.isEmpty && skimmed.head.contentLength > 0)
+  }
+
   test("format(\"warc\"): dir read, gzip members, per-file partitions, type filter") {
     val df = spark.read.format("warc").load(warcDir)
     assert(df.rdd.getNumPartitions === 2, "one partition per WARC file")
@@ -142,6 +166,11 @@ class WarcSourceSpec extends AnyFunSuite {
     val files = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted
     assert(files.contains("_SUCCESS"))
+    // per-job temp subdir swept on commit (and the shared parent pruned
+    // when no other job is in flight)
+    assert(!new java.io.File(s"$dir/_temporary_warc").exists() ||
+      new java.io.File(s"$dir/_temporary_warc").listFiles().isEmpty,
+      "batch commit must sweep its job temp subdir")
     assert(files.count(_.startsWith("part-")) >= 1 &&
       files.forall(f => f == "_SUCCESS" || f.endsWith(".warc.gz")), files.toSeq.toString)
     // read back through the same format: byte-exact payloads, ts/ct kept
