@@ -952,6 +952,86 @@ object SparkEntry {
         .select($"lang", lit("whitelist").as("violation"))
       v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
     }),
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
+      // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
+      // -> Gopher quality filter -> corpus boilerplate-line strip ->
+      // exact dedup -> exact n-gram-Jaccard near-dup + connected
+      // components -> benchmark decontamination -> exact x2 resampling
+      // (selection-free, so epochs are hash-matchable) -> sequence
+      // packing. Every operator is oracled alone elsewhere; THIS gate
+      // proves the compositions: column contracts across stages, pin
+      // interplay, and that each stage consumes the previous stage's
+      // actual output (the DuckDB oracle recomputes the whole chain as
+      // one CTE pipeline over the same synthesized corpus).
+      // Corpus synthesis: line 2 plants a cookie banner in even docs
+      // (stripped later: df ~ half the corpus >= 50), line 3 an ellipsis
+      // line in every 7th doc (trips ellipsis_line_ratio 1/3 > 0.3);
+      // every 10th doc is cloned under id+1e6 with IDENTICAL text (exact
+      // dedup must keep the min id).
+      val d = col("doc_id")
+      val ml = concat_ws("\n", col("text"),
+        when(pmod(d, lit(2)) === 0,
+          lit("please accept our cookie policy to continue"))
+          .otherwise(concat(lit("u"), d.cast("string"))),
+        when(pmod(d, lit(7)) === 0, lit("to be continued ..."))
+          .otherwise(concat(lit("end of doc "), d.cast("string"))))
+      val docsTable = s.read.parquet(t(dir, "documents"))
+      val base = docsTable.select(d, ml.as("text"))
+      val corpus = base.unionByName(
+        base.filter(pmod(d, lit(10)) === 0).withColumn("doc_id", d + 1000000L))
+      // WARC hop through the DSv2 WRITE path (multi-partition commit) and
+      // back through the DSv2 read: resource payloads are byte-exact
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/crawl"
+      corpus.select(format_string("https://d%09d.example/x", d).as("url"),
+          lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("warc_ts"),
+          col("text").cast("binary").as("html"))
+        .repartition(4)
+        .write.format("warc").mode("overwrite").save(tmp)
+      // stage boundaries are PINNED (localCheckpoint): each frame below is
+      // consumed by 2+ downstream operators, and an unpinned reference
+      // re-expands its whole upstream subtree per consumer (no cross-action
+      // CSE in Spark) — the WARC scan + quality kernels would re-run 3x
+      val docs0 = s.read.format("warc").option("types", "resource").load(tmp)
+        .select(regexp_extract(col("url"), "d(\\d+)\\.example", 1)
+            .cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        // 4 archive files -> spread the row-local quality kernels wide
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val kept = docs0.filter(graft.operators.TextQuality.keepColumn())
+      val stripped = Dedup.stripBoilerplateLines(kept, minDf = 50).localCheckpoint()
+      val dd = stripped.join(Dedup.exact(stripped), Seq("doc_id")).localCheckpoint()
+      val pairs = Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.2)
+      val cc = Dedup.connectedComponents(pairs)
+      val nd = dd.join(cc.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val bench = docs0.filter(pmod(col("doc_id"), lit(50)) === 0 &&
+        col("doc_id") < 1000000L)
+      val surv = nd.join(Dedup.contaminatedDocs(nd, bench, n = 5, minShared = 1)
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(docsTable.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
+      // exact x2 upsampling: targets = 2 * per-stratum survivor counts, so
+      // EVERY doc gets exactly copies {epoch 0, epoch 1} — no
+      // hash-dependent selection, the oracle states the counts directly
+      val targets = surv.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> 2L * r.getLong(1)).toMap
+      val copies = graft.operators.Sampling.resampleToCounts(surv, "lang", targets)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_copies"), min(col("epoch")).as("epoch_min"),
+          max(col("epoch")).as("epoch_max"))
+      val packed = graft.operators.Packing.packConcat(
+        surv.withColumn("toks", size(split(col("text"), " ")).cast("long"))
+          .withColumn("bucket", pmod(col("doc_id"), lit(8))),
+        "toks", budget = 200, bucketCol = "bucket")
+      packed.join(copies, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("bucket"),
+          col("pack_id"), col("pack_pos").cast("long").as("pack_pos"),
+          col("n_copies"), col("epoch_min"), col("epoch_max"))
+        .orderBy(col("doc_id"))
+    }),
     "q_warc_roundtrip" -> ((s, dir) => {
       // WARC ingestion head: documents written as a spec-layout
       // member-per-record .warc.gz (driver-side — bounded by the gate SF,
@@ -1711,6 +1791,188 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_resample_counts" -> """
       SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
+    "q_pipeline_e2e" -> """
+      WITH RECURSIVE
+      src AS (
+        SELECT doc_id, lang,
+               text || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'please accept our cookie policy to continue'
+                    ELSE 'u' || doc_id END || chr(10) ||
+               CASE WHEN doc_id % 7 = 0 THEN 'to be continued ...'
+                    ELSE 'end of doc ' || doc_id END AS t
+        FROM documents),
+      corpus AS MATERIALIZED (
+        SELECT doc_id, lang, t FROM src
+        UNION ALL
+        SELECT doc_id + 1000000, lang, t FROM src WHERE doc_id % 10 = 0),
+      tok AS (
+        SELECT doc_id, t, list_filter(string_split(replace(t, chr(10), ' '), ' '),
+                 x -> x <> '') AS ws,
+               string_split(t, chr(10)) AS lines
+        FROM corpus),
+      base AS (
+        SELECT doc_id, t, ws, lines,
+               len(ws) AS n_words,
+               CAST(len(array_to_string(ws, '')) AS DOUBLE) AS wchars,
+               (len(t) - len(replace(t, '#', ''))) AS n_hash,
+               (len(t) - len(replace(t, '...', ''))) / 3 AS n_dots,
+               (len(t) - len(replace(t, '…', ''))) AS n_uell
+        FROM tok),
+      linesig AS (
+        SELECT doc_id,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE)
+                 / len(lines) AS bullet_line_ratio,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$'))) AS DOUBLE)
+                 / len(lines) AS ellipsis_line_ratio
+        FROM base),
+      dupline AS (
+        SELECT doc_id,
+               CAST(n - d AS DOUBLE) / n AS dup_line_ratio,
+               CASE WHEN chars = 0 THEN 0
+                    ELSE CAST(dupchars AS DOUBLE) / chars END AS dup_line_char_ratio
+        FROM (
+          SELECT doc_id, sum(c) AS n, count(*) AS d,
+                 sum(ln * c) AS chars, sum(ln * (c - 1)) AS dupchars
+          FROM (SELECT doc_id, l, count(*) AS c, len(l) AS ln
+                FROM (SELECT doc_id, unnest(lines) AS l FROM base) lx GROUP BY 1, 2) per
+          GROUP BY 1) agg),
+      grams AS (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+                 i -> array_to_string(ws[i:i+n-1], ' '))) AS g
+        FROM base, (SELECT unnest([2, 3, 4]) AS n) ns),
+      gc AS (
+        SELECT doc_id, n, g, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(len(g) - (n - 1) AS DOUBLE) AS clen
+        FROM grams GROUP BY 1, 2, 3),
+      topn AS (
+        SELECT doc_id, n, cnt * clen AS num FROM (
+          SELECT doc_id, n, cnt, clen,
+                 row_number() OVER (PARTITION BY doc_id, n
+                   ORDER BY cnt DESC, clen DESC, g ASC) AS rk
+          FROM gc) r WHERE rk = 1),
+      gpos AS (
+        SELECT doc_id, n, u.i AS idx, u.g AS g FROM (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+                   i -> struct_pack(i := i,
+                     g := array_to_string(ws[i:i+n-1], ' ')))) AS u
+          FROM base, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns) q),
+      dg AS (
+        SELECT doc_id, n, g FROM (
+          SELECT doc_id, n, g, count(*) AS c FROM gpos GROUP BY 1, 2, 3) c
+        WHERE c >= 2),
+      cov AS (
+        SELECT DISTINCT doc_id, n, pp FROM (
+          SELECT gpos.doc_id, gpos.n, gpos.idx + unnest(range(0, gpos.n)) AS pp
+          FROM gpos JOIN dg USING (doc_id, n, g)) h),
+      dupc AS (
+        SELECT cov.doc_id, cov.n, CAST(sum(len(ws[pp])) AS DOUBLE) AS dchars
+        FROM cov JOIN base ON cov.doc_id = base.doc_id
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT b.doc_id,
+               (b.n_words >= 50 AND b.n_words <= 100000 AND
+                b.wchars / b.n_words >= 3.0 AND b.wchars / b.n_words <= 10.0 AND
+                CAST(b.n_hash AS DOUBLE) / b.n_words <= 0.1 AND
+                CAST(b.n_dots AS DOUBLE) / b.n_words
+                  + CAST(b.n_uell AS DOUBLE) / b.n_words <= 0.1 AND
+                ls.bullet_line_ratio <= 0.9 AND ls.ellipsis_line_ratio <= 0.3 AND
+                CAST(len(list_filter(b.ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / b.n_words >= 0.8 AND
+                (CASE WHEN list_contains(b.ws, 'the') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'be') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'to') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'of') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'and') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'that') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'have') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(b.ws, 'with') THEN 1 ELSE 0 END) >= 2 AND
+                dl.dup_line_ratio <= 0.3 AND dl.dup_line_char_ratio <= 0.2 AND
+                least(coalesce(t2.num, 0) / b.wchars, 1.0) <= 0.20 AND
+                least(coalesce(t3.num, 0) / b.wchars, 1.0) <= 0.18 AND
+                least(coalesce(t4.num, 0) / b.wchars, 1.0) <= 0.16 AND
+                coalesce(d5.dchars, 0) / b.wchars <= 0.15 AND
+                coalesce(d6.dchars, 0) / b.wchars <= 0.14 AND
+                coalesce(d7.dchars, 0) / b.wchars <= 0.13 AND
+                coalesce(d8.dchars, 0) / b.wchars <= 0.12 AND
+                coalesce(d9.dchars, 0) / b.wchars <= 0.11 AND
+                coalesce(d10.dchars, 0) / b.wchars <= 0.10) AS keep
+        FROM base b
+        JOIN linesig ls ON ls.doc_id = b.doc_id
+        JOIN dupline dl ON dl.doc_id = b.doc_id
+        LEFT JOIN topn t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+        LEFT JOIN topn t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+        LEFT JOIN topn t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+        LEFT JOIN dupc d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+        LEFT JOIN dupc d6 ON d6.doc_id = b.doc_id AND d6.n = 6
+        LEFT JOIN dupc d7 ON d7.doc_id = b.doc_id AND d7.n = 7
+        LEFT JOIN dupc d8 ON d8.doc_id = b.doc_id AND d8.n = 8
+        LEFT JOIN dupc d9 ON d9.doc_id = b.doc_id AND d9.n = 9
+        LEFT JOIN dupc d10 ON d10.doc_id = b.doc_id AND d10.n = 10),
+      keepers AS MATERIALIZED (
+        SELECT c.doc_id, c.lang, c.t FROM corpus c JOIN sig USING (doc_id) WHERE sig.keep),
+      lx AS (SELECT DISTINCT doc_id, unnest(string_split(t, chr(10))) AS l FROM keepers),
+      dfv AS (SELECT l, count(*) AS df FROM lx GROUP BY 1),
+      boiler AS (SELECT coalesce(list(l), []) AS bl FROM dfv WHERE df >= 50),
+      stripped AS MATERIALIZED (
+        SELECT doc_id, lang,
+               array_to_string(
+                 list_filter(string_split(t, chr(10)), x -> NOT list_contains(bl, x)),
+                 chr(10)) AS t
+        FROM keepers, boiler),
+      ex AS (SELECT min(doc_id) AS doc_id FROM stripped GROUP BY t),
+      dd AS MATERIALIZED (SELECT s.doc_id, s.lang, s.t FROM stripped s JOIN ex USING (doc_id)),
+      dtoks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM dd),
+      shj AS (SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                            ELSE list_transform(range(1, len(ts) - 1),
+                                   i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+              FROM dtoks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      prs AS MATERIALIZED (SELECT id_a, id_b FROM inter
+              JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+              WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+      nd AS MATERIALIZED (SELECT d.doc_id, d.lang, d.t FROM dd d
+             LEFT JOIN comp ON comp.id = d.doc_id
+             WHERE comp.id IS NULL OR comp.component = d.doc_id),
+      ndt AS (SELECT doc_id, string_split(t, ' ') AS ts FROM nd),
+      ssh AS (SELECT DISTINCT doc_id,
+                unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                            ELSE list_transform(range(1, len(ts) - 3),
+                                   i -> array_to_string(ts[i:i+4], ' ')) END) AS s
+              FROM ndt),
+      btoks AS (SELECT string_split(t, ' ') AS ts FROM corpus
+                WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+      bsh AS (SELECT DISTINCT
+                unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                            ELSE list_transform(range(1, len(ts) - 3),
+                                   i -> array_to_string(ts[i:i+4], ' ')) END) AS s
+              FROM btoks),
+      contam AS (SELECT DISTINCT doc_id FROM ssh JOIN bsh USING (s)),
+      surv AS MATERIALIZED (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      pc AS (SELECT doc_id, lang, ((doc_id % 8) + 8) % 8 AS bucket,
+                    CAST(len(string_split(t, ' ')) AS BIGINT) AS toks FROM surv),
+      cum AS (SELECT doc_id, lang, bucket, toks,
+                     sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pc)
+      SELECT doc_id, lang, toks, bucket,
+             CAST(floor((cum - toks) / 200) AS BIGINT) AS pack_id,
+             CAST(row_number() OVER (PARTITION BY bucket, floor((cum - toks) / 200)
+               ORDER BY doc_id) AS BIGINT) AS pack_pos,
+             CAST(2 AS BIGINT) AS n_copies,
+             CAST(0 AS BIGINT) AS epoch_min,
+             CAST(1 AS BIGINT) AS epoch_max
+      FROM cum ORDER BY doc_id""",
     "q_warc_roundtrip" -> """
       SELECT 'https://d' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.example/x' AS url,
              TIMESTAMP '2024-03-01 00:00:00' AS warc_ts,
