@@ -952,6 +952,83 @@ object SparkEntry {
         .select($"lang", lit("whitelist").as("violation"))
       v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
     }),
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // IMAGE-LEVEL dedup over REAL pixels (violation query, oracle
+      // empty): per doc, a deterministic grayscale PNG (the continuous
+      // sine pattern is a pure function of doc_id), a BMP re-encode under
+      // id+1e7 (identical pixels), and for even docs a half-resolution
+      // render under id+2e7 (same continuous image). Checks:
+      //  (a) cardinality: every planted blob decodes (ImageIO full pixel
+      //      decode, not a stub) — missing rows are a violation;
+      //  (b) dims: decoded width/height equal the planted values
+      //      (arithmetic in doc_id);
+      //  (c) re-encode invariance: dhash64(png) == dhash64(bmp) — a
+      //      lossless container change must not move the fingerprint;
+      //  (d) resize robustness: every (id, id+2e7) pair must be FOUND by
+      //      the banded-Hamming join at radius 10 (measured max resized
+      //      hamming over the full parameter space is 8 — deterministic
+      //      integer pipeline, so the bound cannot drift);
+      //  (e) subset exactness: operator pairs == brute-force bit_count
+      //      pairs on the bounded id<300 slice (completeness AND
+      //      precision of the banding).
+      val n = 10000000L
+      val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val imgs = ids.flatMap { id =>
+        val w = 40 + (id % 5).toInt * 12; val h = 32 + (id % 3).toInt * 8
+        val fx = 1.0 + (id % 4) * 0.7; val fy = 0.5 + (id % 3) * 0.6
+        val ph = (id % 17) / 17.0
+        val out = Seq(
+          (id, Multimodal.Synth.image(w, h, fx, fy, ph, "png")),
+          (id + n, Multimodal.Synth.image(w, h, fx, fy, ph, "bmp")))
+        if (id % 2 == 0)
+          out :+ ((id + 2 * n, Multimodal.Synth.image(w / 2, h / 2, fx, fy, ph, "png")))
+        else out
+      }.toDF("doc_id", "media")
+      val sigs = Multimodal.imageDhash(imgs).localCheckpoint()
+      val expected = ids.count() * 2 + ids.filter(_ % 2 == 0).count()
+      val cardV = sigs.agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= expected)
+        .select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit("cardinality").as("violation"))
+      val base = pmod(col("id"), lit(n))
+      val wBase = lit(40) + pmod(base, lit(5)).cast("int") * lit(12)
+      val hBase = lit(32) + pmod(base, lit(3)).cast("int") * lit(8)
+      val half = col("id") >= 2 * n
+      val dimsV = sigs.filter(
+          col("width") =!= when(half, (wBase / 2).cast("int")).otherwise(wBase) ||
+          col("height") =!= when(half, (hBase / 2).cast("int")).otherwise(hBase))
+        .select(col("id").as("id_a"), lit(-1L).as("id_b"), lit("dims").as("violation"))
+      val origs = sigs.filter(col("id") < n)
+      val reencV = origs.as("a")
+        .join(sigs.filter(col("id") >= n && col("id") < 2 * n).as("b"),
+          col("a.id") + n === col("b.id"))
+        .filter(col("a.sig") =!= col("b.sig"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          lit("reencode_sig").as("violation"))
+      val found = Dedup.simhashPairsFromSigs(
+        sigs.select(col("id"), col("sig")), maxHamming = 10).localCheckpoint()
+      val resizeV = origs.filter(pmod(col("id"), lit(2)) === 0)
+        .select(col("id").as("id_a"), (col("id") + 2 * n).as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left_anti")
+        .select(col("id_a"), col("id_b"), lit("resized_missed").as("violation"))
+      val sub = sigs.filter(base < 300)
+      val brute = sub.as("a").join(sub.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .filter(col("hamming") <= 10)
+      val foundSub = found
+        .filter(pmod(col("id_a"), lit(n)) < 300 && pmod(col("id_b"), lit(n)) < 300)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val subMissed = brute.exceptAll(foundSub)
+        .select(col("id_a"), col("id_b"), lit("subset_missed").as("violation"))
+      val subExtra = foundSub.exceptAll(brute)
+        .select(col("id_a"), col("id_b"), lit("subset_extra").as("violation"))
+      cardV.unionByName(dimsV).unionByName(reencV).unionByName(resizeV)
+        .unionByName(subMissed).unionByName(subExtra)
+        .orderBy(col("id_a"), col("id_b"), col("violation"))
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
@@ -1791,6 +1868,9 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS nn_id WHERE 1 = 0""",
     "q_resample_counts" -> """
       SELECT '' AS lang, '' AS violation WHERE 1 = 0""",
+    "q_image_dedup" -> """
+      SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b,
+             '' AS violation WHERE 1 = 0""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

@@ -24,9 +24,11 @@ case class MediaMeta(
  * path: JDK ImageIO reads PNG/JPEG/GIF/BMP dimensions, [[decodeWav]] walks
  * RIFF/WAVE chunks (sample rate, channels, duration) and [[decodeMp4]]
  * walks ISO BMFF boxes (mvhd duration, tkhd track dims) — pure byte work,
- * no codec jar. Only SAMPLE decode (pixels, PCM, frame extraction) remains
- * STUBBED behind [[decodeStub]] (no codec libraries in this container),
- * producing a deterministic fake so tests can pin outputs.
+ * no codec jar. Image PIXEL decode is REAL too ([[imageDhash]] /
+ * [[imageNearDupPairs]]: ImageIO full decode -> luma plane -> dhash-64).
+ * Only audio/video SAMPLE decode (PCM, frame extraction) remains STUBBED
+ * behind [[decodeStub]] (no codec libraries in this container), producing
+ * a deterministic fake so tests can pin outputs.
  *
  * Batch shape mirrors `mapInPandas`: each partition is processed as an
  * iterator of rows, the decoder is invoked once per blob inside the
@@ -224,6 +226,119 @@ object Multimodal {
     }
   }
 
+  // ---------------- REAL image pixel operators ----------------
+  //
+  // ImageIO.read is a FULL pixel decode (PNG/JPEG/GIF/BMP) in the plain
+  // JDK — no codec jar needed — so image-level dedup is a first-class
+  // operator, not a stub: dhash64 fingerprints survive lossless
+  // re-encoding (identical pixels -> identical hash) and moderate
+  // resizing (the 9x8 box-averaged luma grid sees the same continuous
+  // image), and the signatures ride the existing banded-Hamming join
+  // ([[Dedup.simhashPairsFromSigs]]) with its pigeonhole completeness
+  // guarantee.
+
+  /** Full pixel decode to a luma (gray) plane: ITU-R BT.601 integer
+    * weights (299/587/114 over 1000 — exact integer arithmetic, so the
+    * plane is bit-identical across partitions/retries/platforms). None on
+    * undecodable blobs. */
+  private[operators] def decodeGray(blob: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            g(y * w + x) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, g))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** dhash-64 (difference hash) over a gray plane: box-average the image
+    * onto a 9-column x 8-row grid (integer area averaging — NO Graphics2D
+    * or float resampler, so the grid is deterministic), then bit
+    * (row*8 + col) = cell(col+1, row) > cell(col, row). Robust to
+    * lossless re-encode (same pixels) and to resizing (same continuous
+    * cells); integer throughout. Images narrower than the grid repeat
+    * pixels (x1 clamps to x0+1). */
+  private[operators] def dhashFromGray(w: Int, h: Int, g: Array[Int]): Long = {
+    val cells = new Array[Long](9 * 8)
+    var ty = 0
+    while (ty < 8) {
+      val y0 = ty * h / 8
+      val y1 = math.max(y0 + 1, (ty + 1) * h / 8)
+      var tx = 0
+      while (tx < 9) {
+        val x0 = tx * w / 9
+        val x1 = math.max(x0 + 1, math.min((tx + 1) * w / 9, w))
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < x1) { sum += g(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (x1 - x0)
+        cells(ty * 9 + tx) = if (n == 0) 0L else sum / n
+        tx += 1
+      }
+      ty += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      val ty = b / 8; val tx = b % 8
+      if (cells(ty * 9 + tx + 1) > cells(ty * 9 + tx)) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** Per-image pixel fingerprint + stats: (id, width, height, sig,
+    * mean_gray). Partition-parallel full decode; undecodable blobs are
+    * dropped (a corrupt image cannot be deduped by content — route it to
+    * the checksum path instead). */
+  def imageDhash(df: DataFrame, idCol: String = "doc_id",
+                 binCol: String = "media"): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("blob"))
+    implicit val enc = Encoders.product[(Long, Int, Int, Long, Double)]
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (blob == null) Iterator.empty
+        else decodeGray(blob) match {
+          case Some((w, h, g)) =>
+            var sum = 0L; var i = 0
+            while (i < g.length) { sum += g(i); i += 1 }
+            Iterator.single((r.getLong(0), w, h, dhashFromGray(w, h, g),
+              sum.toDouble / g.length))
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("id", "width", "height", "sig", "mean_gray")
+  }
+
+  /** Image near-dup pairs at Hamming radius `maxHamming` over dhash-64
+    * fingerprints: full pixel decode -> dhash -> the banded-Hamming
+    * equi-join (pigeonhole-complete for the radius, exact bit_count
+    * verify). Catches lossless re-encodes (hamming 0) and resized copies
+    * (small hamming) without ever joining pixels. */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 6,
+                        idCol: String = "doc_id",
+                        binCol: String = "media"): DataFrame =
+    Dedup.simhashPairsFromSigs(imageDhash(df, idCol, binCol)
+      .select(col("id"), col("sig")), maxHamming)
+
   /** Deterministic spec-layout container builders — fixtures for the
     * parser gates (a standard 44-byte-header WAV; an ftyp+moov ISO BMFF
     * skeleton with version-0 mvhd/tkhd at their published sizes). Real
@@ -277,6 +392,36 @@ object Multimodal {
       w.u32be(0x00010000L).u32be(0).u32be(0)
       w.u32be(0).u32be(0x00010000L).u32be(0)
       w.u32be(0).u32be(0).u32be(0x40000000L)
+    }
+
+    /** Deterministic grayscale test image: the CONTINUOUS pattern
+      * g(u, v) = 127.5 * (1 + sin(2π(fx·u + fy·v + phase))) sampled at
+      * pixel centers — a pure function of (u, v), so the same (fx, fy,
+      * phase) rendered at any resolution depicts the same image (the
+      * resize-robustness fixture for dhash), and the same (w, h) renders
+      * bit-identical pixels in any lossless container (the re-encode
+      * fixture). `format`: any ImageIO writer name ("png", "bmp"). */
+    def image(w: Int, h: Int, fx: Double, fy: Double, phase: Double,
+              format: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val v = (y + 0.5) / h
+        var x = 0
+        while (x < w) {
+          val u = (x + 0.5) / w
+          val g0 = 127.5 * (1.0 + math.sin(2.0 * math.Pi * (fx * u + fy * v + phase)))
+          val g = math.max(0, math.min(255, g0.toInt))
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for '$format'")
+      out.toByteArray
     }
   }
 

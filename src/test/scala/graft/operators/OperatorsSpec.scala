@@ -1059,6 +1059,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.mediaMeta(corrupt).collect().head.kind === "png")
   }
 
+  test("multimodal: REAL pixel dhash — re-encode invariant, resize robust, banded pairs") {
+    import graft.operators.Multimodal.Synth
+    // one pattern rendered three ways: png, lossless bmp re-encode,
+    // half-resolution render of the same continuous image
+    val png = Synth.image(88, 48, 2.4, 1.1, 0.3, "png")
+    val bmp = Synth.image(88, 48, 2.4, 1.1, 0.3, "bmp")
+    val small = Synth.image(44, 24, 2.4, 1.1, 0.3, "png")
+    val other = Synth.image(88, 48, 0.6, 2.3, 0.9, "png")
+    val sigs = Multimodal.imageDhash(
+      Seq((1L, png), (2L, bmp), (3L, small), (4L, other),
+          (5L, "not an image".getBytes)).toDF("doc_id", "media"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("sig"))).toMap
+    assert(sigs.keySet === Set(1L, 2L, 3L, 4L), "undecodable blobs drop")
+    assert(sigs(1L)._1 === 88 && sigs(1L)._2 === 48, "full decode dims")
+    assert(sigs(3L)._1 === 44, "resized render decodes at its own dims")
+    assert(sigs(1L)._3 === sigs(2L)._3, "lossless re-encode must not move dhash")
+    val hResize = java.lang.Long.bitCount(sigs(1L)._3 ^ sigs(3L)._3)
+    assert(hResize <= 8, s"resize hamming $hResize exceeds the measured bound")
+    // determinism across partitionings (executor-independent decode)
+    val media = Seq((1L, png), (2L, bmp), (3L, small), (4L, other)).toDF("doc_id", "media")
+    assert(Multimodal.imageDhash(media.repartition(5)).collect().toSet ===
+      Multimodal.imageDhash(media).collect().toSet)
+    // the pair operator rides the banded join: (png, bmp) at hamming 0 and
+    // (png, small) within radius must both surface
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+  }
+
   test("multimodal: REAL WAV metadata — parses a JDK-AudioSystem-written file") {
     // a genuinely real WAV: written by javax.sound, not by our own builder
     val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
