@@ -785,16 +785,43 @@ object SparkEntry {
         ("빠른 갈색 여우가 게으른 개를 뛰어넘어 숲으로 달려갔다", "ko"),
         ("быстрая коричневая лиса перепрыгнула через ленивую собаку", "ru"),
         ("η γρήγορη καφέ αλεπού πήδηξε πάνω από το τεμπέλικο σκυλί", "el"))
-        .toDF("text", "want")
+      val labeled = sentences.toDF("text", "want")
+      val wrong = labeled
         .filter(lang_id(col("text")) =!= col("want"))
         .select(lit(-1L).as("doc_id"), lit("lang_id").as("violation"))
-      val tokenBounds = s.read.parquet(t(dir, "documents"))
+      // (c) gibberish and mixed-script soup must come back "und" with
+      //     margin 0 — a scorer that always answers with the nearest
+      //     profile is unusable as a pipeline filter
+      val junk = Seq(
+        "xqzvk bfgrtl pwmnjd krvxzt qblfgh zzkrtp vvwxmj dklzqr ffbntx",
+        "zzz qqq xxx vvv kkk www jjj ppp bbb mmm zzz qqq xxx vvv kkk",
+        "abc где xyz ελλ def 中文 ghi עבר jkl ქარ mno عرب pqr ไทย stu",
+        "mxkzp 123 784 qvtrj 9901 zzrtk 42 77 bnmwq 563 kkjhr 10 20 30")
+        .toDF("text")
+        .withColumn("lc", lang_id_conf(col("text")))
+        .filter(col("lc.code") =!= "und" || col("lc.margin") =!= 0.0)
+        .select(lit(-2L).as("doc_id"), lit("und_fallback").as("violation"))
+      // (d) clear monolingual prose must carry POSITIVE margin, and the
+      //     conf struct's code must equal lang_id on every fixture row
+      //     (single code path — any split is a bug)
+      val conf = labeled.withColumn("lc", lang_id_conf(col("text")))
+      val margins = conf
+        .filter(col("lc.code") =!= lang_id(col("text")) || col("lc.margin") <= 0.0)
+        .select(lit(-3L).as("doc_id"), lit("conf_margin").as("violation"))
+      val docsT = s.read.parquet(t(dir, "documents"))
+      val consistency = docsT
+        .withColumn("lc", lang_id_conf(col("text")))
+        .filter(col("lc.code") =!= lang_id(col("text")) ||
+          (col("lc.code") === "und" && col("lc.margin") =!= 0.0))
+        .select(col("doc_id"), lit("conf_consistency").as("violation"))
+      val tokenBounds = docsT
         .withColumn("pieces", token_count_bpeish(col("text")).cast("long"))
         .withColumn("words",
           size(filter(split(col("text"), " "), x => x =!= "")).cast("long"))
         .filter(col("pieces") < col("words") || col("pieces") > length(col("text")))
         .select(col("doc_id"), lit("token_bounds").as("violation"))
-      sentences.unionByName(tokenBounds)
+      wrong.unionByName(junk).unionByName(margins)
+        .unionByName(consistency).unionByName(tokenBounds)
     }),
     "q_winnow_overlap" -> ((s, dir) => {
       // winnowing guarantee (Schleimer et al. 2003): any common substring

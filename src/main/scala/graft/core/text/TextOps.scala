@@ -190,8 +190,23 @@ object TextOps {
       "aya", "oro", "eni", " pr", "pro", "pri", "kot", "cht", "hto", " za", "to ",
       "ya ", "yet"))
 
-  def langId(text: String): String = {
-    if (text == null || text.length < 6) return "und"
+  /** Language id alone — [[langIdConf]] without the margin. */
+  def langId(text: String): String = langIdConf(text)._1
+
+  /**
+   * Language id WITH a confidence margin — what a real pipeline thresholds
+   * on before trusting the label. Semantics of the margin:
+   *  - script pass (decisive): the deciding script's share of counted
+   *    letters, in (0.3, 1];
+   *  - trigram pass: the relative gap (best − secondBest) / best over the
+   *    profile scores, in [0, 1] — close pairs (es/pt, de/nl) land near 0,
+   *    clearly monolingual prose near 1;
+   *  - "und" (no/insufficient evidence, gibberish, mixed-script soup):
+   *    margin 0.0.
+   * `langIdConf(t)._1 == langId(t)` by construction (single code path).
+   */
+  def langIdConf(text: String): (String, Double) = {
+    if (text == null || text.length < 6) return ("und", 0.0)
     val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(4000) + " "
     // ---- script pass first: non-Latin scripts are DECISIVE, trigram
     // profiles never see them. kana => ja; hangul => ko; Han without kana
@@ -220,22 +235,24 @@ object TextOps {
       ci += 1
     }
     if (letters > 0) {
+      def share(n: Int): Double = n.toDouble / letters
       // ja needs BOTH a CJK-dominant page and a real kana share (>= 5%):
       // Japanese prose is kana-heavy, while a Chinese page with one
       // stylistic kana (brand names like 优の良品) must stay zh
       if ((han + kana) * 10 >= letters * 3 && kana * 20 >= letters)
-        return "ja"
-      if (hangul * 10 >= letters * 3) return "ko"
-      if (han * 10 >= letters * 3) return "zh"
-      if (cyr * 10 >= letters * 3) return "ru"
-      if (grk * 10 >= letters * 3) return "el"
-      if (ara * 10 >= letters * 3) return "ar"
-      if (heb * 10 >= letters * 3) return "he"
-      if (tha * 10 >= letters * 3) return "th"
-      if (dev * 10 >= letters * 3) return "hi"
+        return ("ja", share(han + kana))
+      if (hangul * 10 >= letters * 3) return ("ko", share(hangul))
+      if (han * 10 >= letters * 3) return ("zh", share(han))
+      if (cyr * 10 >= letters * 3) return ("ru", share(cyr))
+      if (grk * 10 >= letters * 3) return ("el", share(grk))
+      if (ara * 10 >= letters * 3) return ("ar", share(ara))
+      if (heb * 10 >= letters * 3) return ("he", share(heb))
+      if (tha * 10 >= letters * 3) return ("th", share(tha))
+      if (dev * 10 >= letters * 3) return ("hi", share(dev))
     }
     var best = "und"
     var bestScore = 0
+    var secondScore = 0
     var p = 0
     while (p < Profiles.length) {
       val (lang, grams) = Profiles(p)
@@ -246,11 +263,13 @@ object TextOps {
         while (idx >= 0) { score += 1; idx = t.indexOf(grams(g), idx + 1) }
         g += 1
       }
-      if (score > bestScore) { bestScore = score; best = lang }
+      if (score > bestScore) { secondScore = bestScore; bestScore = score; best = lang }
+      else if (score > secondScore) secondScore = score
       p += 1
     }
     // demand minimal evidence density: ~1 hit per 40 chars
-    if (bestScore * 40 < t.length) "und" else best
+    if (bestScore * 40 < t.length) ("und", 0.0)
+    else (best, (bestScore - secondScore).toDouble / bestScore)
   }
 
   /** Quality heuristics: fraction of alphabetic chars, fraction of

@@ -40,6 +40,7 @@ object GraftFunctions {
   def fingerprint64(c: Column): Column = column(Fingerprint64(expression(c)))
   def winnow_min64(c: Column): Column = column(WinnowMin64(expression(c)))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
+  def lang_id_conf(c: Column): Column = column(LangIdConf(expression(c)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
@@ -138,6 +139,7 @@ object GraftFunctions {
     "fingerprint64" -> (e => Fingerprint64(e.head)),
     "winnow_min64" -> (e => WinnowMin64(e.head)),
     "lang_id" -> (e => LangId(e.head)),
+    "lang_id_conf" -> (e => LangIdConf(e.head)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),

@@ -65,6 +65,34 @@ case class LangId(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
+/** Language id WITH confidence: struct<code string, margin double>. Same
+  * single code path as [[LangId]] (`code == lang_id(text)` always); the
+  * margin is what a pipeline thresholds on before trusting the label —
+  * deciding-script letter share for the script pass, relative
+  * best-vs-runner-up gap for the trigram pass, 0.0 for "und"
+  * (gibberish / mixed-script soup / too little evidence). */
+case class LangIdConf(child: Expression) extends TextUnary {
+  override def dataType: DataType = LangIdConf.Schema
+  override def prettyName: String = "lang_id_conf"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    LangIdConf.eval(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdConf.eval($c.toString())")
+  override protected def withNewChildInternal(c: Expression): LangIdConf = copy(child = c)
+}
+
+object LangIdConf {
+  val Schema: StructType = StructType(Seq(
+    StructField("code", StringType, nullable = false),
+    StructField("margin", DoubleType, nullable = false)))
+  def eval(s: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (code, margin) = graft.core.text.TextOps.langIdConf(s)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(code), margin))
+  }
+}
+
 /** BPE-ish token-count heuristic (sub-word pieces). */
 case class TokenCountBpeish(child: Expression) extends TextUnary {
   override def dataType: DataType = IntegerType

@@ -991,6 +991,21 @@ class OperatorsSpec extends AnyFunSuite {
     scripts.foreach(r => assert(r.getAs[String]("got") === r.getAs[String]("want"),
       s"'${r.getAs[String]("text")}' -> ${r.getAs[String]("got")}"))
 
+    // lang_id_conf: same code path as lang_id, plus a usable margin —
+    // script-pass rows carry the (decisive) script share, gibberish is
+    // und at margin 0, and clear prose beats a reasonable threshold
+    import graft.core.text.TextOps
+    assert(TextOps.langIdConf("szdfkj qwpzmx vrtbnk lopsyd") === (("und", 0.0)))
+    val (zhCode, zhMargin) = TextOps.langIdConf("快速的棕色狐狸跳过了懒狗然后跑进了森林")
+    assert(zhCode === "zh" && zhMargin > 0.9)
+    val (enCode, enMargin) = TextOps.langIdConf(
+      "the quick brown fox jumps over the lazy dog and runs into the forest")
+    assert(enCode === "en" && enMargin > 0.3, s"en margin $enMargin")
+    // close-pair prose still answers, but at LOW margin (threshold fodder)
+    val (esCode, esMargin) = TextOps.langIdConf(
+      "no sabemos qué pasará mañana pero el gobierno ha dicho que la situación está controlada")
+    assert(esCode === "es" && esMargin > 0.0 && esMargin < 0.8)
+
     // fingerprint: equal texts -> equal fp; distinct texts here -> distinct fp
     val fp = docs.withColumn("fp", fingerprint64($"text"))
     assert(fp.select("fp").distinct().count() === fp.select("text").distinct().count())
