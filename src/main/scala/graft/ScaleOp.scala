@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 /** Dev utility: two-parallelism scaling evidence for a HEAVY operator (the
   * north-rule criterion applied beyond the sketch build):
   * `runMain graft.ScaleOp [op] <cores> <nDocs>` runs the chosen operator —
-  * `minhash_lsh` (default: signatures + band join + exact verification) or
+  * `minhash_lsh` (default: signatures + band join + exact verification),
   * `sparse_cosine` (tf vectors + L2AP prefix join + exact dot, the engine's
-  * heaviest gate) — over a deterministic synthetic corpus with planted
-  * near-dups and prints docs/sec. Results recorded in BASELINE.md; not part
-  * of the driver contract. */
+  * heaviest gate) or `connected_components` (iterative label propagation:
+  * per-round join + min-agg + pointer jump + reliable checkpoint — the
+  * shape a 100-TB dedup job spends its clustering time in; input is a
+  * deterministic edge list of 32-vertex chains, so every run does ~5
+  * pointer-jumping rounds) — over a deterministic synthetic corpus with
+  * planted near-dups and prints docs/sec. Results recorded in BASELINE.md;
+  * not part of the driver contract. */
 object ScaleOp {
   def main(args: Array[String]): Unit = {
     val (op, rest) =
@@ -36,8 +40,14 @@ object ScaleOp {
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // checkpoint dir on tmpfs too: connected_components reliably
+    // checkpoints a label table per round, and disk-backed /tmp would make
+    // the measurement I/O-bound at higher core counts
+    val ckptBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark"))
+    java.nio.file.Files.createDirectories(ckptBase)
     spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      java.nio.file.Files.createTempDirectory(ckptBase, "graft-ckpt").toString)
     graft.pipelines.Magnitude.tune(spark)
     import graft.functions.GraftFunctions._
     // ~24-token docs; every 10th doc is a near-copy of its predecessor
@@ -57,6 +67,15 @@ object ScaleOp {
     val base = spark.range(nDocs).select(col("id").as("doc_id"),
         concat_ws(" ", toks: _*).as("text"))
       .localCheckpoint() // generation cost excluded
+    // connected_components input: chains of 32 vertices (i -- i+1 except
+    // at chain boundaries) over nDocs vertices -> component diameter 32,
+    // so every measured run performs the same ~5 pointer-jumping rounds
+    // of join + min-agg + reliable checkpoint
+    lazy val edges = spark.range(nDocs - 1)
+      .filter(pmod(col("id"), lit(32)) =!= 31)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      .repartition(parts.toInt)
+      .localCheckpoint() // generation cost excluded
     val metrics = if (sys.env.get("SCALEOP_STAGES").contains("1")) {
       val m = new BenchMetrics; spark.sparkContext.addSparkListener(m); Some(m)
     } else None
@@ -69,7 +88,10 @@ object ScaleOp {
           n = 3, numHashes = 32, bands = 8, minJaccard = 0.5).count()
         case "sparse_cosine" => graft.operators.Dedup.sparseCosinePairs(base,
           minCos = 0.8).count()
-        case other => sys.error(s"unknown op $other (minhash_lsh | sparse_cosine)")
+        case "connected_components" =>
+          graft.operators.Dedup.connectedComponents(edges).count()
+        case other => sys.error(
+          s"unknown op $other (minhash_lsh | sparse_cosine | connected_components)")
       }
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaleop] rep $r: $s%.2f s ($pairs pairs)")

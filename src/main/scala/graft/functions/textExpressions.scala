@@ -76,9 +76,12 @@ case class LangIdConf(child: Expression) extends TextUnary {
   override def prettyName: String = "lang_id_conf"
   override protected def fn: String = "" // custom codegen below
   override def nullSafeEval(v: Any): Any =
-    LangIdConf.eval(v.asInstanceOf[UTF8String].toString)
+    LangIdConf.evalText(v.asInstanceOf[UTF8String].toString)
+  // NB: must target the companion explicitly — scalac suppresses the
+  // static forwarder because Expression already declares eval(InternalRow)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdConf.eval($c.toString())")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangIdConf.evalText($c.toString())")
   override protected def withNewChildInternal(c: Expression): LangIdConf = copy(child = c)
 }
 
@@ -86,7 +89,10 @@ object LangIdConf {
   val Schema: StructType = StructType(Seq(
     StructField("code", StringType, nullable = false),
     StructField("margin", DoubleType, nullable = false)))
-  def eval(s: String): org.apache.spark.sql.catalyst.InternalRow = {
+  // named evalText (not eval): the case class inherits eval(InternalRow)
+  // from Expression, which would suppress a same-named static forwarder
+  // and break the generated Java's static call
+  def evalText(s: String): org.apache.spark.sql.catalyst.InternalRow = {
     val (code, margin) = graft.core.text.TextOps.langIdConf(s)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](UTF8String.fromString(code), margin))

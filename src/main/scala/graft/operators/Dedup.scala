@@ -885,6 +885,19 @@ object Dedup {
       case None => pinRound(edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")), 0)
     }
+    // Convergence check WITHOUT a join: labels are componentwise
+    // NON-INCREASING round over round (the min-agg includes the vertex's
+    // own label; the pointer jump contracts because component <= id for
+    // every label row), so the label vector changed iff its exact sum
+    // changed. decimal(38,0) keeps the sum exact at any scale (|id| <
+    // 2^63 has 19 digits; 10^12 rows leave 38-digit headroom) where a
+    // long SUM would overflow under ANSI mode. One single-column scan of
+    // the already-pinned round replaces a shuffle join of two label
+    // tables per round.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0))
+    var prevSum = labelSum(labels)
     var iter = resumed.getOrElse(0)
     var converged = false
     while (iter < maxIter && !converged) {
@@ -901,10 +914,15 @@ object Dedup {
           Seq("component"), "left")
         .select(col("id"), coalesce(col("cc"), col("component")).as("component")),
         iter + 1)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = (nextSum, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (None, None) => true // empty edge set: nothing to propagate
+        case _ => false
+      }
+      prevSum = nextSum
       iter += 1
     }
     labels
