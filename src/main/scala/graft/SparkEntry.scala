@@ -1018,7 +1018,7 @@ object SparkEntry {
         if (id % 2 == 0)
           out :+ ((id + 2 * n, Multimodal.Synth.image(w / 2, h / 2, fx, fy, ph, "png")))
         else out
-      }.toDF("doc_id", "media")
+      }.toDF("doc_id", "media").localCheckpoint() // consumed by sigs + resize
       val sigs = Multimodal.imageDhash(imgs).localCheckpoint()
       val expected = ids.count() * 2 + ids.filter(_ % 2 == 0).count()
       val cardV = sigs.agg(count(lit(1)).as("c"))
@@ -1046,6 +1046,33 @@ object SparkEntry {
         .select(col("id").as("id_a"), (col("id") + 2 * n).as("id_b"))
         .join(found, Seq("id_a", "id_b"), "left_anti")
         .select(col("id_a"), col("id_b"), lit("resized_missed").as("violation"))
+      // (f) REAL resize invariants, all exact: a 32x32-box thumbnail of
+      //     every original must exist (full decode->box-resample->encode
+      //     worked), carry the arithmetic aspect-fit dims, and a resize
+      //     whose box exceeds the source dims must leave pixels — hence
+      //     the dhash — UNCHANGED. (Drift bounds for aggressive downsizes
+      //     are fixture-dependent and live in the unit spec.)
+      val origImgs = imgs.filter(col("doc_id") < n)
+      val thumbs = Multimodal.imageResize(origImgs, maxW = 32, maxH = 32)
+        .localCheckpoint()
+      val twExp = least(wBase, least(lit(32), floor(wBase * 32 / hBase))).cast("int")
+      val thExp = least(hBase, least(lit(32), floor(hBase * 32 / wBase))).cast("int")
+      val thumbMissing = origs.select(col("id"))
+        .join(thumbs, Seq("id"), "left_anti")
+        .select(col("id").as("id_a"), lit(-1L).as("id_b"),
+          lit("thumb_missing").as("violation"))
+      val thumbDims = thumbs
+        .filter(col("width") =!= twExp || col("height") =!= thExp)
+        .select(col("id").as("id_a"), lit(-1L).as("id_b"),
+          lit("thumb_dims").as("violation"))
+      val noopSigs = Multimodal.imageDhash(
+        Multimodal.imageResize(origImgs, maxW = 4096, maxH = 4096),
+        idCol = "id")
+      val thumbNoop = origs.as("a")
+        .join(noopSigs.as("t"), Seq("id"))
+        .filter(col("a.sig") =!= col("t.sig"))
+        .select(col("id").as("id_a"), lit(-1L).as("id_b"),
+          lit("thumb_noop_sig").as("violation"))
       val sub = sigs.filter(base < 300)
       val brute = sub.as("a").join(sub.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -1059,6 +1086,7 @@ object SparkEntry {
       val subExtra = foundSub.exceptAll(brute)
         .select(col("id_a"), col("id_b"), lit("subset_extra").as("violation"))
       cardV.unionByName(dimsV).unionByName(reencV).unionByName(resizeV)
+        .unionByName(thumbMissing).unionByName(thumbDims).unionByName(thumbNoop)
         .unionByName(subMissed).unionByName(subExtra)
         .orderBy(col("id_a"), col("id_b"), col("violation"))
     }),

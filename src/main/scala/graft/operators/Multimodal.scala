@@ -241,7 +241,7 @@ object Multimodal {
     * weights (299/587/114 over 1000 — exact integer arithmetic, so the
     * plane is bit-identical across partitions/retries/platforms). None on
     * undecodable blobs. */
-  private[operators] def decodeGray(blob: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def decodeGray(blob: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       if (img == null) None
@@ -271,7 +271,7 @@ object Multimodal {
     * lossless re-encode (same pixels) and to resizing (same continuous
     * cells); integer throughout. Images narrower than the grid repeat
     * pixels (x1 clamps to x0+1). */
-  private[operators] def dhashFromGray(w: Int, h: Int, g: Array[Int]): Long = {
+  def dhashFromGray(w: Int, h: Int, g: Array[Int]): Long = {
     val cells = new Array[Long](9 * 8)
     var ty = 0
     while (ty < 8) {
@@ -326,6 +326,78 @@ object Multimodal {
         }
       }
     }.toDF("id", "width", "height", "sig", "mean_gray")
+  }
+
+  /** Deterministic RGB box-downsample: target pixel (tx, ty) is the
+    * integer average of its source rectangle per channel — the same
+    * area-average rule as [[dhashFromGray]]'s grid, so thumbnails are
+    * bit-stable across platforms (no Graphics2D interpolation). */
+  def boxResizeRgb(img: java.awt.image.BufferedImage,
+                                      tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        var r = 0L; var g = 0L; var b = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (y1 - y0).toLong * (x1 - x0)
+        out.setRGB(tx, ty,
+          (((r / cnt).toInt) << 16) | (((g / cnt).toInt) << 8) | (b / cnt).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** REAL image resize, partition-parallel: decode (ImageIO), integer
+    * box-downsample to fit (maxW, maxH) preserving aspect ratio (never
+    * upscales), re-encode to `format` ("png" lossless by default).
+    * Output: (id, media, width, height) with the THUMBNAIL's dims and
+    * bytes; undecodable blobs drop (route them by checksum instead).
+    * Thumbnails keep dhash proximity to their source (same area-average
+    * rule), so a resize stage composes with [[imageNearDupPairs]]. */
+  def imageResize(df: DataFrame, maxW: Int, maxH: Int,
+                  idCol: String = "doc_id", binCol: String = "media",
+                  format: String = "png"): DataFrame = {
+    require(maxW > 0 && maxH > 0, "target dims must be positive")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("blob"))
+    implicit val enc = Encoders.product[(Long, Array[Byte], Int, Int)]
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img = if (blob == null) null
+                  else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+                       catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          // floor scale, min 1 px: fit INSIDE the box, never upscale
+          val tw = math.max(1, math.min(w, math.min(maxW, w * maxH / h)))
+          val th = math.max(1, math.min(h, math.min(maxH, h * maxW / w)))
+          val thumb = if (tw == w && th == h) img else boxResizeRgb(img, tw, th)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, format, out)
+          Iterator.single((r.getLong(0), out.toByteArray, tw, th))
+        }
+      }
+    }.toDF("id", "media", "width", "height")
   }
 
   /** Image near-dup pairs at Hamming radius `maxHamming` over dhash-64

@@ -90,6 +90,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chainComps.forall(_._2 == 0L), "whole chain collapses to min id 0")
   }
 
+  test("connected components: giant-star hot-key soak (boilerplate-cluster skew)") {
+    // the 100-TB failure mode: one near-dup cluster holding a large slice
+    // of the corpus (shared boilerplate). After round 1 every member
+    // carries the SAME component label, so the pointer-jump join keys
+    // 300k rows onto one value and the neighbor join keys the hub's whole
+    // degree onto one dst — the hot-key regime AQE's skew handling must
+    // absorb. Converges in O(1) rounds (star diameter 2); labels exact.
+    val n = 300000L
+    val star = spark.range(1, n).select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val comps = Dedup.connectedComponents(star)
+    assert(comps.filter(col("component") =!= 0L).limit(1).count() === 0L,
+      "every member of the star must label to the hub's id")
+    assert(comps.count() === n)
+  }
+
   test("connected components recovers from lost executor blocks (reliable checkpoint)") {
     // fault-tolerance contract: labels pin via RELIABLE checkpoint into the
     // session checkpoint dir, so losing every executor-resident block (what
@@ -1102,6 +1117,32 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 10)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs.toString)
+  }
+
+  test("multimodal: REAL image resize — aspect fit, no upscale, dhash proximity") {
+    import graft.operators.Multimodal.Synth
+    val big = Synth.image(88, 48, 2.4, 1.1, 0.3, "png")
+    val tiny = Synth.image(12, 10, 2.4, 1.1, 0.3, "png")
+    val media = Seq((1L, big), (2L, tiny), (3L, "junk".getBytes)).toDF("doc_id", "media")
+    val thumbs = Multimodal.imageResize(media, maxW = 22, maxH = 22)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Array[Byte]]("media"), r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(thumbs.keySet === Set(1L, 2L), "undecodable blobs drop")
+    // 88x48 into a 22x22 box: width-bound, aspect preserved -> 22x12
+    assert(thumbs(1L)._2 === 22 && thumbs(1L)._3 === 12, thumbs(1L).toString)
+    // smaller than the box: passes through at its own dims (no upscale)
+    assert(thumbs(2L)._2 === 12 && thumbs(2L)._3 === 10)
+    // the thumbnail is a REAL decodable image whose dhash stays near the
+    // source's (same continuous pattern through the same area-average rule)
+    val sigs = Multimodal.imageDhash(Seq((1L, big), (10L, thumbs(1L)._1))
+      .toDF("doc_id", "media")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    val hd = java.lang.Long.bitCount(sigs(1L) ^ sigs(10L))
+    assert(hd <= 8, s"thumbnail dhash drifted $hd bits from its source")
+    // determinism: same input -> byte-identical thumbnail across partitionings
+    val again = Multimodal.imageResize(media.repartition(3), 22, 22).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("media")).toMap
+    assert(java.util.Arrays.equals(again(1L), thumbs(1L)._1))
   }
 
   test("multimodal: REAL WAV metadata — parses a JDK-AudioSystem-written file") {

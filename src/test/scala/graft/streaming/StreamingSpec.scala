@@ -169,6 +169,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).forall(_ < 100), s"survivors must be first arrivals")
   }
 
+  test("composed streaming pipeline: gopher filter -> stateful dedup -> WARC sink == batch") {
+    // the continuous-crawl topology END TO END as one query: file stream ->
+    // row-local quality kernel -> watermarked stateful exact dedup -> DSv2
+    // WARC streaming sink; the archive read back must equal the batch
+    // formulation (filter + first-arrival-per-text) — composition across
+    // a codegen'd filter, flatMap-free stateful dedup, and an external
+    // sink with per-epoch commit is what no per-operator test covers.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
+    val sinkDir = s"$srcDir/sink"
+    // 58 passable words (stopword hits, mean len >= 3, alpha-heavy) with
+    // doc-group tails: 120 docs over 40 distinct texts; every 7th doc is
+    // symbol junk the gopher rule must drop
+    val body = (0 until 54).map(j => f"wd$j%02d").mkString(" ") + " the and of with"
+    val docs = (0 until 120).map { i =>
+      val text = if (i % 7 == 3) "#### !!! #### !!! ####"
+                 else s"$body group${i % 40}"
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        text)
+    }.toDF("doc_id", "ts", "text")
+    docs.filter($"doc_id" < 60).write.parquet(s"$srcDir/in/c=0")
+    docs.filter($"doc_id" >= 60).write.parquet(s"$srcDir/in/c=1")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/in/c=*")
+      .filter(graft.operators.TextQuality.keepColumn())
+    val q = StreamingSketch.dedupExact(stream, "ts", watermark = "10 minutes")
+      .select(concat(lit("https://e2e.example/"), $"doc_id").as("url"),
+        $"ts".as("warc_ts"), encode($"text", "UTF-8").as("html"))
+      .writeStream.format("warc").option("path", sinkDir)
+      .option("checkpointLocation", s"$srcDir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.format("warc").load(sinkDir)
+      .select(regexp_extract($"url", "example/(\\d+)", 1).cast("long").as("doc_id"),
+        $"payload".cast("string").as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch oracle on the guaranteed contract: the survivor TEXT set is
+    // exactly the filtered distinct texts, one survivor per text, and each
+    // survivor id genuinely carried that text. (WHICH duplicate survives
+    // within one micro-batch is unspecified — dropDuplicatesWithinWatermark
+    // only guarantees first-arrival across batches — so ids are checked
+    // for membership, not minimality.)
+    val wantTexts = docs.filter(graft.operators.TextQuality.keepColumn())
+      .select($"text").distinct().collect().map(_.getString(0)).toSet
+    assert(wantTexts.size === 40, s"oracle sanity: expected 40 texts, got ${wantTexts.size}")
+    assert(got.length === 40, s"exactly one survivor per distinct text, got ${got.length}")
+    assert(got.map(_._2).toSet === wantTexts,
+      "streamed filtered-deduped archive must carry exactly the batch text set")
+    got.foreach { case (id, text) =>
+      assert(text.endsWith(s"group${id % 40}"), s"survivor $id carries wrong text")
+      assert(id % 7 != 3, s"junk doc $id passed the quality filter")
+    }
+    // sink hygiene: only committed per-epoch parts, no temp skeleton left
+    assert(!new java.io.File(s"$sinkDir/_temporary_warc").exists() ||
+      new java.io.File(s"$sinkDir/_temporary_warc").listFiles().isEmpty)
+  }
+
   test("streaming MinHash-LSH near-dedup == batch band-bucket candidates on a replay") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_lsh").toString
     // 40 base texts x 3 arrivals: an exact copy (est 1.0), then a near copy
