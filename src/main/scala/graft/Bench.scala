@@ -64,14 +64,20 @@ object Bench {
     // min is the WARM number (steady-state; the one to compare across
     // rounds, since cold single-shots on a noisy host have been ~6x off).
     val sketchOnly = sys.env.get("SPARK_GRAFT_SKETCH_ONLY").contains("1")
-    val results: Seq[(String, Seq[Double])] =
+    // each rep records (seconds, succeeded): a rep that THROWS must not
+    // donate its (short) time-to-exception to the warm min — warm is the
+    // best SUCCESSFUL rep, falling back to rep 1's time when every rep
+    // failed (the query is broken either way; stderr carries the errors)
+    val results: Seq[(String, Seq[(Double, Boolean)])] =
       if (sketchOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try force(fn(spark, sfDir))
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { force(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e"); false }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
       }
 
@@ -101,12 +107,16 @@ object Bench {
     }
     val pagesPerSec = pagesN / sketchSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.head}%.3f" }
+    def warmOf(v: Seq[(Double, Boolean)]): Double = {
+      val ok = v.filter(_._2)
+      if (ok.nonEmpty) ok.map(_._1).min else v.head._1
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.head._1}%.3f" }
       .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
+    val qsWarm = results.map { case (k, v) => "\"" + k + "\":" + f"${warmOf(v)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.head).sum + sketchSec
-    val totalWarm = results.map(_._2.min).sum + sketchSec
+    val total = results.map(_._2.head._1).sum + sketchSec
+    val totalWarm = results.map(r => warmOf(r._2)).sum + sketchSec
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":$qsWarm,"total_warm":$totalWarm%.3f,"sf":"$sfDir","cpus":$cpus,"pages_n":$pagesN,"sketch_build_sec":$sketchSec%.3f,"pages_per_sec":$pagesPerSec%.0f}"""
     // belt and braces for the driver's JSON parse: a file, stderr, and —
     // with build.sbt's StdoutOutput strategy (no sbt logger prefix) — the

@@ -25,6 +25,17 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Stable scratch directory for gates that materialize an intermediate
+    * artifact (WARC archive, .dnsmag export): keyed by SF dir + gate name
+    * so repeated invocations (bench reps, verify cycles) OVERWRITE the
+    * same path instead of leaking one corpus-sized temp dir per run. */
+  private def gateScratch(sfDir: String, gate: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      f"graft_gate_${gate}%s_${math.abs(sfDir.hashCode)}%x")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Flagship: the full magnitude pipeline (collect -> aggregate -> report)
     * over the synthetic Common-Crawl-style pages table. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1119,8 +1130,11 @@ object SparkEntry {
       val corpus = base.unionByName(
         base.filter(pmod(d, lit(10)) === 0).withColumn("doc_id", d + 1000000L))
       // WARC hop through the DSv2 WRITE path (multi-partition commit) and
-      // back through the DSv2 read: resource payloads are byte-exact
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/crawl"
+      // back through the DSv2 read: resource payloads are byte-exact.
+      // STABLE scratch path (not a fresh temp dir): the gate runs
+      // repeatedly (bench reps, verify cycles) and overwrite-mode reuses
+      // the same directory instead of leaking one corpus per invocation
+      val tmp = gateScratch(dir, "e2e") + "/crawl"
       corpus.select(format_string("https://d%09d.example/x", d).as("url"),
           lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("warc_ts"),
           col("text").cast("binary").as("html"))
@@ -1179,7 +1193,7 @@ object SparkEntry {
       // from the documents table directly.
       val rows = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
-      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_gate").toString
+      val tmp = gateScratch(dir, "warc") // stable: FileOutputStream overwrites
       val out = new java.io.FileOutputStream(s"$tmp/docs.warc.gz")
       // close() each gzip member to release its native Deflater
       // deterministically (finish() alone leaves one Deflater per record to
@@ -1220,7 +1234,7 @@ object SparkEntry {
         .agg(hll_build(xxh3_64(col("user_id").cast("string"))).as("hll"),
           count(lit(1)).as("queries"))
         .withColumn("date", lit(java.sql.Date.valueOf("2000-01-01")))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dnsmag_gate").toString
+      val tmp = gateScratch(dir, "dnsmag") // stable: the codec overwrites
       graft.io.DnsMagCbor.write(state, s"$tmp/state.dnsmag")
       val back = s.read.format("dnsmag").load(s"$tmp/state.dnsmag")
         .filter(col("domain").isNotNull)

@@ -316,17 +316,30 @@ object Multimodal {
       rows.flatMap { r =>
         val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         if (blob == null) Iterator.empty
-        else decodeGray(blob) match {
-          case Some((w, h, g)) =>
-            var sum = 0L; var i = 0
-            while (i < g.length) { sum += g(i); i += 1 }
-            Iterator.single((r.getLong(0), w, h, dhashFromGray(w, h, g),
-              sum.toDouble / g.length))
-          case None => Iterator.empty
+        else {
+          requireId(r) // null id would silently unbox to 0 and alias doc 0
+          decodeGray(blob) match {
+            case Some((w, h, g)) =>
+              var sum = 0L; var i = 0
+              while (i < g.length) { sum += g(i); i += 1 }
+              Iterator.single((r.getLong(0), w, h, dhashFromGray(w, h, g),
+                sum.toDouble / g.length))
+            case None => Iterator.empty
+          }
         }
       }
     }.toDF("id", "width", "height", "sig", "mean_gray")
   }
+
+  /** A NULL id under a decodable blob is a caller bug: getLong would
+    * silently unbox it to 0 and alias document 0 (phantom pairs, wrong
+    * cardinality) — fail fast instead, like the WARC writer's null-url
+    * guard. */
+  private def requireId(r: org.apache.spark.sql.Row): Unit =
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException(
+        "image operator: NULL id on a row with media — ids are keys; " +
+          "filter or repair null ids explicitly first")
 
   /** Deterministic RGB box-downsample: target pixel (tx, ty) is the
     * integer average of its source rectangle per channel — the same
@@ -377,6 +390,10 @@ object Multimodal {
                   idCol: String = "doc_id", binCol: String = "media",
                   format: String = "png"): DataFrame = {
     require(maxW > 0 && maxH > 0, "target dims must be positive")
+    // fail at plan time, not as silently-empty blobs per row: ImageIO.write
+    // returns FALSE (no exception) when no writer matches the format name
+    require(javax.imageio.ImageIO.getImageWritersByFormatName(format).hasNext,
+      s"no ImageIO writer for format '$format' (JDK ships png/jpg/bmp/gif/tiff/wbmp)")
     val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("blob"))
     implicit val enc = Encoders.product[(Long, Array[Byte], Int, Int)]
     pruned.mapPartitions { rows =>
@@ -387,13 +404,18 @@ object Multimodal {
                        catch { case _: Exception => null }
         if (img == null) Iterator.empty
         else {
+          requireId(r)
           val w = img.getWidth; val h = img.getHeight
           // floor scale, min 1 px: fit INSIDE the box, never upscale
           val tw = math.max(1, math.min(w, math.min(maxW, w * maxH / h)))
           val th = math.max(1, math.min(h, math.min(maxH, h * maxW / w)))
           val thumb = if (tw == w && th == h) img else boxResizeRgb(img, tw, th)
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(thumb, format, out)
+          if (!javax.imageio.ImageIO.write(thumb, format, out))
+            throw new java.io.IOException(
+              s"image resize: the '$format' writer refused a ${tw}x$th " +
+                "TYPE_INT_RGB image — emitting a zero-byte blob would " +
+                "silently empty the corpus downstream")
           Iterator.single((r.getLong(0), out.toByteArray, tw, th))
         }
       }

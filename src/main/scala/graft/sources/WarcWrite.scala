@@ -113,6 +113,9 @@ private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
         if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)
       } catch { case _: java.io.IOException => () }
     }
+    // reclaim dead sibling runs (a RESTARTED stream gets a fresh uuid, so
+    // a crashed run's subdir would otherwise linger forever)
+    WarcWrite.sweepStaleTemp(fs, base, keep = streamUuid)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -136,6 +139,33 @@ private[sources] case class WarcStreamingWriterFactory(
 }
 
 private[sources] object WarcWrite {
+  /** Crash-leftover horizon: a temp subdir whose NEWEST entry hasn't
+    * changed in this long belongs to a job or stream that died without
+    * abort() (per-job/per-stream subdirs mean nothing else ever reclaims
+    * it). 24 h is far beyond any real flush interval, so a live writer
+    * can't be swept; correctness never depends on the sweep. */
+  private[sources] val StaleTempMs: Long = 24L * 3600 * 1000
+
+  /** Best-effort reclaim of OTHER jobs'/streams' dead temp subdirs under
+    * `_temporary_warc`, called from commit paths. `keep` is the caller's
+    * own subdir name (never touched). */
+  private[sources] def sweepStaleTemp(fs: org.apache.hadoop.fs.FileSystem,
+                                      base: Path, keep: String): Unit = {
+    val parent = new Path(base, "_temporary_warc")
+    try {
+      if (!fs.exists(parent)) return
+      val horizon = System.currentTimeMillis() - StaleTempMs
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName != keep) {
+          var newest = st.getModificationTime
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+          if (newest < horizon) fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   def payloadCol(schema: StructType): String = {
     val cands = schema.fieldNames.filter(n => n == "payload" || n == "html")
     require(cands.length == 1,
@@ -198,13 +228,15 @@ private[sources] class WarcBatchWrite(dir: String, schema: StructType, truncate:
     cleanupTemp(base.getFileSystem(conf.value), base)
   }
 
-  /** Remove THIS job's temp subdir; drop the shared `_temporary_warc`
-    * parent too when no other job is mid-flight in it (best-effort — a
-    * racing job recreates it on its first write). */
+  /** Remove THIS job's temp subdir, reclaim stale leftovers of jobs that
+    * died without abort (see [[WarcWrite.sweepStaleTemp]]), and drop the
+    * shared `_temporary_warc` parent when no other job is mid-flight in it
+    * (best-effort — a racing job recreates it on its first write). */
   private def cleanupTemp(fs: org.apache.hadoop.fs.FileSystem, base: Path): Unit = {
     val parent = new Path(base, "_temporary_warc")
     val mine = new Path(parent, jobUuid)
     if (fs.exists(mine)) fs.delete(mine, true)
+    WarcWrite.sweepStaleTemp(fs, base, keep = jobUuid)
     try {
       if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)
     } catch { case _: java.io.IOException => () }

@@ -1143,6 +1143,17 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Multimodal.imageResize(media.repartition(3), 22, 22).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("media")).toMap
     assert(java.util.Arrays.equals(again(1L), thumbs(1L)._1))
+    // an unknown encoder name fails at PLAN time, not as zero-byte blobs
+    val eFmt = intercept[IllegalArgumentException](
+      Multimodal.imageResize(media, 22, 22, format = "webp"))
+    assert(eFmt.getMessage.contains("writer"), eFmt.getMessage)
+    // a NULL id under decodable media fails fast instead of aliasing id 0
+    val nullId = Seq((java.lang.Long.valueOf(1L), big), (null.asInstanceOf[java.lang.Long], big))
+      .toDF("doc_id", "media")
+    val eId = intercept[org.apache.spark.SparkException](
+      Multimodal.imageDhash(nullId).collect())
+    assert(eId.getMessage.contains("NULL id") ||
+      Option(eId.getCause).exists(_.getMessage.contains("NULL id")), eId.getMessage)
   }
 
   test("multimodal: REAL WAV metadata — parses a JDK-AudioSystem-written file") {

@@ -243,6 +243,27 @@ class WarcSourceSpec extends AnyFunSuite {
       e2.getMessage.toLowerCase.contains("binary"), e2.getMessage)
   }
 
+  test("warc write: stale crash leftovers reclaimed at commit, live jobs untouched") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_warc_stale").toString + "/out"
+    // plant a DEAD job's temp subdir (25h-old entries — a driver that died
+    // without abort) and a LIVE one (fresh mtimes — a concurrent job)
+    Files.createDirectories(Paths.get(s"$dir/_temporary_warc/deadjob"))
+    Files.write(Paths.get(s"$dir/_temporary_warc/deadjob/part"), "x".getBytes)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 25L * 3600 * 1000)
+    Files.setLastModifiedTime(Paths.get(s"$dir/_temporary_warc/deadjob/part"), old)
+    Files.setLastModifiedTime(Paths.get(s"$dir/_temporary_warc/deadjob"), old)
+    Files.createDirectories(Paths.get(s"$dir/_temporary_warc/livejob"))
+    Files.write(Paths.get(s"$dir/_temporary_warc/livejob/part"), "y".getBytes)
+    Seq(("https://s.example/p", "b".getBytes)).toDF("url", "html")
+      .write.format("warc").mode("append").save(dir)
+    assert(!new java.io.File(s"$dir/_temporary_warc/deadjob").exists(),
+      "25h-old crash leftover must be reclaimed at commit")
+    assert(new java.io.File(s"$dir/_temporary_warc/livejob/part").exists(),
+      "a concurrent job's fresh temp files must survive")
+  }
+
   test("warc STREAMING sink: filtered crawl stream exports to archives per epoch") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = java.nio.file.Files.createTempDirectory("graft_warc_ss").toString
