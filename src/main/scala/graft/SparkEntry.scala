@@ -276,6 +276,49 @@ object SparkEntry {
         .select(col("id"), col("component"))
         .orderBy(col("id"))
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // quality-aware canonical selection: within each near-dup cluster
+      // keep the LONGEST doc (RefinedWeb-style), ties to the smallest id
+      // — oracled against the recursive-closure components + an
+      // independent SQL argmax
+      val docs = s.read.parquet(t(dir, "documents"))
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.2)
+      Dedup.keepBestPerCluster(docs, pairs, qualityCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality signal: bigram add-k LM trained on the
+      // corpus itself (minCount=2 pruning, k=0.5), each doc scored by
+      // per-bigram negative log2 likelihood, bucketed head/middle/tail —
+      // the whole chain (counts, smoothing, scoring, ntile cut) is
+      // recomputed independently in DuckDB
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val lm = graft.operators.LangModel.train(docs, n = 2, minCount = 2, k = 0.5)
+      val scored = graft.operators.LangModel.scoreNll(docs, lm)
+        .withColumn("nll_bits", round(col("nll_bits"), 9))
+      graft.operators.LangModel.buckets(scored, exact = true)
+        .select(col("doc_id"), col("n_ngrams"), col("nll_bits"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // model-based quality scoring (DCLM/fastText-shaped): hashed uni+bi
+      // gram features (dim 64, polynomial codepoint hash) scored by a
+      // linear model with DETERMINISTIC formula weights, so the oracle
+      // recomputes the full featurize+score path — hashing included —
+      // in SQL. (Training itself is pinned in ScalaTest: bit-determinism
+      // across partitionings + convergence on separable data.)
+      val dim = 64
+      val w = Array.tabulate(dim)(j => ((j * 2654435761L) % 2001 - 1000) / 1000.0)
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          round(linear_score_lit(
+            hashed_ngram_features(col("text"), dim, 2), w, -0.5), 9)
+            .as("quality_logit"))
+        .withColumn("keep", col("quality_logit") > 0)
+        .orderBy(col("doc_id"))
+    }),
     "q_chunk_split" -> ((s, dir) => {
       // context-length chunking: 32-token windows with 8-token overlap,
       // oracled 1:1 against an independent DuckDB list-slice reassembly
@@ -1406,6 +1449,91 @@ object SparkEntry {
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
       SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""",
+    "q_dedup_keep_best" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                           ELSE list_transform(range(1, len(ts) - 1),
+                                  i -> array_to_string(ts[i:i+2], ' ')) END) AS s
+        FROM toks),
+      sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.2),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+      winners AS (
+        SELECT component, id AS keep_id
+        FROM (SELECT component, id,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY n_chars DESC, id ASC) AS rn
+              FROM comp JOIN documents ON comp.id = documents.doc_id)
+        WHERE rn = 1),
+      losers AS (SELECT id FROM comp
+                 WHERE id NOT IN (SELECT keep_id FROM winners))
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
+    "q_lm_perplexity" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      v AS (SELECT count(DISTINCT w) + 1 AS v
+            FROM (SELECT unnest(ts) AS w FROM toks)),
+      big AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i+1])) AS g
+              FROM toks),
+      cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY g),
+      ctx AS (SELECT string_split(g, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS cctx
+              FROM cnt GROUP BY 1),
+      model AS (SELECT g, c FROM cnt WHERE c >= 2),
+      dg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS m FROM big GROUP BY 1, 2),
+      sc AS (SELECT dg.doc_id, dg.m,
+               (coalesce(model.c, 0) + 0.5) /
+               (coalesce(ctx.cctx, 0) + 0.5 * (SELECT v FROM v)) AS p
+             FROM dg LEFT JOIN model USING (g)
+               LEFT JOIN ctx ON string_split(dg.g, ' ')[1] = ctx.w1),
+      scored AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_ngrams,
+                   round(-sum(m * log2(p)) / sum(m), 9) AS nll_bits
+                 FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_ngrams, nll_bits,
+             ['head', 'middle', 'tail'][ntile(3) OVER (ORDER BY nll_bits, doc_id)]
+               AS ppl_bucket
+      FROM scored ORDER BY doc_id""",
+    "q_quality_classifier" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(ts) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                 i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM toks),
+      hashed AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(g, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, cp) -> (31 * acc + cp) % 1000003) % 64 AS INTEGER) AS idx
+        FROM grams),
+      feats AS (SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS m
+                FROM hashed GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id,
+               round(-0.5 + sum(m * (((idx * 2654435761) % 2001 - 1000) / 1000.0)), 9)
+                 AS quality_logit
+        FROM feats GROUP BY doc_id)
+      SELECT doc_id, quality_logit, quality_logit > 0 AS keep
+      FROM scored ORDER BY doc_id""",
     "q_chunk_split" -> """
       WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts

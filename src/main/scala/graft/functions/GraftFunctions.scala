@@ -84,6 +84,12 @@ object GraftFunctions {
     column(SpliceOut(expression(text), expression(spans)))
   def dup_line_char_ratio(c: Column): Column = column(DupLineCharRatio(expression(c)))
   def char_entropy(c: Column): Column = column(CharEntropy(expression(c)))
+  def word_ngram_counts(c: Column, n: Int): Column =
+    column(WordNgramCounts(expression(c), n))
+  def hashed_ngram_features(c: Column, dim: Int, maxN: Int = 2): Column =
+    column(HashedNgramFeatures(expression(c), dim, maxN))
+  def linear_score_lit(feats: Column, weights: Array[Double], bias: Double): Column =
+    column(LinearScoreLit(expression(feats), weights, bias))
   def l2ap_prefix(keys: Column, weights: Column, t: Double): Column =
     column(L2apPrefix(expression(keys), expression(weights), t))
   def sorted_weighted_dot(ka: Column, wa: Column, kb: Column, wb: Column): Column =
@@ -179,6 +185,11 @@ object GraftFunctions {
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
     "dup_ngram_char_ratio" -> (e => DupNgramCharRatio(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 5)),
+    "word_ngram_counts" -> (e => WordNgramCounts(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt else 2)),
+    "hashed_ngram_features" -> (e => HashedNgramFeatures(e.head,
+      e(1).eval().toString.toInt,
+      if (e.length > 2) e(2).eval().toString.toInt else 2)),
     "word_shingles" -> (e => WordShingles(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 3)),
     "minhash_sig" -> (e => MinHashSig(e.head,

@@ -939,6 +939,38 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST doc per near-duplicate cluster instead of the smallest
+    * id: within each connected component the survivor maximizes
+    * `qualityCol` (ties broken toward the smallest id, so selection is
+    * total and deterministic). This is what production dedup actually
+    * wants — a near-dup cluster usually contains one clean original and
+    * N mirror/boilerplate-wrapped copies, and [[dropNearDuplicates]]'s
+    * min-id rule keeps whichever got crawled first, not whichever is
+    * best (RefinedWeb keeps by length; Dolma by quality score — same
+    * shape, pluggable column here).
+    *
+    * Plan shape: components come from [[connectedComponents]] (O(log d)
+    * equi-join rounds); the winner per component is ONE `max_by`-style
+    * aggregation over struct ordering (no window, no sort — a window
+    * rank over components would globally sort what an agg can fold), and
+    * the survivor filter is a semi-join on the doc id. Docs in no pair
+    * survive untouched. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame,
+                         qualityCol: String, idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val q = docs.select(col(idCol).as("id"), col(qualityCol).as("q"))
+    // negate the id inside the max-struct so the lexicographic max is
+    // (highest quality, then LOWEST id) — deterministic without a window
+    val winners = comps.join(q, Seq("id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("w"))
+      .select((-col("w.nid")).as(idCol))
+    val losers = comps.join(winners.withColumnRenamed(idCol, "keep_id"),
+        col("id") === col("keep_id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Contiguous band layout (bit offset, width) covering the 64-bit
     * signature with enough bands for the pigeonhole guarantee at
     * `maxHamming`: nBands >= maxHamming + 1, so flipping maxHamming bits can

@@ -140,6 +140,61 @@ class SparkFunctionsSpec extends AnyFunSuite {
       "structurally identical gopher_keep expressions must canonicalize equal")
   }
 
+  test("word_ngram_counts: multiplicities, first-occurrence order, short-text empty") {
+    val df = Seq((1L, "a b a b c"), (2L, "x"), (3L, "")).toDF("id", "text")
+    val out = df.select($"id", word_ngram_counts($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1))))
+      .toMap
+    // counts with multiplicity, first-occurrence order (unlike word_shingles'
+    // set semantics); < n tokens -> EMPTY, never the whole-text fallback
+    assert(out(1L) === Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    val uni = df.filter($"id" === 1L)
+      .select(word_ngram_counts($"text", 1)).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(x => (x.getString(0), x.getLong(1)))
+    assert(uni === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("hashed_ngram_features: polynomial bucket hash, collision sums, idx-sorted") {
+    import graft.functions.HashedNgramFeatures.bucketOf
+    // bucket math is the documented recurrence
+    assert(bucketOf("ab", 64) === ((31L * 'a' + 'b') % 1000003 % 64).toInt)
+    val dim = 8 // force collisions
+    val text = "w1 w2 w3 w1 w2"
+    val rows = Seq((1L, text)).toDF("id", "text")
+      .select(hashed_ngram_features($"text", dim, 2)).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(x => (x.getInt(0), x.getLong(1)))
+    // recompute by hand: all 1-grams and 2-grams, bucketed and summed
+    val toks = text.split(" ", -1)
+    val grams = toks.toSeq ++ toks.sliding(2).map(_.mkString(" "))
+    val want = grams.groupBy(g => bucketOf(g, dim)).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    assert(rows === want)
+    assert(rows.map(_._1) === rows.map(_._1).sorted)
+  }
+
+  test("linear_score_lit: dot product + bias, out-of-range idx ignored, canonical equality") {
+    val w = Array(0.5, -1.0, 2.0)
+    val df = Seq((1L, "a b a")).toDF("id", "text")
+    val feats = hashed_ngram_features($"text", 3, 1)
+    val got = df.select(linear_score_lit(feats, w, 10.0)).collect()(0).getDouble(0)
+    import graft.functions.HashedNgramFeatures.bucketOf
+    val want = 10.0 + 2.0 * w(bucketOf("a", 3)) + 1.0 * w(bucketOf("b", 3))
+    assert(math.abs(got - want) < 1e-12)
+    // weights array shorter than dim: hashed idx beyond w.length contributes 0
+    val gotShort = df.select(linear_score_lit(
+      hashed_ngram_features($"text", 1 << 20, 1), Array(0.0), 7.0))
+      .collect()(0).getDouble(0)
+    assert(gotShort === 7.0)
+    // structural equality (the GopherParams lesson): two scorers from equal
+    // arrays canonicalize equal -> subexpression elimination can fire
+    import org.apache.spark.sql.graftshim.shims.expression
+    val e1 = expression(linear_score_lit(feats, Array(1.0, 2.0), 0.5))
+    val e2 = expression(linear_score_lit(feats, Array(1.0, 2.0), 0.5))
+    assert(e1.semanticEquals(e2))
+  }
+
   test("custom-kernel codegen COMPILES (no silent interpreted fallback)") {
     // a companion kernel that loses its static forwarder (e.g. shadowed by
     // an inherited member like Expression.eval) still passes result tests:
@@ -173,7 +228,11 @@ class SparkFunctionsSpec extends AnyFunSuite {
         size(merge_spans(sort_array(array(length($"text").cast("long"), lit(3L))), 5)),
         length(http_body(encode($"text", "UTF-8"))),
         length(splice_out($"text",
-          array(struct(lit(0L).as("span_start"), lit(2L).as("span_end"))))))
+          array(struct(lit(0L).as("span_start"), lit(2L).as("span_end"))))),
+        size(word_ngram_counts($"text", 2)),
+        size(hashed_ngram_features($"text", 64, 2)),
+        linear_score_lit(hashed_ngram_features($"text", 64, 2),
+          Array.fill(64)(0.25), -0.5))
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

@@ -1898,4 +1898,91 @@ class OperatorsSpec extends AnyFunSuite {
       assert(a === b, s"url '$u'")
     }
   }
+
+  test("LangModel: add-k bigram LM matches hand-computed probabilities; pruning to floor") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // global bigrams ab:3 ba:1 bc:2; contexts a:3 b:3; V = |{a,b,c}| + 1 = 4
+    val lm = LangModel.train(corpus, n = 2, minCount = 2, k = 1.0)
+    assert(lm.vocabSize === 4L)
+    val model = lm.ngrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model === Map("a b" -> 3L, "b c" -> 2L)) // ba pruned (count 1 < 2)
+    val ctxs = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ctxs === Map("a" -> 3L, "b" -> 3L)) // UNPRUNED: b = ba + bc = 3
+    val scores = LangModel.scoreNll(corpus, lm).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lg(x: Double) = math.log(x) / math.log(2)
+    val pAb = 4.0 / 7; val pBa = 1.0 / 7; val pBc = 3.0 / 7 // (c+k)/(cctx+kV)
+    val d1 = -(2 * lg(pAb) + lg(pBa) + lg(pBc)) / 4
+    val d2 = -(lg(pAb) + lg(pBc)) / 2
+    assert(scores(1L)._1 === 4L && math.abs(scores(1L)._2 - d1) < 1e-12)
+    assert(scores(2L)._1 === 2L && math.abs(scores(2L)._2 - d2) < 1e-12)
+    // a doc whose bigrams the model never saw scores the smoothing floor:
+    // unseen context -> P = k / (0 + kV) = 1/V, nll = log2(V)
+    val oov = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val so = LangModel.scoreNll(oov, lm).collect()(0)
+    assert(math.abs(so.getDouble(2) - lg(4.0)) < 1e-12)
+    // short docs (< n tokens) emit no row
+    assert(LangModel.scoreNll(Seq((5L, "one")).toDF("doc_id", "text"), lm).count() === 0)
+  }
+
+  test("LangModel buckets: exact thirds are deterministic; sketch mode agrees on clear cuts") {
+    // 99 docs with well-separated scores: bucket = rank / 33
+    val scored = (0 until 99).map(i => (i.toLong, 10L, i * 1.0)).toDF("doc_id", "n_ngrams", "nll_bits")
+    val exact = LangModel.buckets(scored, exact = true).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(exact(0L) === "head" && exact(32L) === "head")
+    assert(exact(33L) === "middle" && exact(65L) === "middle")
+    assert(exact(66L) === "tail" && exact(98L) === "tail")
+    // t-digest mode: identical labels away from the cut boundaries (the
+    // 100-TB path trades exact 1/3 edges for no global sort)
+    val approx = LangModel.buckets(scored, exact = false).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val disagree = exact.keys.filter(k => exact(k) != approx(k))
+    assert(disagree.forall(k => math.abs(k % 33) <= 2 || math.abs(k % 33) >= 31),
+      s"sketch buckets disagree far from cuts: ${disagree.toSeq.sorted}")
+  }
+
+  test("QualityClassifier: converges on separable data; training is partition-invariant") {
+    val rnd = new java.util.Random(7)
+    val fill = Array("lorem", "ipsum", "dolor", "sit", "amet", "web", "page")
+    val rows = (0 until 200).map { i =>
+      val noise = Array.fill(6)(fill(rnd.nextInt(fill.length))).mkString(" ")
+      if (i % 2 == 0) (i.toLong, s"helpful detailed article $noise", 1)
+      else (i.toLong, s"casino pills winner $noise", 0)
+    }
+    val labeled = rows.toDF("doc_id", "text", "label")
+    val m = QualityClassifier.trainLogReg(labeled, dim = 256, maxN = 2,
+      iters = 30, lr = 1.0)
+    val preds = QualityClassifier.score(labeled, m).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) > 0.5)).toMap
+    val acc = rows.count(r => preds(r._1) == (r._3 == 1)) / 200.0
+    assert(acc === 1.0, s"separable data must be fully learned, got $acc")
+    // fixed-point long gradients: weights BIT-identical across partitionings
+    val m1 = QualityClassifier.trainLogReg(labeled.repartition(1), dim = 256,
+      maxN = 2, iters = 5, lr = 1.0)
+    val m7 = QualityClassifier.trainLogReg(labeled.repartition(7), dim = 256,
+      maxN = 2, iters = 5, lr = 1.0)
+    assert(java.util.Arrays.equals(m1.weights, m7.weights) && m1.bias === m7.bias)
+    // L2 shrinks untouched features too
+    val mReg = QualityClassifier.trainLogReg(labeled, dim = 256, maxN = 2,
+      iters = 5, lr = 1.0, l2 = 0.1)
+    assert(mReg.weights.map(math.abs).sum < m7.weights.map(math.abs).sum * 5)
+  }
+
+  test("keepBestPerCluster: highest quality survives, ties to smallest id, singletons kept") {
+    val d = Seq((1L, "x", 5L), (2L, "x", 9L), (3L, "x", 9L), (10L, "y", 1L))
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(d, pairs, qualityCol = "quality")
+      .select("doc_id").as[Long].collect().sorted
+    // cluster {1,2,3}: quality 9 tie between 2 and 3 -> smallest id 2; 10 untouched
+    assert(kept === Array(2L, 10L))
+    // min-id fallback when quality is all-NULL within a cluster
+    val dn = Seq((1L, "x", null.asInstanceOf[java.lang.Long]),
+      (2L, "x", null.asInstanceOf[java.lang.Long]), (7L, "y", java.lang.Long.valueOf(3L)))
+      .toDF("doc_id", "text", "quality")
+    val keptN = Dedup.keepBestPerCluster(dn, Seq((1L, 2L)).toDF("id_a", "id_b"),
+      qualityCol = "quality").select("doc_id").as[Long].collect().sorted
+    assert(keptN === Array(1L, 7L))
+  }
 }
