@@ -302,6 +302,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ngrams"), col("nll_bits"), col("ppl_bucket"))
         .orderBy(col("doc_id"))
     }),
+    "q_bpe_tokenize" -> ((s, dir) => {
+      // corpus-trained byte-level BPE: violation gate over the LOSSLESS
+      // contract — decode(encode(text)) must equal text for every doc
+      // (byte-level base vocab: nothing is ever OOV), token count can
+      // never exceed byte count, and non-empty text never tokenizes to
+      // nothing. Merge-sequence exactness is pinned in ScalaTest
+      // (hand-computed tie-breaks); the oracle relation is empty.
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val model = graft.operators.Tokenize.trainBpe(docs, numMerges = 64)
+      graft.operators.Tokenize.tokenize(docs, model)
+        .withColumn("rt", graft.operators.Tokenize.bpeDecode(col("tokens"), model))
+        .filter(col("rt") =!= col("text") ||
+          col("n_tokens") > octet_length(col("text")) ||
+          (octet_length(col("text")) > 0 && col("n_tokens") === 0))
+        .select(col("doc_id"))
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // model-based quality scoring (DCLM/fastText-shaped): hashed uni+bi
       // gram features (dim 64, polynomial codepoint hash) scored by a
@@ -1510,6 +1527,8 @@ object SparkEntry {
              ['head', 'middle', 'tail'][ntile(3) OVER (ORDER BY nll_bits, doc_id)]
                AS ppl_bucket
       FROM scored ORDER BY doc_id""",
+    "q_bpe_tokenize" -> """
+      SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_quality_classifier" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       grams AS (

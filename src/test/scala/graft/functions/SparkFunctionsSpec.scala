@@ -232,7 +232,13 @@ class SparkFunctionsSpec extends AnyFunSuite {
         size(word_ngram_counts($"text", 2)),
         size(hashed_ngram_features($"text", 64, 2)),
         linear_score_lit(hashed_ngram_features($"text", 64, 2),
-          Array.fill(64)(0.25), -0.5))
+          Array.fill(64)(0.25), -0.5),
+        size(graft.operators.Tokenize.textSegments($"text")), {
+          val bpe = graft.core.text.Bpe.train(
+            Seq(("ab".getBytes("UTF-8"), 3L), (" ab".getBytes("UTF-8"), 2L)), 4, 1)
+          length(graft.operators.Tokenize.bpeDecode(
+            graft.operators.Tokenize.bpeEncode($"text", bpe), bpe))
+        })
       assert(row.collect().length === 2)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators

@@ -1969,6 +1969,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mReg.weights.map(math.abs).sum < m7.weights.map(math.abs).sum * 5)
   }
 
+  test("Tokenize: distributed BPE training is partition-invariant; tokenize round-trips") {
+    val corpus = Seq((1L, "the quick brown fox jumps"), (2L, "the quick red fox"),
+      (3L, "héllo wörld 汉字 test"), (4L, ""), (5L, "the the the quick quick"))
+      .toDF("doc_id", "text")
+    val m1 = Tokenize.trainBpe(corpus.repartition(1), numMerges = 30)
+    val m5 = Tokenize.trainBpe(corpus.repartition(5), numMerges = 30)
+    // segment counts are exact aggregates and the driver loop is
+    // deterministic -> identical merge tables under any partitioning
+    assert(m1.merges.toSeq === m5.merges.toSeq)
+    val toks = Tokenize.tokenize(corpus, m1)
+      .withColumn("rt", Tokenize.bpeDecode(col("tokens"), m1))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("rt"), r.getAs[Long]("n_tokens"))).toSeq
+    toks.foreach { case (id, text, rt, n) =>
+      assert(rt === text, s"roundtrip doc $id")
+      assert(n <= text.getBytes("UTF-8").length)
+      assert(n > 0 || text.isEmpty)
+    }
+    // trained merges actually compress the trained phrases
+    val repeatN = toks.find(_._1 == 5L).get._4
+    assert(repeatN < "the the the quick quick".length / 2)
+    // driver-table cap fails fast with an actionable message
+    val e = intercept[IllegalArgumentException](
+      Tokenize.trainBpe(corpus, numMerges = 5, maxSegmentTypes = 3))
+    assert(e.getMessage.contains("distinct segment types"))
+  }
+
   test("keepBestPerCluster: highest quality survives, ties to smallest id, singletons kept") {
     val d = Seq((1L, "x", 5L), (2L, "x", 9L), (3L, "x", 9L), (10L, "y", 1L))
       .toDF("doc_id", "text", "quality")
