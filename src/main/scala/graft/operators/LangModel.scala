@@ -85,8 +85,15 @@ object LangModel {
       .select(col("id"), col("g.gram").as("gram"), col("g.m").as("m"))
     val prob = (coalesce(col("c"), lit(0L)) + lit(lm.k)) /
       (coalesce(col("cctx"), lit(0L)) + lit(lm.k) * lit(lm.vocabSize.toDouble))
-    dg.join(lm.ngrams, Seq("gram"), "left")
-      .join(lm.contexts, contextOf(col("gram"), lm.n) === col("ctx"), "left")
+    // shuffle_hash on the model sides: both are unique-keyed and bounded
+    // (distinct pruned n-grams / contexts), so they are the natural build
+    // maps, and the doc-gram stream must not be SORTED — the default SMJ
+    // sorts 20M+ gram-string rows per measurement and spilled ~2 GB on a
+    // 1M-doc run (ScaleOp stage read); with hash joins the probe side
+    // streams. AQE still upgrades to broadcast when the model is tiny.
+    dg.join(lm.ngrams.hint("shuffle_hash"), Seq("gram"), "left")
+      .join(lm.contexts.hint("shuffle_hash"),
+        contextOf(col("gram"), lm.n) === col("ctx"), "left")
       .groupBy(col("id").as(idCol))
       .agg(sum(col("m")).as("n_ngrams"),
         (-sum(col("m") * log2(prob)) / sum(col("m"))).as("nll_bits"))
