@@ -302,6 +302,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ngrams"), col("nll_bits"), col("ppl_bucket"))
         .orderBy(col("doc_id"))
     }),
+    "q_url_blocklist" -> ((s, dir) => {
+      // UT1-style domain blocklist: blocking a registered domain must
+      // catch every subdomain — exploded suffix chain semi-joined to the
+      // list, docs anti-joined back; oracled against an independent SQL
+      // suffix expansion
+      import s.implicits._
+      val d = col("doc_id")
+      val url = format_string("https://w%d.site%d.example/p/%d",
+        pmod(d, lit(3)), pmod(d, lit(7)), d)
+      val docs = s.read.parquet(t(dir, "documents")).select(d, url.as("url"))
+      val bl = Seq("site3.example", "w1.site5.example", "nomatch.test").toDF("domain")
+      graft.operators.UrlFilter.dropBlockedHosts(docs, bl)
+        .select(col("doc_id"), host_of_url(col("url")).as("host"))
+        .orderBy(col("doc_id"))
+    }),
     "q_bpe_tokenize" -> ((s, dir) => {
       // corpus-trained byte-level BPE: violation gate over the LOSSLESS
       // contract — decode(encode(text)) must equal text for every doc
@@ -1527,6 +1542,20 @@ object SparkEntry {
              ['head', 'middle', 'tail'][ntile(3) OVER (ORDER BY nll_bits, doc_id)]
                AS ppl_bucket
       FROM scored ORDER BY doc_id""",
+    "q_url_blocklist" -> """
+      WITH docs AS (
+        SELECT doc_id,
+               'w' || (doc_id % 3) || '.site' || (doc_id % 7) || '.example' AS host
+        FROM documents),
+      bl AS (SELECT * FROM (VALUES ('site3.example'), ('w1.site5.example'),
+               ('nomatch.test')) t(domain)),
+      sfx AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ls) + 1),
+                       i -> array_to_string(ls[i:], '.'))) AS suffix
+              FROM (SELECT doc_id, string_split(host, '.') AS ls FROM docs)),
+      blocked AS (SELECT DISTINCT doc_id FROM sfx JOIN bl ON sfx.suffix = bl.domain)
+      SELECT doc_id, host FROM docs
+      WHERE doc_id NOT IN (SELECT doc_id FROM blocked) ORDER BY doc_id""",
     "q_bpe_tokenize" -> """
       SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_quality_classifier" -> """

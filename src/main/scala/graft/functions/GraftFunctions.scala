@@ -140,6 +140,7 @@ object GraftFunctions {
       if (e.length > 1) e(1).eval().toString.toInt else 1)),
     "unescape_domain" -> (e => UnescapeDomain(e.head)),
     "host_of_url" -> (e => HostOfUrl(e.head)),
+    "domain_suffixes" -> (e => DomainSuffixes(e.head)),
     "extract_text" -> (e => ExtractText(e.head)),
     "simhash64" -> (e => SimHash64(e.head)),
     "fingerprint64" -> (e => Fingerprint64(e.head)),

@@ -151,6 +151,43 @@ object HashedNgramFeatures {
   }
 }
 
+/** All dot-suffixes of a hostname, most-specific first:
+  * `a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+  * com]`. Powers UT1-style blocklist filtering ([[
+  * graft.operators.UrlFilter]]): blocking `example.com` must catch every
+  * subdomain, and an equi-join on exploded suffixes does that with a
+  * plain hash join — no prefix LIKE scans, no per-pattern regex. Label
+  * count is the split of the '.'-separated name (empty labels kept, so a
+  * malformed `a..com` produces its literal suffixes rather than silently
+  * collapsing). */
+case class DomainSuffixes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override val dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "domain_suffixes"
+  override def nullSafeEval(v: Any): Any =
+    DomainSuffixes.suffixes(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DomainSuffixes.suffixes($c)")
+  override protected def withNewChildInternal(c: Expression): DomainSuffixes =
+    copy(child = c)
+}
+
+object DomainSuffixes {
+  def suffixes(host: UTF8String): GenericArrayData = {
+    val s = host.toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer[Any](UTF8String.fromString(s))
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '.' && i + 1 <= s.length - 1)
+        out += UTF8String.fromString(s.substring(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Dense linear scorer over sparse hashed features with the weight vector
   * EMBEDDED in the expression (ctx.addReferenceObj — the
   * [[BloomContainsLit]] pattern): parsed/allocated once per executor, not

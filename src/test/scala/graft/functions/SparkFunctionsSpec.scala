@@ -233,6 +233,7 @@ class SparkFunctionsSpec extends AnyFunSuite {
         size(hashed_ngram_features($"text", 64, 2)),
         linear_score_lit(hashed_ngram_features($"text", 64, 2),
           Array.fill(64)(0.25), -0.5),
+        size(graft.operators.UrlFilter.domain_suffixes($"text")),
         size(graft.operators.Tokenize.textSegments($"text")), {
           val bpe = graft.core.text.Bpe.train(
             Seq(("ab".getBytes("UTF-8"), 3L), (" ab".getBytes("UTF-8"), 2L)), 4, 1)

@@ -1996,6 +1996,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct segment types"))
   }
 
+  test("UrlFilter: suffix blocklist catches subdomains exactly once, exact entries only themselves") {
+    val docs = Seq(
+      (1L, "https://a.b.blocked.com/x"),   // subdomain of blocked.com -> drop
+      (2L, "https://blocked.com/y"),       // exact -> drop
+      (3L, "https://notblocked.com/z"),    // different registered domain -> keep
+      (4L, "https://sub.exact.org/w"),     // exact.org blocked only EXACTLY -> drop (suffix match)
+      (5L, "https://com/v"),               // bare TLD host, not listed -> keep
+      (6L, "https://deep.a.b.blocked.com/u")) // deeper subdomain -> drop
+      .toDF("doc_id", "url")
+    val bl = Seq("blocked.com", "exact.org").toDF("domain")
+    val kept = UrlFilter.dropBlockedHosts(docs, bl)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(3L, 5L))
+    // suffix expansion semantics, including degenerate labels
+    val sfx = Seq(("a.b.c", 0)).toDF("h", "i")
+      .select(UrlFilter.domain_suffixes(col("h"))).collect()(0).getSeq[String](0)
+    assert(sfx === Seq("a.b.c", "b.c", "c"))
+    val deg = Seq(("a..c", 0)).toDF("h", "i")
+      .select(UrlFilter.domain_suffixes(col("h"))).collect()(0).getSeq[String](0)
+    assert(deg === Seq("a..c", ".c", "c"))
+    assert(Seq(("", 0)).toDF("h", "i")
+      .select(UrlFilter.domain_suffixes(col("h"))).collect()(0).getSeq[String](0).isEmpty)
+  }
+
   test("keepBestPerCluster: highest quality survives, ties to smallest id, singletons kept") {
     val d = Seq((1L, "x", 5L), (2L, "x", 9L), (3L, "x", 9L), (10L, "y", 1L))
       .toDF("doc_id", "text", "quality")
