@@ -93,6 +93,15 @@ object ScaleOp {
     val metrics = if (sys.env.get("SCALEOP_STAGES").contains("1")) {
       val m = new BenchMetrics; spark.sparkContext.addSparkListener(m); Some(m)
     } else None
+    // materialize the op's inputs BEFORE the timing loop: lazy vals would
+    // otherwise charge model training / edge generation to rep 1, and any
+    // SCALEOP_STAGES read of that rep would conflate setup with the
+    // measured operator (the min across reps hid it; per-rep output lied)
+    op match {
+      case "lm_score" => lmModel.ngrams.count(); lmModel.contexts.count()
+      case "connected_components" => edges.count()
+      case _ => ()
+    }
     val reps = 3
     val secs = (1 to reps).map { r =>
       metrics.foreach(_.clear())

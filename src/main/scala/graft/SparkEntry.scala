@@ -27,11 +27,26 @@ object SparkEntry {
 
   /** Stable scratch directory for gates that materialize an intermediate
     * artifact (WARC archive, .dnsmag export): keyed by SF dir + gate name
-    * so repeated invocations (bench reps, verify cycles) OVERWRITE the
-    * same path instead of leaking one corpus-sized temp dir per run. */
+    * + PID, so repeated invocations WITHIN a process (bench reps, verify
+    * cycles) overwrite one path instead of leaking a corpus-sized dir per
+    * run, while two concurrent JVMs on the same SF dir (bench in one
+    * terminal, verify in another) cannot clobber each other's archives
+    * mid-read. Dead processes' dirs are reclaimed opportunistically past
+    * a 24 h mtime horizon (the WarcWrite.sweepStaleTemp discipline). */
   private def gateScratch(sfDir: String, gate: String): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      f"graft_gate_${gate}%s_${math.abs(sfDir.hashCode)}%x")
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val prefix = f"graft_gate_${gate}%s_${math.abs(sfDir.hashCode)}%x_"
+    val horizon = System.currentTimeMillis() - 24L * 3600 * 1000
+    try {
+      val it = java.nio.file.Files.list(tmp).iterator()
+      while (it.hasNext) {
+        val d = it.next()
+        if (d.getFileName.toString.startsWith(prefix) &&
+          java.nio.file.Files.getLastModifiedTime(d).toMillis < horizon)
+          org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+      }
+    } catch { case _: java.io.IOException => () }
+    val p = tmp.resolve(prefix + ProcessHandle.current().pid())
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

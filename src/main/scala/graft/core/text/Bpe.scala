@@ -121,15 +121,34 @@ final case class BpeModel(merges: Array[(Int, Int)]) extends Serializable {
 object Bpe {
   private[text] def pairKey(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
 
+  /** Space-free scripts (CJK, Thai, ...) produce no space boundaries, so
+    * a raw space-split would make one document ONE segment: encode's
+    * scan-per-merge loop goes quadratic in document length and every
+    * distinct document becomes a distinct training type. Segments are
+    * therefore also capped at this many chars (GPT-2 solves the same
+    * problem with its regex pre-split; a fixed cap keeps the segmenter
+    * dependency-free and deterministic). 48 chars bounds a segment at
+    * <= 192 UTF-8 bytes — far above any natural space-delimited word, so
+    * Latin-script segmentation is unchanged. */
+  val MaxSegmentChars = 48
+
   /** Lossless segmentation: a new segment starts at every space; the
-    * space belongs to the segment it starts. `segments(t).mkString == t`. */
+    * space belongs to the segment it starts. Runs longer than
+    * [[MaxSegmentChars]] split at codepoint boundaries (never inside a
+    * surrogate pair). `segments(t).mkString == t` always. */
   def segments(text: String): Iterator[String] = new Iterator[String] {
     private var i = 0
     override def hasNext: Boolean = i < text.length
     override def next(): String = {
       val start = i
       i += 1 // consume the (possible) leading space
-      while (i < text.length && text.charAt(i) != ' ') i += 1
+      while (i < text.length && text.charAt(i) != ' ' &&
+        i - start < MaxSegmentChars) i += 1
+      // never split a surrogate pair: back off one char if the boundary
+      // would separate a high surrogate from its low half
+      if (i < text.length && i - start == MaxSegmentChars &&
+        Character.isHighSurrogate(text.charAt(i - 1)) &&
+        Character.isLowSurrogate(text.charAt(i))) i -= 1
       text.substring(start, i)
     }
   }

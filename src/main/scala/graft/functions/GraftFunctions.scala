@@ -188,9 +188,12 @@ object GraftFunctions {
       if (e.length > 1) e(1).eval().toString.toInt else 5)),
     "word_ngram_counts" -> (e => WordNgramCounts(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 2)),
-    "hashed_ngram_features" -> (e => HashedNgramFeatures(e.head,
-      e(1).eval().toString.toInt,
-      if (e.length > 2) e(2).eval().toString.toInt else 2)),
+    "hashed_ngram_features" -> (e => {
+      require(e.length >= 2,
+        "hashed_ngram_features(text, dim[, maxN]) — dim is required")
+      HashedNgramFeatures(e.head, e(1).eval().toString.toInt,
+        if (e.length > 2) e(2).eval().toString.toInt else 2)
+    }),
     "word_shingles" -> (e => WordShingles(e.head,
       if (e.length > 1) e(1).eval().toString.toInt else 3)),
     "minhash_sig" -> (e => MinHashSig(e.head,

@@ -175,7 +175,11 @@ case class DomainSuffixes(child: Expression)
 
 object DomainSuffixes {
   def suffixes(host: UTF8String): GenericArrayData = {
-    val s = host.toString
+    val s0 = host.toString
+    // one trailing root dot stripped first: "blocked.com." resolves
+    // identically to "blocked.com" in DNS, so a rooted-FQDN URL must not
+    // slip past a blocklist entry for the unrooted name
+    val s = if (s0.endsWith(".")) s0.substring(0, s0.length - 1) else s0
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer[Any](UTF8String.fromString(s))
     var i = 0

@@ -406,9 +406,14 @@ object Multimodal {
         else {
           requireId(r)
           val w = img.getWidth; val h = img.getHeight
-          // floor scale, min 1 px: fit INSIDE the box, never upscale
-          val tw = math.max(1, math.min(w, math.min(maxW, w * maxH / h)))
-          val th = math.max(1, math.min(h, math.min(maxH, h * maxW / w)))
+          // floor scale, min 1 px: fit INSIDE the box, never upscale.
+          // Long products: w * maxH overflows Int for panorama-x-huge-box
+          // combinations and the wrapped negative would clamp to a silent
+          // 1x1 thumbnail
+          val tw = math.max(1L, math.min(w.toLong,
+            math.min(maxW.toLong, w.toLong * maxH / h))).toInt
+          val th = math.max(1L, math.min(h.toLong,
+            math.min(maxH.toLong, h.toLong * maxW / w))).toInt
           val thumb = if (tw == w && th == h) img else boxResizeRgb(img, tw, th)
           val out = new java.io.ByteArrayOutputStream()
           if (!javax.imageio.ImageIO.write(thumb, format, out))

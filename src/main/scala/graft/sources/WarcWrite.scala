@@ -114,9 +114,17 @@ private[sources] class WarcStreamingWrite(dir: String, schema: StructType)
       } catch { case _: java.io.IOException => () }
     }
     // reclaim dead sibling runs (a RESTARTED stream gets a fresh uuid, so
-    // a crashed run's subdir would otherwise linger forever)
-    WarcWrite.sweepStaleTemp(fs, base, keep = streamUuid)
+    // a crashed run's subdir would otherwise linger forever). ONCE per
+    // stream instance, not per epoch: the sweep's verdict can only change
+    // on a ~24 h horizon, and a short-trigger query would otherwise pay a
+    // full recursive listing of every leftover on every microbatch
+    if (!sweptOnce) {
+      sweptOnce = true
+      WarcWrite.sweepStaleTemp(fs, base, keep = streamUuid)
+    }
   }
+
+  @volatile private var sweptOnce = false
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val base = new Path(dir)

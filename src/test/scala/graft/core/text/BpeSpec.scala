@@ -40,6 +40,23 @@ class BpeSpec extends AnyFunSuite {
     assert(m.vocabSize === 256)
   }
 
+  test("space-free scripts segment at the cap: bounded pieces, still lossless") {
+    val cjk = "汉" * 200 // no spaces: one raw run of 200 chars
+    val segs = Bpe.segments(cjk).toSeq
+    assert(segs.forall(_.length <= Bpe.MaxSegmentChars))
+    assert(segs.mkString === cjk)
+    assert(segs.length === math.ceil(200.0 / Bpe.MaxSegmentChars).toInt)
+    // a surrogate pair straddling the cap boundary is never split
+    val astral = "x" * (Bpe.MaxSegmentChars - 1) + "😀" + "y" * 10
+    val segs2 = Bpe.segments(astral).toSeq
+    assert(segs2.mkString === astral)
+    assert(segs2.forall(s => !Character.isHighSurrogate(s.last)),
+      "a segment must not end mid-surrogate-pair")
+    // training on a space-free corpus stays bounded and round-trips
+    val m = Bpe.train(types(cjk + " " + cjk.take(97)), 20, 1)
+    assert(m.decode(m.encode(cjk)) === cjk)
+  }
+
   test("byte-level roundtrip holds for arbitrary unicode, even off-corpus") {
     val m = Bpe.train(types("the quick brown fox the quick"), 50, 1)
     for (t <- Seq("the quick brown fox", "héllo wörld", "汉字 かな 한글",

@@ -1132,6 +1132,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(thumbs(1L)._2 === 22 && thumbs(1L)._3 === 12, thumbs(1L).toString)
     // smaller than the box: passes through at its own dims (no upscale)
     assert(thumbs(2L)._2 === 12 && thumbs(2L)._3 === 10)
+    // a HUGE box: w * maxH would overflow Int (88 * 80M > 2^31); the
+    // long-math scale must pass the image through, not clamp to 1x1
+    val huge = Multimodal.imageResize(media, maxW = 80000000, maxH = 80000000)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(huge(1L) === ((88, 48)) && huge(2L) === ((12, 10)))
     // the thumbnail is a REAL decodable image whose dhash stays near the
     // source's (same continuous pattern through the same area-average rule)
     val sigs = Multimodal.imageDhash(Seq((1L, big), (10L, thumbs(1L)._1))
@@ -2003,7 +2009,8 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "https://notblocked.com/z"),    // different registered domain -> keep
       (4L, "https://sub.exact.org/w"),     // exact.org blocked only EXACTLY -> drop (suffix match)
       (5L, "https://com/v"),               // bare TLD host, not listed -> keep
-      (6L, "https://deep.a.b.blocked.com/u")) // deeper subdomain -> drop
+      (6L, "https://deep.a.b.blocked.com/u"), // deeper subdomain -> drop
+      (7L, "https://blocked.com./t"))      // rooted FQDN: same DNS name -> drop
       .toDF("doc_id", "url")
     val bl = Seq("blocked.com", "exact.org").toDF("domain")
     val kept = UrlFilter.dropBlockedHosts(docs, bl)
