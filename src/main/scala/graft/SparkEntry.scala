@@ -1194,11 +1194,13 @@ object SparkEntry {
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
+      // -> domain blocklist (suffix semi-join on the crawl's url column)
       // -> Gopher quality filter -> corpus boilerplate-line strip ->
       // exact dedup -> exact n-gram-Jaccard near-dup + connected
-      // components -> benchmark decontamination -> exact x2 resampling
-      // (selection-free, so epochs are hash-matchable) -> sequence
-      // packing. Every operator is oracled alone elsewhere; THIS gate
+      // components with KEEP-BEST survivor selection (longest text wins,
+      // RefinedWeb-style) -> benchmark decontamination -> exact x2
+      // resampling (selection-free, so epochs are hash-matchable) ->
+      // sequence packing. Every operator is oracled alone elsewhere; THIS gate
       // proves the compositions: column contracts across stages, pin
       // interplay, and that each stage consumes the previous stage's
       // actual output (the DuckDB oracle recomputes the whole chain as
@@ -1234,7 +1236,17 @@ object SparkEntry {
       // consumed by 2+ downstream operators, and an unpinned reference
       // re-expands its whole upstream subtree per consumer (no cross-action
       // CSE in Spark) — the WARC scan + quality kernels would re-run 3x
-      val docs0 = s.read.format("warc").option("types", "resource").load(tmp)
+      // blocklist stage runs on the crawl's REAL url column before id
+      // extraction: every 13th doc's host is listed (hosts are unique per
+      // doc, so a clone can outlive its blocked original and must then
+      // win the exact-dedup stage as its own min id — composition the
+      // isolated gates never see)
+      val bl = corpus.filter(pmod(d, lit(13)) === 3)
+        .select(format_string("d%09d.example", d).as("domain"))
+      val docs0 = graft.operators.UrlFilter.dropBlockedHosts(
+          s.read.format("warc").option("types", "resource").load(tmp)
+            .select(col("url"), col("payload")),
+          bl, urlCol = "url", idCol = "url")
         .select(regexp_extract(col("url"), "d(\\d+)\\.example", 1)
             .cast("long").as("doc_id"),
           col("payload").cast("string").as("text"))
@@ -1245,15 +1257,24 @@ object SparkEntry {
       val stripped = Dedup.stripBoilerplateLines(kept, minDf = 50).localCheckpoint()
       val dd = stripped.join(Dedup.exact(stripped), Seq("doc_id")).localCheckpoint()
       val pairs = Dedup.ngramJaccardPairs(dd, n = 3, minJaccard = 0.2)
-      val cc = Dedup.connectedComponents(pairs)
-      val nd = dd.join(cc.filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      // keep-BEST survivor per near-dup cluster (longest text, ties to
+      // the smallest id) — the RefinedWeb selection rule, composed here
+      // instead of the min-id drop the isolated q_dedup_groups gate pins
+      val nd = Dedup.keepBestPerCluster(
+          dd.withColumn("q", length(col("text"))), pairs, qualityCol = "q")
+        .drop("q").localCheckpoint()
       val bench = docs0.filter(pmod(col("doc_id"), lit(50)) === 0 &&
         col("doc_id") < 1000000L)
+      // lang recovery maps clones (id + 1e6) back to their base row: a
+      // clone can now outlive its blocklisted original, and an inner
+      // join on the raw id would silently drop it (the exact-dedup stage
+      // used to mask this — min-id always kept the original)
       val surv = nd.join(Dedup.contaminatedDocs(nd, bench, n = 5, minShared = 1)
           .select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(docsTable.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("base_id", pmod(col("doc_id"), lit(1000000L)))
+        .join(docsTable.select(col("doc_id").as("base_id"), col("lang")),
+          Seq("base_id"))
+        .drop("base_id")
         .localCheckpoint()
       // exact x2 upsampling: targets = 2 * per-stratum survivor counts, so
       // EVERY doc gets exactly copies {epoch 0, epoch 1} — no
@@ -2151,11 +2172,15 @@ object SparkEntry {
         SELECT doc_id, lang, t FROM src
         UNION ALL
         SELECT doc_id + 1000000, lang, t FROM src WHERE doc_id % 10 = 0),
+      -- blocklist stage: every host is d<doc_id>.example (unique), and the
+      -- list holds exactly the corpus ids with doc_id % 13 = 3, so the
+      -- suffix semi-join reduces to this predicate
+      allowed AS MATERIALIZED (SELECT * FROM corpus WHERE doc_id % 13 <> 3),
       tok AS (
         SELECT doc_id, t, list_filter(string_split(replace(t, chr(10), ' '), ' '),
                  x -> x <> '') AS ws,
                string_split(t, chr(10)) AS lines
-        FROM corpus),
+        FROM allowed),
       base AS (
         SELECT doc_id, t, ws, lines,
                len(ws) AS n_words,
@@ -2257,7 +2282,7 @@ object SparkEntry {
         LEFT JOIN dupc d9 ON d9.doc_id = b.doc_id AND d9.n = 9
         LEFT JOIN dupc d10 ON d10.doc_id = b.doc_id AND d10.n = 10),
       keepers AS MATERIALIZED (
-        SELECT c.doc_id, c.lang, c.t FROM corpus c JOIN sig USING (doc_id) WHERE sig.keep),
+        SELECT c.doc_id, c.lang, c.t FROM allowed c JOIN sig USING (doc_id) WHERE sig.keep),
       lx AS (SELECT DISTINCT doc_id, unnest(string_split(t, chr(10))) AS l FROM keepers),
       dfv AS (SELECT l, count(*) AS df FROM lx GROUP BY 1),
       boiler AS (SELECT coalesce(list(l), []) AS bl FROM dfv WHERE df >= 50),
@@ -2288,16 +2313,23 @@ object SparkEntry {
         UNION
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+      -- keep-BEST survivor per cluster: longest text, ties to smallest id
+      win AS (SELECT keep_id FROM (
+               SELECT comp.id AS keep_id,
+                      row_number() OVER (PARTITION BY comp.component
+                        ORDER BY len(d.t) DESC, comp.id ASC) AS rn
+               FROM comp JOIN dd d ON d.doc_id = comp.id) w WHERE rn = 1),
       nd AS MATERIALIZED (SELECT d.doc_id, d.lang, d.t FROM dd d
              LEFT JOIN comp ON comp.id = d.doc_id
-             WHERE comp.id IS NULL OR comp.component = d.doc_id),
+             WHERE comp.id IS NULL
+                OR d.doc_id IN (SELECT keep_id FROM win)),
       ndt AS (SELECT doc_id, string_split(t, ' ') AS ts FROM nd),
       ssh AS (SELECT DISTINCT doc_id,
                 unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
                             ELSE list_transform(range(1, len(ts) - 3),
                                    i -> array_to_string(ts[i:i+4], ' ')) END) AS s
               FROM ndt),
-      btoks AS (SELECT string_split(t, ' ') AS ts FROM corpus
+      btoks AS (SELECT string_split(t, ' ') AS ts FROM allowed
                 WHERE doc_id % 50 = 0 AND doc_id < 1000000),
       bsh AS (SELECT DISTINCT
                 unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
