@@ -1191,6 +1191,32 @@ object SparkEntry {
         .unionByName(subMissed).unionByName(subExtra)
         .orderBy(col("id_a"), col("id_b"), col("violation"))
     }),
+    "q_audio_fingerprint" -> ((s, dir) => {
+      // REAL audio PCM sample decode (16-bit WAV): blobs are synthesized
+      // standard WAVs carrying integer triangle waves (every sample the
+      // exact integer amp_c * (|2(i mod p) − p| − p/2)); the operator
+      // parses the container BACK and computes exact integer stats + the
+      // energy-transition signature; the DuckDB oracle replays the SAME
+      // closed-form sample formula (never seeing a byte of the container)
+      // and must match every column bit-for-bit — container write, chunk
+      // walk, LE sample decode, mono mix, windowing all under one hash.
+      import s.implicits._
+      val ids = s.read.parquet(t(dir, "documents")).select(col("doc_id")).as[Long]
+        .filter(_ < 200L)
+        .repartition(s.sparkContext.defaultParallelism)
+      val wavs = ids.map { id =>
+        val p = 16 + (id % 7).toInt * 8          // sample-period, always even
+        val frames = 16384 + (id % 4).toInt * 4096
+        val sr = 8000 + (id % 3).toInt * 4000    // divisible by 32: exact windows
+        val amp = 300 + (id % 5).toInt * 100     // |amp * p/2| <= 22400 < 2^15
+        val chans = Array.tabulate((1 + id % 2).toInt)(c =>
+          Multimodal.Synth.triangle(frames, p, amp - 7 * c))
+        (id, Multimodal.Synth.wavPcm(sr, chans))
+      }.toDF("doc_id", "media")
+      Multimodal.audioFingerprint(wavs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
@@ -2158,6 +2184,54 @@ object SparkEntry {
     "q_image_dedup" -> """
       SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b,
              '' AS violation WHERE 1 = 0""",
+    "q_audio_fingerprint" -> """
+      WITH params AS (
+        SELECT doc_id,
+               16 + (doc_id % 7) * 8 AS p,
+               16384 + (doc_id % 4) * 4096 AS frames,
+               8000 + (doc_id % 3) * 4000 AS sr,
+               300 + (doc_id % 5) * 100 AS amp,
+               1 + (doc_id % 2) AS nch
+        FROM documents WHERE doc_id < 200),
+      -- the SAME closed-form samples the Spark side synthesizes: triangle
+      -- raw = |2(i mod p) - p| - p/2, mono = raw * sum of channel amps
+      -- (channel c carries amp - 7c; mono mix is the undivided SUM)
+      mono AS (
+        SELECT doc_id, sr,
+               unnest(range(frames)) AS i,
+               unnest(list_transform(range(frames),
+                 i -> (abs(2 * (i % p) - p) - p // 2) *
+                      (CASE WHEN nch = 2 THEN amp + (amp - 7) ELSE amp END))) AS v
+        FROM params),
+      st AS (
+        SELECT doc_id,
+               CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+               CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+               CAST(sum(CASE WHEN lv IS NOT NULL AND CAST(v AS BIGINT) * lv < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM (SELECT doc_id, v, i,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS lv
+              FROM mono)
+        GROUP BY doc_id),
+      en AS (
+        SELECT doc_id, i // (sr // 32) AS k, sum(CAST(v AS BIGINT) * v) AS e
+        FROM mono GROUP BY 1, 2),
+      sg AS (
+        SELECT a.doc_id,
+               -- bit 63 as its signed two's-complement value: DuckDB's
+               -- checked 1<<63 overflows where Java's wraps negative
+               CAST(sum(CASE WHEN b.e <= a.e THEN 0
+                             WHEN a.k = 63 THEN -9223372036854775807 - 1
+                             ELSE (CAST(1 AS BIGINT) << CAST(a.k AS INTEGER))
+                             END) AS BIGINT) AS sig
+        FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        WHERE a.k < 64
+        GROUP BY a.doc_id)
+      SELECT p.doc_id, p.sr AS sample_rate, p.nch AS channels,
+             p.frames AS n_frames, st.peak_abs, st.sum_sq,
+             st.zero_crossings, coalesce(sg.sig, 0) AS sig
+      FROM params p JOIN st USING (doc_id) LEFT JOIN sg USING (doc_id)
+      ORDER BY doc_id""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

@@ -25,10 +25,13 @@ case class MediaMeta(
  * RIFF/WAVE chunks (sample rate, channels, duration) and [[decodeMp4]]
  * walks ISO BMFF boxes (mvhd duration, tkhd track dims) — pure byte work,
  * no codec jar. Image PIXEL decode is REAL too ([[imageDhash]] /
- * [[imageNearDupPairs]]: ImageIO full decode -> luma plane -> dhash-64).
- * Only audio/video SAMPLE decode (PCM, frame extraction) remains STUBBED
- * behind [[decodeStub]] (no codec libraries in this container), producing
- * a deterministic fake so tests can pin outputs.
+ * [[imageNearDupPairs]]: ImageIO full decode -> luma plane -> dhash-64),
+ * and so is audio SAMPLE decode for 16-bit PCM WAV ([[decodePcm16]] /
+ * [[audioFingerprint]]: the samples ARE the bytes — a little-endian walk,
+ * no codec needed). Only COMPRESSED audio/video sample decode (MP3/AAC
+ * frames, video frame extraction) remains STUBBED behind [[decodeStub]]
+ * (no codec libraries in this container), producing a deterministic fake
+ * so tests can pin outputs.
  *
  * Batch shape mirrors `mapInPandas`: each partition is processed as an
  * iterator of rows, the decoder is invoked once per blob inside the
@@ -438,6 +441,151 @@ object Multimodal {
     Dedup.simhashPairsFromSigs(imageDhash(df, idCol, binCol)
       .select(col("id"), col("sig")), maxHamming)
 
+  // ---------------- REAL audio PCM sample operators ----------------
+  //
+  // 16-bit PCM WAV carries its samples RAW: "decoding" is a little-endian
+  // byte walk over the `data` chunk the metadata parser already locates —
+  // pure arithmetic, no codec jar — so audio-level stats and dedup are
+  // first-class operators, not stubs. Signatures ride the same
+  // banded-Hamming join as image dhash.
+
+  /** Decoded 16-bit PCM audio: rate, channel count, interleaved samples
+    * (frame f, channel c at index f * channels + c). */
+  case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short]) {
+    def nFrames: Int = samples.length / channels
+  }
+
+  /** REAL WAV PCM sample decode — pure byte work: requires audioFormat == 1
+    * (integer PCM) and bitsPerSample == 16, locates the first `data` chunk,
+    * reads interleaved little-endian shorts, truncating to whole frames and
+    * to the bytes actually present (streamed writes legally overstate the
+    * chunk size). None for non-PCM / non-16-bit / malformed containers —
+    * compressed audio needs a real codec and stays on the metadata path. */
+  def decodePcm16(d: Array[Byte]): Option[Pcm] = {
+    if (d.length < 12 || fourcc(d, 0) != "RIFF" || fourcc(d, 8) != "WAVE") return None
+    var p = 12L // Long cursor: hostile u32 chunk sizes must end the walk, not wrap
+    var sampleRate = 0; var channels = 0; var fmt = 0; var bits = 0
+    var dataOff = -1L; var dataLen = 0L
+    while (p + 8 <= d.length) {
+      val id = fourcc(d, p.toInt)
+      val sz = u32le(d, p.toInt + 4)
+      if (id == "fmt " && sz >= 16 && p + 8 + 16 <= d.length) {
+        fmt = u16le(d, p.toInt + 8)
+        channels = u16le(d, p.toInt + 10)
+        sampleRate = u32le(d, p.toInt + 12).toInt
+        bits = u16le(d, p.toInt + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = p + 8
+        dataLen = math.min(sz, d.length - p - 8)
+      }
+      p += 8L + sz + (sz & 1L) // chunks pad to even
+    }
+    if (fmt != 1 || bits != 16 || sampleRate <= 0 || channels <= 0 || dataOff < 0) None
+    else {
+      val frames = (dataLen / (2L * channels)).toInt
+      val n = frames * channels
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val o = dataOff.toInt + 2 * i
+        out(i) = ((d(o) & 0xff) | (d(o + 1) << 8)).toShort
+        i += 1
+      }
+      Some(Pcm(sampleRate, channels, out))
+    }
+  }
+
+  /** Mono mix as the per-frame SUM over channels — deliberately undivided:
+    * integer-exact with no floor-vs-truncate ambiguity, so SQL oracles
+    * replay it bit-for-bit, and relative energy structure (what the
+    * signature reads) is unchanged by the constant factor. */
+  def monoSum(p: Pcm): Array[Int] = {
+    val frames = p.nFrames
+    val out = new Array[Int](frames)
+    var f = 0
+    while (f < frames) {
+      var s = 0; var c = 0
+      while (c < p.channels) { s += p.samples(f * p.channels + c); c += 1 }
+      out(f) = s
+      f += 1
+    }
+    out
+  }
+
+  /** Energy-transition signature (the audio analogue of image dhash):
+    * window the mono signal into sampleRate/32-frame windows (1/32 s —
+    * TIME-uniform, so the same continuous audio at another sample rate
+    * lands on the same window grid), per-window energy = Σ mono², bit k
+    * (k < 64) = energy(k+1) > energy(k). Identical samples -> identical
+    * sig (container/padding invariance); resampling preserves most
+    * transition orderings (small hamming — bound pinned in the spec,
+    * mirroring the image dhash resize bound). */
+  def audioEnergySig(mono: Array[Int], sampleRate: Int): Long = {
+    val win = math.max(1, sampleRate / 32)
+    if (mono.isEmpty) return 0L
+    val nWin = (mono.length + win - 1) / win
+    val e = new Array[Long](nWin)
+    var i = 0
+    while (i < mono.length) {
+      e(i / win) += mono(i).toLong * mono(i)
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64 && k + 1 < nWin) {
+      if (e(k + 1) > e(k)) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** Per-audio PCM fingerprint + exact integer stats, partition-parallel:
+    * (id, sample_rate, channels, n_frames, peak_abs, sum_sq,
+    * zero_crossings, sig). peak/sum_sq/crossings are over the mono-sum
+    * signal; crossings count strict sign flips (a zero sample breaks the
+    * flip). Non-PCM / undecodable blobs drop — dedup them by checksum
+    * instead. */
+  def audioFingerprint(df: DataFrame, idCol: String = "doc_id",
+                       binCol: String = "media"): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"), col(binCol).as("blob"))
+    implicit val enc = Encoders.product[(Long, Int, Int, Int, Int, Long, Long, Long)]
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (blob == null) Iterator.empty
+        else decodePcm16(blob) match {
+          case Some(p) =>
+            requireId(r)
+            val mono = monoSum(p)
+            var peak = 0; var sumSq = 0L; var zc = 0L
+            var i = 0
+            while (i < mono.length) {
+              val v = mono(i)
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumSq += v.toLong * v
+              if (i > 0 && v.toLong * mono(i - 1) < 0) zc += 1
+              i += 1
+            }
+            Iterator.single((r.getLong(0), p.sampleRate, p.channels, mono.length,
+              peak, sumSq, zc, audioEnergySig(mono, p.sampleRate)))
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("id", "sample_rate", "channels", "n_frames", "peak_abs", "sum_sq",
+      "zero_crossings", "sig")
+  }
+
+  /** Audio near-dup pairs at Hamming radius `maxHamming` over the
+    * energy-transition signature: PCM decode -> sig -> the banded-Hamming
+    * equi-join (pigeonhole-complete for the radius, exact bit_count
+    * verify). Catches container rewrites/padding (hamming 0) and
+    * resampled copies (small hamming) without ever joining samples. */
+  def audioNearDupPairs(df: DataFrame, maxHamming: Int = 6,
+                        idCol: String = "doc_id",
+                        binCol: String = "media"): DataFrame =
+    Dedup.simhashPairsFromSigs(audioFingerprint(df, idCol, binCol)
+      .select(col("id"), col("sig")), maxHamming)
+
   /** Deterministic spec-layout container builders — fixtures for the
     * parser gates (a standard 44-byte-header WAV; an ftyp+moov ISO BMFF
     * skeleton with version-0 mvhd/tkhd at their published sizes). Real
@@ -463,6 +611,41 @@ object Multimodal {
         .u32le(sampleRate.toLong * channels * 2).u16le(channels * 2).u16le(16)
       w.tag("data").u32le(dataBytes).zero(dataBytes)
       w.bytes
+    }
+
+    /** 16-bit PCM WAV with REAL samples: standard 44-byte header +
+      * interleaved little-endian frames. `channels(c)(f)` = channel c,
+      * frame f; all channels must be the same length. */
+    def wavPcm(sampleRate: Int, channels: Array[Array[Short]]): Array[Byte] = {
+      require(channels.nonEmpty && channels.forall(_.length == channels(0).length),
+        "wavPcm: channels must be non-empty and equal-length")
+      val frames = channels(0).length
+      val nCh = channels.length
+      val dataBytes = frames * nCh * 2
+      val w = new W
+      w.tag("RIFF").u32le(36L + dataBytes).tag("WAVE")
+      w.tag("fmt ").u32le(16).u16le(1).u16le(nCh).u32le(sampleRate)
+        .u32le(sampleRate.toLong * nCh * 2).u16le(nCh * 2).u16le(16)
+      w.tag("data").u32le(dataBytes)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < nCh) { w.u16le(channels(c)(f) & 0xffff); c += 1 }
+        f += 1
+      }
+      w.bytes
+    }
+
+    /** Zero-symmetric integer triangle wave: sample(i) = amp * raw(i) with
+      * raw(i) = |2(i mod p) − p| − p/2 (p even, so every term is an exact
+      * integer) — a closed form a SQL oracle replays bit-for-bit. Caller
+      * keeps |amp| * p/2 within 16-bit range. */
+    def triangle(frames: Int, period: Int, amp: Int): Array[Short] = {
+      require(period > 0 && period % 2 == 0, "triangle: period must be positive even")
+      Array.tabulate(frames) { i =>
+        val raw = math.abs(2 * (i % period) - period) - period / 2
+        (raw * amp).toShort
+      }
     }
 
     /** ISO BMFF skeleton: ftyp + moov(mvhd v0 + trak(tkhd v0)); timescale

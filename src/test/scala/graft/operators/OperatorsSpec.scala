@@ -1089,6 +1089,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.mediaMeta(corrupt).collect().head.kind === "png")
   }
 
+  test("audio PCM: exact decode, stats, and signature on a hand-checked wave") {
+    // p=4, amp=100: raw cycles 2,0,-2,0 -> samples 200,0,-200,0,...
+    val tri = Multimodal.Synth.triangle(8, 4, 100)
+    assert(tri.toSeq === Seq[Short](200, 0, -200, 0, 200, 0, -200, 0))
+    val blob = Multimodal.Synth.wavPcm(32, Array(tri))
+    val p = Multimodal.decodePcm16(blob).get
+    assert(p.sampleRate === 32 && p.channels === 1 && p.nFrames === 8)
+    assert(p.samples.toSeq === tri.toSeq)
+    // sr=32 -> win=1 sample: energies 40000,0,40000,0,... -> rising
+    // transitions exactly at odd k: bits {1,3,5} -> 42
+    assert(Multimodal.audioEnergySig(Multimodal.monoSum(p), 32) === 42L)
+    // stereo mono mix is the undivided SUM across channels
+    val st = Multimodal.decodePcm16(Multimodal.Synth.wavPcm(32,
+      Array(Array[Short](100, -100), Array[Short](7, -7)))).get
+    assert(st.channels === 2 && Multimodal.monoSum(st).toSeq === Seq(107, -107))
+  }
+
+  test("audio PCM: padding chunk invariant, truncated data clamped, non-PCM rejected") {
+    val tri = Multimodal.Synth.triangle(64, 8, 50)
+    val base = Multimodal.Synth.wavPcm(800, Array(tri))
+    assert(new String(base.slice(36, 40), "ISO-8859-1") === "data")
+    // splice a JUNK chunk between fmt and data: identical samples must
+    // yield an identical fingerprint (container invariance)
+    val junk = "JUNK".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    val padded = base.take(36) ++ junk ++ base.drop(36)
+    val a = Multimodal.decodePcm16(base).get
+    val b = Multimodal.decodePcm16(padded).get
+    assert(a.samples.toSeq === b.samples.toSeq)
+    assert(Multimodal.audioEnergySig(Multimodal.monoSum(a), 800) ===
+      Multimodal.audioEnergySig(Multimodal.monoSum(b), 800))
+    // declared data size overstates captured bytes: clamp to whole frames
+    assert(Multimodal.decodePcm16(base.take(base.length - 3)).get.nFrames === 62)
+    // non-PCM (float format 3) and non-16-bit route to the codec seam
+    val nonPcm = base.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodePcm16(nonPcm).isEmpty)
+    val bits24 = base.clone(); bits24(34) = 24
+    assert(Multimodal.decodePcm16(bits24).isEmpty)
+    // a WAV with zero samples (the metadata fixture) still decodes: 0 frames
+    assert(Multimodal.decodePcm16(Multimodal.Synth.wav(8000, 1, 0)).get.nFrames === 0)
+  }
+
+  test("audio near-dup: resampled copies pair at small hamming through the banded join") {
+    // the same continuous 1-second audio at three sample rates: a 250 Hz
+    // triangle under a per-window (1/32 s) envelope cycling 1..5 — window
+    // boundaries are TIME-uniform, so the energy-transition pattern is a
+    // property of the audio, not the rate
+    def modTri(sr: Int): Array[Short] = {
+      val p = sr / 250; val win = sr / 32
+      Array.tabulate(sr) { i =>
+        val raw = math.abs(2 * (i % p) - p) - p / 2
+        (raw * 40 * (1 + (i / win) % 5)).toShort
+      }
+    }
+    val rates = Seq(8000, 12000, 16000)
+    val blobs = rates.zipWithIndex.map { case (sr, i) =>
+      (i.toLong, Multimodal.Synth.wavPcm(sr, Array(modTri(sr))))
+    }
+    val df = blobs.toDF("doc_id", "media")
+    val fp = Multimodal.audioFingerprint(df).collect()
+    assert(fp.length === 3)
+    assert(fp.map(_.getAs[Int]("sample_rate")).sorted.toSeq === rates)
+    val sigs = fp.map(r => r.getAs[Long]("id") -> r.getAs[Long]("sig")).toMap
+    val hams = for (x <- 0 to 2; y <- x + 1 to 2)
+      yield java.lang.Long.bitCount(sigs(x.toLong) ^ sigs(y.toLong))
+    assert(hams.forall(_ <= 2), s"resample hamming drifted: $hams")
+    assert(sigs(0L) !== 0L) // the envelope creates real transition structure
+    val pairs = Multimodal.audioNearDupPairs(df, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("multimodal: REAL pixel dhash — re-encode invariant, resize robust, banded pairs") {
     import graft.operators.Multimodal.Synth
     // one pattern rendered three ways: png, lossless bmp re-encode,
