@@ -1217,6 +1217,32 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q_html_extract" -> ((s, dir) => {
+      // REAL HTML -> text extraction (the crawl stage every quality/dedup
+      // operator sits behind): each doc's text is wrapped into a full page
+      // exercising the extractor's whole spec — doctype, head with title/
+      // style/script (raw-text elements with hostile '<' and a quoted
+      // "</p>" inside), quoted attributes containing '>', block vs inline
+      // tags, named + numeric entities, comments, NBSP — and the DuckDB
+      // oracle states the expected text/title/links arithmetically from
+      // the same construction (the corpus text is verified single-spaced,
+      // so extraction is identity on it).
+      val d = col("doc_id")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), d, lit(" &amp; Co</title>"),
+        lit("<style>p { color: #333; }</style>"),
+        lit("<script>if (n < 2) { document.write(\"<p>junk</p>\"); }</script>"),
+        lit("</head><body data-note=\"a > b\"><h1>Doc "), d, lit("</h1><p>"),
+        col("text"),
+        lit("</p><ul><li>item one</li><li>two &#65;&#x42;</li></ul>"),
+        lit("<a href=\"https://h"), d, lit(".example/p?q=1&amp;r=2\">link</a>"),
+        lit("<a href='/rel/"), d, lit("'>rel</a>"),
+        lit("<!-- <p>hidden</p> --><p>tail&nbsp;end</p></body></html>"))
+      s.read.parquet(t(dir, "documents"))
+        .select(d, html_title(html).as("title"), html_text(html).as("text"),
+          array_join(html_links(html), " ").as("links"))
+        .orderBy(d)
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
@@ -2232,6 +2258,14 @@ object SparkEntry {
              st.zero_crossings, coalesce(sg.sig, 0) AS sig
       FROM params p JOIN st USING (doc_id) LEFT JOIN sg USING (doc_id)
       ORDER BY doc_id""",
+    "q_html_extract" -> """
+      SELECT doc_id,
+             'Doc ' || doc_id || ' & Co' AS title,
+             'Doc ' || doc_id || chr(10) || text || chr(10) ||
+               'item one' || chr(10) || 'two AB' || chr(10) ||
+               'linkrel' || chr(10) || 'tail end' AS text,
+             'https://h' || doc_id || '.example/p?q=1&r=2 /rel/' || doc_id AS links
+      FROM documents ORDER BY doc_id""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

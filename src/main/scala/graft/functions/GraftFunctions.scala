@@ -41,6 +41,9 @@ object GraftFunctions {
   def winnow_min64(c: Column): Column = column(WinnowMin64(expression(c)))
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def lang_id_conf(c: Column): Column = column(LangIdConf(expression(c)))
+  def html_text(c: Column): Column = column(HtmlTextOf(expression(c)))
+  def html_title(c: Column): Column = column(HtmlTitleOf(expression(c)))
+  def html_links(c: Column): Column = column(HtmlLinksOf(expression(c)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
@@ -147,6 +150,9 @@ object GraftFunctions {
     "winnow_min64" -> (e => WinnowMin64(e.head)),
     "lang_id" -> (e => LangId(e.head)),
     "lang_id_conf" -> (e => LangIdConf(e.head)),
+    "html_text" -> (e => HtmlTextOf(e.head)),
+    "html_title" -> (e => HtmlTitleOf(e.head)),
+    "html_links" -> (e => HtmlLinksOf(e.head)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),

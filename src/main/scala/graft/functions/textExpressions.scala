@@ -679,3 +679,68 @@ case class WordCount(child: Expression) extends TextUnary {
     graft.core.text.TextOps.wordCount(v.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): WordCount = copy(child = c)
 }
+
+// ------------------- real HTML extraction (crawl stage) -------------------
+
+/** Real HTML -> document text (the crawl "payload -> text" stage; full
+  * extraction spec in [[graft.core.text.HtmlExtract]]): script/style
+  * dropped, block tags break lines, entities decoded, whitespace
+  * collapsed. */
+case class HtmlTextOf(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.core.text.HtmlExtract.text(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.text.HtmlExtract.text($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): HtmlTextOf = copy(child = c)
+}
+
+/** First `<title>` content (entity-decoded, collapsed); NULL when the
+  * document has none. */
+case class HtmlTitleOf(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_title"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any = {
+    val t = graft.core.text.HtmlExtract.title(v.asInstanceOf[UTF8String].toString)
+    if (t == null) null else UTF8String.fromString(t)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      String t = graft.core.text.HtmlExtract.title($c.toString());
+      if (t == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(t); }
+    """)
+  override protected def withNewChildInternal(c: Expression): HtmlTitleOf = copy(child = c)
+}
+
+/** Every `<a href>` value in document order (entity-decoded, unresolved). */
+case class HtmlLinksOf(child: Expression) extends TextUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    HtmlLinksOf.evalText(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HtmlLinksOf.evalText($c.toString())")
+  override protected def withNewChildInternal(c: Expression): HtmlLinksOf = copy(child = c)
+}
+
+object HtmlLinksOf {
+  // named evalText, not eval: Expression.eval(InternalRow) would suppress
+  // the same-named static forwarder (the LangIdConf lesson)
+  def evalText(s: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val links = graft.core.text.HtmlExtract.links(s)
+    val out = new Array[Any](links.length)
+    var i = 0
+    while (i < links.length) { out(i) = UTF8String.fromString(links(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -211,6 +211,8 @@ class SparkFunctionsSpec extends AnyFunSuite {
         xxh3_64($"text"), simhash64($"text"), fingerprint64($"text"),
         winnow_min64($"text"), lang_id($"text"),
         lang_id_conf($"text").getField("margin"), token_count_bpeish($"text"),
+        html_text($"text"), coalesce(html_title($"text"), lit("")),
+        size(html_links($"text")),
         alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),
         mean_word_len($"text"), max_token_ratio($"text"),
         dup_line_ratio($"text"), dup_line_char_ratio($"text"),
