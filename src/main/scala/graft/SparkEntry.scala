@@ -1243,6 +1243,19 @@ object SparkEntry {
           array_join(html_links(html), " ").as("links"))
         .orderBy(d)
     }),
+    "q_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval top-k (retrieval-based decontamination / data
+      // selection): queries are the 5-word prefixes of every 17th doc;
+      // the oracle replays the ENTIRE scoring pipeline — inverted-index
+      // tf, df, doc lengths, avgdl, idf, saturation, qtf, rounding,
+      // ranking with the doc_id tie-break — independently in SQL.
+      val docs = s.read.parquet(t(dir, "documents")).select(col("doc_id"), col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("text"))
+      graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
@@ -2266,6 +2279,40 @@ object SparkEntry {
                'linkrel' || chr(10) || 'tail end' AS text,
              'https://h' || doc_id || '.example/p?q=1&r=2 /rel/' || doc_id AS links
       FROM documents ORDER BY doc_id""",
+    "q_bm25_topk" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      queries AS (
+        SELECT doc_id AS query_id,
+               array_to_string((string_split(text, ' '))[1:5], ' ') AS qtext
+        FROM documents WHERE doc_id % 17 = 0),
+      qterms AS (
+        SELECT query_id, term, count(*) AS qtf FROM (
+          SELECT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
+                   x -> x <> '')) AS term
+          FROM queries) GROUP BY 1, 2),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(q.qtf *
+                 ln(1.0 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+        FROM qterms q JOIN dfv USING (term) JOIN tf USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

@@ -1089,6 +1089,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.mediaMeta(corrupt).collect().head.kind === "png")
   }
 
+  test("bm25: hand-computed ranking, scores, qtf scaling, partition determinism") {
+    import graft.operators.Retrieval
+    val corpus = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val qs = Seq((10L, "a c")).toDF("query_id", "text")
+    val out = Retrieval.bm25TopK(corpus, qs, k = 3).orderBy("rank").collect()
+    // idf(a)=ln(1+2.5/1.5) dominates idf(c)=ln(1.6); doc1 carries tf(a)=2
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L))
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    val avgdl = 8.0 / 3
+    def sat(tf: Int, dl: Int) = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) === r6(idf(1) * sat(2, 3)))
+    assert(out(1).getDouble(2) === r6(idf(2) * sat(3, 3)))
+    assert(out(2).getDouble(2) === r6(idf(2) * sat(1, 2)))
+    // duplicate query terms scale the contribution linearly (qtf factor)
+    val o2 = Retrieval.bm25TopK(corpus, Seq((11L, "c c")).toDF("query_id", "text"),
+      k = 1).collect()(0)
+    assert(o2.getDouble(2) === r6(2 * idf(2) * sat(3, 3)))
+    // rounded-then-ranked scores are partitioning-invariant
+    val again = Retrieval.bm25TopK(corpus.repartition(5), qs, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(again === out.map(_.toSeq).toSet)
+  }
+
   test("audio PCM: exact decode, stats, and signature on a hand-checked wave") {
     // p=4, amp=100: raw cycles 2,0,-2,0 -> samples 200,0,-200,0,...
     val tri = Multimodal.Synth.triangle(8, 4, 100)
