@@ -1258,7 +1258,10 @@ object SparkEntry {
     }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
-      // ONE query — WARC export (DSv2 write) -> WARC ingest (DSv2 read)
+      // ONE query — WARC export (DSv2 write, payloads are real HTML
+      // pages) -> WARC ingest (DSv2 read) -> html_text extraction (the
+      // real parser; the wrap is exactly inverted, so the downstream
+      // chain and the oracle see the raw text)
       // -> domain blocklist (suffix semi-join on the crawl's url column)
       // -> Gopher quality filter -> corpus boilerplate-line strip ->
       // exact dedup -> exact n-gram-Jaccard near-dup + connected
@@ -1292,9 +1295,16 @@ object SparkEntry {
       // repeatedly (bench reps, verify cycles) and overwrite-mode reuses
       // the same directory instead of leaking one corpus per invocation
       val tmp = gateScratch(dir, "e2e") + "/crawl"
+      // payloads are REAL HTML pages (title + hostile script + one <p>
+      // per text line): the read side must run the real extractor, and
+      // because extraction inverts this wrap exactly, the rest of the
+      // chain — and the DuckDB oracle — see the same text as before
       corpus.select(format_string("https://d%09d.example/x", d).as("url"),
           lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("warc_ts"),
-          col("text").cast("binary").as("html"))
+          concat(lit("<!DOCTYPE html><html><head><title>d"), d,
+            lit("</title><script>track(1 < 2, \"</p>\");</script></head><body><p>"),
+            regexp_replace(col("text"), "\n", "</p><p>"),
+            lit("</p></body></html>")).cast("binary").as("html"))
         .repartition(4)
         .write.format("warc").mode("overwrite").save(tmp)
       // stage boundaries are PINNED (localCheckpoint): each frame below is
@@ -1314,7 +1324,7 @@ object SparkEntry {
           bl, urlCol = "url", idCol = "url")
         .select(regexp_extract(col("url"), "d(\\d+)\\.example", 1)
             .cast("long").as("doc_id"),
-          col("payload").cast("string").as("text"))
+          html_text(col("payload").cast("string")).as("text"))
         // 4 archive files -> spread the row-local quality kernels wide
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint()
