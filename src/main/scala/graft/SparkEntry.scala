@@ -1256,6 +1256,28 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(docs, queries, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_link_graph" -> ((s, dir) => {
+      // host-level web graph over REAL link extraction: each doc is a
+      // page on host h(doc_id % 50) carrying two absolute links
+      // (h(3d+1 % 50), h(7d+2 % 50)) and one relative link (resolves to
+      // the source host, then drops as a self-loop — d=8 mod 25 also
+      // makes h2 a self-loop, exercising the drop on absolute links);
+      // degrees + 3 iterations of FIXED-POINT integer PageRank are exact
+      // longs, so the oracle replays the edge formula, both degrees, and
+      // every PageRank iteration bit-for-bit.
+      val d = col("doc_id")
+      val html = concat(
+        lit("<html><body><a href=\"https://h"), pmod(d * 3 + 1, lit(50)),
+        lit(".example/x\">a</a><a href='https://h"), pmod(d * 7 + 2, lit(50)),
+        lit(".example/y'>b</a><a href=\"/local\">c</a></body></html>"))
+      val pages = s.read.parquet(t(dir, "documents"))
+        .select(format_string("https://h%d.example/p/%d", pmod(d, lit(50)), d)
+          .as("url"), html.as("html"))
+      val edges = graft.operators.LinkGraph.hostEdges(pages).localCheckpoint()
+      graft.operators.LinkGraph.degrees(edges)
+        .join(graft.operators.LinkGraph.pageRank(edges, iters = 3), Seq("host"))
+        .orderBy(col("host"))
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write, payloads are real HTML
@@ -2323,6 +2345,43 @@ object SparkEntry {
         FROM scored)
       SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank""",
+    "q_link_graph" -> """
+      WITH raw AS (
+        SELECT doc_id % 50 AS hs, (doc_id*3+1) % 50 AS h1, (doc_id*7+2) % 50 AS h2
+        FROM documents),
+      edges AS (
+        SELECT 'h' || hs || '.example' AS src, 'h' || h1 || '.example' AS dst
+        FROM raw WHERE h1 <> hs
+        UNION
+        SELECT 'h' || hs || '.example', 'h' || h2 || '.example'
+        FROM raw WHERE h2 <> hs),
+      nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      ind AS (SELECT dst, count(*) AS ind FROM edges GROUP BY 1),
+      -- fixed-point PageRank, unrolled: all arithmetic exact BIGINT floor
+      r0 AS (SELECT host, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+      c1 AS (SELECT e.dst AS host, sum(r.r // o.od) AS s FROM edges e
+             JOIN r0 r ON r.host = e.src JOIN od o ON o.src = e.src GROUP BY 1),
+      r1 AS (SELECT nd.host, CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c1.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes nd LEFT JOIN c1 USING (host)),
+      c2 AS (SELECT e.dst AS host, sum(r.r // o.od) AS s FROM edges e
+             JOIN r1 r ON r.host = e.src JOIN od o ON o.src = e.src GROUP BY 1),
+      r2 AS (SELECT nd.host, CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c2.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes nd LEFT JOIN c2 USING (host)),
+      c3 AS (SELECT e.dst AS host, sum(r.r // o.od) AS s FROM edges e
+             JOIN r2 r ON r.host = e.src JOIN od o ON o.src = e.src GROUP BY 1),
+      r3 AS (SELECT nd.host, CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c3.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes nd LEFT JOIN c3 USING (host))
+      SELECT nd.host, coalesce(o.od, 0) AS out_degree,
+             coalesce(i.ind, 0) AS in_degree, r3.r AS pr_micro
+      FROM nodes nd LEFT JOIN od o ON o.src = nd.host
+           LEFT JOIN ind i ON i.dst = nd.host
+           JOIN r3 ON r3.host = nd.host
+      ORDER BY nd.host""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{html_links, host_of_url}
+
+/**
+ * Host-level web-graph operators over crawled pages — the link-structure
+ * signals (degrees, PageRank) that web-scale quality/spam pipelines keep
+ * beside content signals. (The reference engine has no crawl-graph
+ * surface; this is part of the LLM-pipeline extension.)
+ *
+ * Scale shape: every step is an equi-join or a groupBy on the host key —
+ * edge extraction is embarrassingly parallel ([[graft.core.text.HtmlExtract]]
+ * link parsing per page), degree counting is one shuffle, and each
+ * PageRank iteration is one join + one aggregation, checkpoint-pinned so
+ * the plan does not grow with the iteration count (the
+ * connectedComponents discipline).
+ *
+ * Determinism: PageRank runs in FIXED-POINT integer micro-units (1e-12 of
+ * total mass) with floor division — the same discipline as the quality
+ * classifier's long-gradient accumulation — so ranks are bit-identical
+ * under any partitioning and an SQL oracle replays them exactly. (A
+ * float implementation's per-partition sum order would wobble ranks in
+ * the last ulps and make exact gating impossible.)
+ */
+object LinkGraph {
+
+  /** Distinct host->host edges from crawled pages (urlCol, htmlCol):
+    * src = host of the page url; dst per extracted `<a href>` — absolute
+    * links (containing "://") take their own host, anything else (path-
+    * relative, query, fragment) resolves to the source host. Self-loops
+    * and unparseable hosts drop. */
+  def hostEdges(pages: DataFrame, urlCol: String = "url",
+                htmlCol: String = "html"): DataFrame = {
+    pages
+      .select(host_of_url(col(urlCol)).as("src"),
+        explode(html_links(col(htmlCol))).as("link"))
+      .select(col("src"),
+        when(instr(col("link"), "://") > 0, host_of_url(col("link")))
+          .otherwise(col("src")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Per-host (host, out_degree, in_degree) over the distinct edge set;
+    * hosts appearing only as source or only as target carry a zero. */
+  def degrees(edges: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val o = e.groupBy(col("src").as("host")).agg(count(lit(1)).as("out_degree"))
+    val i = e.groupBy(col("dst").as("host")).agg(count(lit(1)).as("in_degree"))
+    o.join(i, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** Deterministic fixed-point PageRank: (host, pr_micro) where pr_micro
+    * is the rank in integer micro-units (total initial mass = 1e12).
+    *
+    * Update rule (simplified PageRank, no dangling-mass redistribution —
+    * sinks leak, the standard Spark-example formulation):
+    *   r'(v) = (scale * (100-dampPct)) div (100 * N)
+    *           + (dampPct * Σ_{u->v} (r(u) div outdeg(u))) div 100
+    * All arithmetic is exact long floor division, so the result is
+    * bit-identical under any partitioning and replayable in SQL. Each
+    * iteration: ONE equi-join (edges x ranks x outdeg on src) + ONE
+    * groupBy(dst) sum, checkpoint-pinned per round. */
+  def pageRank(edges: DataFrame, iters: Int, dampPct: Int = 85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, "pageRank: iters must be >= 0")
+    require(dampPct >= 0 && dampPct <= 100, "pageRank: dampPct must be in [0,100]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct().localCheckpoint()
+    val n = nodes.count() // bounded driver action: one long
+    require(n > 0, "pageRank: empty graph")
+    val scale = 1000000000000L
+    val base = (scale * (100 - dampPct)) / (100 * n) // exact long floor
+    var ranks = nodes.select(col("host"), lit(scale / n).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(ranks, e("src") === ranks("host"))
+        .join(outdeg, "src")
+        .select(col("dst").as("host"), expr("r div od").as("c"))
+      val sums = contribs.groupBy("host").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(sums, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) +
+            expr(s"($dampPct * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+        .localCheckpoint() // pin: the next round must not re-expand this one
+      it += 1
+    }
+    ranks.withColumnRenamed("r", "pr_micro")
+  }
+}

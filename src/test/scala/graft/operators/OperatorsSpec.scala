@@ -2140,4 +2140,40 @@ class OperatorsSpec extends AnyFunSuite {
       qualityCol = "quality").select("doc_id").as[Long].collect().sorted
     assert(keptN === Array(1L, 7L))
   }
+
+  test("LinkGraph.hostEdges: absolute links take own host, relative resolve to source, self-loops drop") {
+    val pages = Seq(
+      // absolute to b; relative /x -> a (self-loop, drops); absolute back to a (drops)
+      ("https://a.example/p", "<a href=\"https://b.example/q\">b</a>" +
+        "<a href='/x'>rel</a><a href=\"https://a.example/other\">self</a>"),
+      // duplicate edge a->b from a second page on a, plus b->c
+      ("https://a.example/p2", "<a href=\"https://b.example/r\">b</a>"),
+      ("http://b.example/s", "<a href=\"https://c.example/\">c</a>")
+    ).toDF("url", "html")
+    val edges = LinkGraph.hostEdges(pages).as[(String, String)].collect().toSet
+    assert(edges === Set(("a.example", "b.example"), ("b.example", "c.example")))
+  }
+
+  test("LinkGraph.degrees zero-fills one-sided hosts; pageRank matches hand-computed fixed point") {
+    // triangle-with-chord: a->b, a->c, b->c, c->a
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val deg = LinkGraph.degrees(edges).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(deg === Map("a" -> (2L, 1L), "b" -> (1L, 1L), "c" -> (1L, 2L)))
+    // hand computation, scale=1e12: init floor(1e12/3)=333333333333,
+    // base=floor(15e12/300)=50000000000; after one round:
+    //   a: 50e9 + floor(85*333333333333/100) = 333333333333
+    //   b: 50e9 + floor(85*166666666666/100) = 191666666666
+    //   c: 50e9 + floor(85*(166666666666+333333333333)/100) = 474999999999
+    val r1 = LinkGraph.pageRank(edges, iters = 1).as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 333333333333L, "b" -> 191666666666L, "c" -> 474999999999L))
+    // iters=0 is the uniform init; partition-invariance of a deeper run
+    val r0 = LinkGraph.pageRank(edges, iters = 0).as[(String, Long)].collect().toMap
+    assert(r0 === Map("a" -> 333333333333L, "b" -> 333333333333L, "c" -> 333333333333L))
+    val deep1 = LinkGraph.pageRank(edges.repartition(1), iters = 4)
+      .as[(String, Long)].collect().toMap
+    val deep7 = LinkGraph.pageRank(edges.repartition(7), iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(deep1 === deep7)
+  }
 }
