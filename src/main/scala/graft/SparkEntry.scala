@@ -1278,6 +1278,37 @@ object SparkEntry {
         .join(graft.operators.LinkGraph.pageRank(edges, iters = 3), Seq("host"))
         .orderBy(col("host"))
     }),
+    "q_unicode_clean" -> ((s, dir) => {
+      // Unicode hygiene gate: NFC over real document text with a planted
+      // decomposed suffix (DuckDB's nfc_normalize replays it with an
+      // INDEPENDENT UAX#15 implementation), NFKC folding of the suffix
+      // (folded forms stated literally in the oracle), and cp1252
+      // mojibake repair of four classic corruptions — the oracle states
+      // the clean form literally, so repair is a hash match, and the
+      // before/after mojibake_score constants pin the detector. The
+      // mojibake literals ARE the UTF-8 bytes of the clean strings read
+      // as windows-1252 (e.g. U+00C3 U+00A9 = "é" through cp1252).
+      val d = col("doc_id")
+      val m4 = pmod(d, lit(4))
+      val suffix = when(m4 === 0, lit("e\u0301")) // e + combining acute
+        .when(m4 === 1, lit("A\u030A")) // A + combining ring
+        .when(m4 === 2, lit("\u212B")) // Angstrom sign -> NFC U+00C5
+        .otherwise(lit("\uFB01")) // fi ligature: NFC keeps, NFKC folds
+      val moji = when(m4 === 0, lit("caf\u00C3\u00A9")) // café
+        .when(m4 === 1, lit("na\u00C3\u00AFve")) // naïve
+        .when(m4 === 2, lit("\u00E2\u201A\u00AC 9,99 \u00E2\u20AC\u201D ok")) // € / —
+        .otherwise(lit("\u00E2\u20AC\u0153quote\u00E2\u20AC\u009D")) // curly quotes
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(d, col("text"), suffix.as("sfx"),
+          concat(moji, lit(" doc "), d).as("moji"))
+      base.select(d,
+          nfc(concat(substring(col("text"), 1, 60), col("sfx"))).as("nfc_text"),
+          nfkc(col("sfx")).as("nfkc_suffix"),
+          fix_mojibake(col("moji")).as("fixed"),
+          mojibake_score(col("moji")).as("score_moji"),
+          mojibake_score(fix_mojibake(col("moji"))).as("score_fixed"))
+        .orderBy(d)
+    }),
     "q_pipeline_e2e" -> ((s, dir) => {
       // THE COMPOSED PIPELINE GATE: the realistic training-data chain as
       // ONE query — WARC export (DSv2 write, payloads are real HTML
@@ -2382,6 +2413,30 @@ object SparkEntry {
            LEFT JOIN ind i ON i.dst = nd.host
            JOIN r3 ON r3.host = nd.host
       ORDER BY nd.host""",
+    "q_unicode_clean" -> """
+      WITH base AS (
+        SELECT doc_id, text,
+          CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769)
+                          WHEN 1 THEN 'A' || chr(778)
+                          WHEN 2 THEN chr(8491)
+                          ELSE chr(64257) END AS sfx,
+          CASE doc_id % 4 WHEN 0 THEN chr(233)
+                          WHEN 1 THEN chr(197)
+                          WHEN 2 THEN chr(197)
+                          ELSE 'fi' END AS sfx_nfkc,
+          CASE doc_id % 4 WHEN 0 THEN 'caf' || chr(233)
+                          WHEN 1 THEN 'na' || chr(239) || 've'
+                          WHEN 2 THEN chr(8364) || ' 9,99 ' || chr(8212) || ' ok'
+                          ELSE chr(8220) || 'quote' || chr(8221) END AS clean,
+          CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 2 END AS sm
+        FROM documents)
+      SELECT doc_id,
+        nfc_normalize(substring(text, 1, 60) || sfx) AS nfc_text,
+        sfx_nfkc AS nfkc_suffix,
+        clean || ' doc ' || doc_id AS fixed,
+        sm AS score_moji,
+        0 AS score_fixed
+      FROM base ORDER BY doc_id""",
     "q_pipeline_e2e" -> """
       WITH RECURSIVE
       src AS (

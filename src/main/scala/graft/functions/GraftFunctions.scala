@@ -42,6 +42,10 @@ object GraftFunctions {
   def lang_id(c: Column): Column = column(LangId(expression(c)))
   def lang_id_conf(c: Column): Column = column(LangIdConf(expression(c)))
   def html_text(c: Column): Column = column(HtmlTextOf(expression(c)))
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
+  def nfkc(c: Column): Column = column(NfkcNormalize(expression(c)))
+  def fix_mojibake(c: Column): Column = column(FixMojibake(expression(c)))
+  def mojibake_score(c: Column): Column = column(MojibakeScore(expression(c)))
   def html_title(c: Column): Column = column(HtmlTitleOf(expression(c)))
   def html_links(c: Column): Column = column(HtmlLinksOf(expression(c)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
@@ -151,6 +155,10 @@ object GraftFunctions {
     "lang_id" -> (e => LangId(e.head)),
     "lang_id_conf" -> (e => LangIdConf(e.head)),
     "html_text" -> (e => HtmlTextOf(e.head)),
+    "nfc" -> (e => NfcNormalize(e.head)),
+    "nfkc" -> (e => NfkcNormalize(e.head)),
+    "fix_mojibake" -> (e => FixMojibake(e.head)),
+    "mojibake_score" -> (e => MojibakeScore(e.head)),
     "html_title" -> (e => HtmlTitleOf(e.head)),
     "html_links" -> (e => HtmlLinksOf(e.head)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),

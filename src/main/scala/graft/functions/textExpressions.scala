@@ -720,6 +720,67 @@ case class HtmlTitleOf(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): HtmlTitleOf = copy(child = c)
 }
 
+/** NFC normalization (UAX #15, JDK Normalizer); oracled independently
+  * against DuckDB's `nfc_normalize` in the gate. */
+case class NfcNormalize(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.core.text.UnicodeClean.nfc(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.text.UnicodeClean.nfc($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
+/** NFKC compatibility normalization (ligatures, width, circled digits). */
+case class NfkcNormalize(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.core.text.UnicodeClean.nfkc(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.text.UnicodeClean.nfkc($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): NfkcNormalize = copy(child = c)
+}
+
+/** Undo UTF-8-read-as-windows-1252 mojibake (up to 3 layers); clean text
+  * passes through unchanged — see [[graft.core.text.UnicodeClean]]. */
+case class FixMojibake(child: Expression) extends TextUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      graft.core.text.UnicodeClean.fixMojibake(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.core.text.UnicodeClean.fixMojibake($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): FixMojibake = copy(child = c)
+}
+
+/** Mojibake evidence count (cp1252-shaped UTF-8 lead/continuation pairs
+  * plus U+FFFD replacements) — a quality signal; 0 on clean text. */
+case class MojibakeScore(child: Expression) extends TextUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "mojibake_score"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.UnicodeClean.mojibakeScore(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.UnicodeClean.mojibakeScore($c.toString())")
+  override protected def withNewChildInternal(c: Expression): MojibakeScore = copy(child = c)
+}
+
 /** Every `<a href>` value in document order (entity-decoded, unresolved). */
 case class HtmlLinksOf(child: Expression) extends TextUnary {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

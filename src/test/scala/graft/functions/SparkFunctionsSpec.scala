@@ -213,6 +213,8 @@ class SparkFunctionsSpec extends AnyFunSuite {
         lang_id_conf($"text").getField("margin"), token_count_bpeish($"text"),
         html_text($"text"), coalesce(html_title($"text"), lit("")),
         size(html_links($"text")),
+        nfc($"text"), nfkc($"text"), fix_mojibake($"text"),
+        mojibake_score($"text"),
         alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),
         mean_word_len($"text"), max_token_ratio($"text"),
         dup_line_ratio($"text"), dup_line_char_ratio($"text"),
