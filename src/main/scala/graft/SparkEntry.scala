@@ -1278,6 +1278,29 @@ object SparkEntry {
         .join(graft.operators.LinkGraph.pageRank(edges, iters = 3), Seq("host"))
         .orderBy(col("host"))
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-term host profile over REAL anchor extraction: each page
+      // on host h(d%50) carries an absolute link to h(3d+1 % 50) with
+      // anchor "Visit h<n> Portal" (mixed case exercises lower()), one to
+      // h(7d+2 % 50) with anchor "News day d<d%7>", and a relative link
+      // whose dst resolves to the source host and drops as a self-loop;
+      // the oracle replays the edge formula and the per-(host, term)
+      // counts exactly.
+      val d = col("doc_id")
+      val h1 = pmod(d * 3 + 1, lit(50))
+      val h2 = pmod(d * 7 + 2, lit(50))
+      val html = concat(
+        lit("<html><body><a href=\"https://h"), h1,
+        lit(".example/x\">Visit h"), h1,
+        lit(" Portal</a><a href='https://h"), h2,
+        lit(".example/y'>News day d"), pmod(d, lit(7)),
+        lit("</a><a href=\"/rel\">back home</a></body></html>"))
+      val pages = s.read.parquet(t(dir, "documents"))
+        .select(format_string("https://h%d.example/p/%d", pmod(d, lit(50)), d)
+          .as("url"), html.as("html"))
+      graft.operators.LinkGraph.anchorTermCounts(pages)
+        .orderBy(col("host"), col("term"))
+    }),
     "q_unicode_clean" -> ((s, dir) => {
       // Unicode hygiene gate: NFC over real document text with a planted
       // decomposed suffix (DuckDB's nfc_normalize replays it with an
@@ -2413,6 +2436,25 @@ object SparkEntry {
            LEFT JOIN ind i ON i.dst = nd.host
            JOIN r3 ON r3.host = nd.host
       ORDER BY nd.host""",
+    "q_anchor_text" -> """
+      WITH raw AS (
+        SELECT doc_id, doc_id % 50 AS hs, (doc_id*3+1) % 50 AS h1,
+               (doc_id*7+2) % 50 AS h2, doc_id % 7 AS k
+        FROM documents),
+      terms AS (
+        SELECT 'h' || h1 || '.example' AS host, 'visit' AS term FROM raw WHERE h1 <> hs
+        UNION ALL
+        SELECT 'h' || h1 || '.example', 'h' || h1 FROM raw WHERE h1 <> hs
+        UNION ALL
+        SELECT 'h' || h1 || '.example', 'portal' FROM raw WHERE h1 <> hs
+        UNION ALL
+        SELECT 'h' || h2 || '.example', 'news' FROM raw WHERE h2 <> hs
+        UNION ALL
+        SELECT 'h' || h2 || '.example', 'day' FROM raw WHERE h2 <> hs
+        UNION ALL
+        SELECT 'h' || h2 || '.example', 'd' || k FROM raw WHERE h2 <> hs)
+      SELECT host, term, count(*) AS cnt
+      FROM terms GROUP BY host, term ORDER BY host, term""",
     "q_unicode_clean" -> """
       WITH base AS (
         SELECT doc_id, text,

@@ -71,6 +71,20 @@ object HtmlExtract {
     out.linksResult
   }
 
+  /** Every `<a href>` with its anchor text, in document order: (href,
+    * text) where href is entity-decoded and text is the link's rendered
+    * content under the same spec as [[text]] (inline tags vanish, block
+    * breaks become one space, raw-text subtrees drop, whitespace
+    * collapses) — possibly "" for image/icon links. A new `<a>` open tag
+    * implicitly closes an unclosed one (the browser rule); an anchor
+    * still open at EOF is emitted with the text captured so far. */
+  def anchors(html: String): Array[(String, String)] = {
+    val out = new Parse(html, wantTitle = false, wantLinks = false,
+      wantAnchors = true)
+    out.run()
+    out.anchorsResult
+  }
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\u000b' ||
       c == '\f' || c == '\u00a0' // NBSP normalizes to plain space
@@ -83,17 +97,25 @@ object HtmlExtract {
 
   /** One parse over the input; the three public entry points share it so
     * the spec cannot drift between text/title/links. */
-  private final class Parse(h: String, wantTitle: Boolean, wantLinks: Boolean) {
+  private final class Parse(h: String, wantTitle: Boolean, wantLinks: Boolean,
+                            wantAnchors: Boolean = false) {
     private val n = if (h == null) 0 else h.length
     private val lines = new ArrayBuffer[String]()
     private val line = new java.lang.StringBuilder(64)
     private var pendingSpace = false
     private var titleBuf: String = null
     private val linkBuf = new ArrayBuffer[String]()
+    // anchor capture: non-null href marks an open `<a href>` whose
+    // rendered text is mirrored into aText with the same collapse rule
+    private var anchorHref: String = null
+    private val aText = new java.lang.StringBuilder(32)
+    private var aPending = false
+    private val anchorBuf = new ArrayBuffer[(String, String)]()
 
     def textResult: String = lines.mkString("\n")
     def titleResult: String = titleBuf
     def linksResult: Array[String] = linkBuf.toArray
+    def anchorsResult: Array[(String, String)] = anchorBuf.toArray
 
     def run(): Unit = {
       var i = 0
@@ -124,6 +146,7 @@ object HtmlExtract {
         }
       }
       flushLine()
+      finishAnchor() // unclosed `<a>` at EOF still emits
     }
 
     /** Parse a tag starting at `<`; returns the index after its `>`. */
@@ -149,6 +172,13 @@ object HtmlExtract {
         return after
       }
       if (BlockTags.contains(name)) break()
+      if (wantAnchors && name == "a") {
+        finishAnchor() // close tag, or open tag implicitly closing one
+        if (!closing) {
+          val href = attr(attrStart, attrEnd, "href")
+          if (href != null) anchorHref = decodeEntities(href)
+        }
+      }
       if (!closing) {
         if (wantLinks && name == "a") {
           val href = attr(attrStart, attrEnd, "href")
@@ -222,6 +252,22 @@ object HtmlExtract {
         if (pendingSpace) { line.append(' '); pendingSpace = false }
         line.append(c)
       }
+      if (anchorHref != null) { // mirror with the same collapse rule
+        if (isWs(c)) { if (aText.length() > 0) aPending = true }
+        else {
+          if (aPending) { aText.append(' '); aPending = false }
+          aText.append(c)
+        }
+      }
+    }
+
+    private def finishAnchor(): Unit = {
+      if (anchorHref != null) {
+        anchorBuf += ((anchorHref, aText.toString))
+        anchorHref = null
+        aText.setLength(0)
+        aPending = false
+      }
     }
 
     private def emitText(s: String, from: Int, to: Int, decode: Boolean): Unit = {
@@ -293,7 +339,10 @@ object HtmlExtract {
       b.toString
     }
 
-    private def break(): Unit = flushLine()
+    private def break(): Unit = {
+      flushLine()
+      if (anchorHref != null && aText.length() > 0) aPending = true
+    }
 
     private def flushLine(): Unit = {
       pendingSpace = false

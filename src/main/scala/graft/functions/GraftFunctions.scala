@@ -48,6 +48,7 @@ object GraftFunctions {
   def mojibake_score(c: Column): Column = column(MojibakeScore(expression(c)))
   def html_title(c: Column): Column = column(HtmlTitleOf(expression(c)))
   def html_links(c: Column): Column = column(HtmlLinksOf(expression(c)))
+  def html_anchors(c: Column): Column = column(HtmlAnchorsOf(expression(c)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
@@ -161,6 +162,7 @@ object GraftFunctions {
     "mojibake_score" -> (e => MojibakeScore(e.head)),
     "html_title" -> (e => HtmlTitleOf(e.head)),
     "html_links" -> (e => HtmlLinksOf(e.head)),
+    "html_anchors" -> (e => HtmlAnchorsOf(e.head)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),

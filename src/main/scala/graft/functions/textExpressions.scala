@@ -805,3 +805,36 @@ object HtmlLinksOf {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Every `<a href>` with its rendered anchor text, in document order, as
+  * array<struct<href,text>> — the link-description signal (anchor-term
+  * host profiles, link spam, alt-text corpora). */
+case class HtmlAnchorsOf(child: Expression) extends TextUnary {
+  override def dataType: DataType =
+    ArrayType(HtmlAnchorsOf.ElementSchema, containsNull = false)
+  override def prettyName: String = "html_anchors"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    HtmlAnchorsOf.evalText(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HtmlAnchorsOf.evalText($c.toString())")
+  override protected def withNewChildInternal(c: Expression): HtmlAnchorsOf = copy(child = c)
+}
+
+object HtmlAnchorsOf {
+  val ElementSchema: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  def evalText(s: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val as = graft.core.text.HtmlExtract.anchors(s)
+    val out = new Array[Any](as.length)
+    var i = 0
+    while (i < as.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(as(i)._1), UTF8String.fromString(as(i)._2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

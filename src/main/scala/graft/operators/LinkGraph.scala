@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.{html_links, host_of_url}
+import graft.functions.GraftFunctions.{html_anchors, html_links, host_of_url}
 
 /**
  * Host-level web-graph operators over crawled pages — the link-structure
@@ -42,6 +42,38 @@ object LinkGraph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+  }
+
+  /** Per-link anchor rows (src, dst, anchor) — host resolution identical
+    * to [[hostEdges]] (absolute links take their own host, anything else
+    * resolves to the source host; self-loops and unparseable hosts drop)
+    * but NOT deduplicated: every link occurrence keeps its anchor text
+    * (possibly "" for image links). */
+  def anchorEdges(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html"): DataFrame = {
+    pages
+      .select(host_of_url(col(urlCol)).as("src"),
+        explode(html_anchors(col(htmlCol))).as("a"))
+      .select(col("src"),
+        when(instr(col("a.href"), "://") > 0, host_of_url(col("a.href")))
+          .otherwise(col("src")).as("dst"),
+        col("a.text").as("anchor"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+  }
+
+  /** How the web DESCRIBES each host: (host, term, cnt) over lowercased
+    * whitespace terms of incoming anchor text (self-links excluded via
+    * [[anchorEdges]]) — the anchor-term profile used for host quality /
+    * spam signals and alt-text-style description corpora. One explode +
+    * one hash aggregation; scales as the number of (host, term) pairs. */
+  def anchorTermCounts(pages: DataFrame, urlCol: String = "url",
+                       htmlCol: String = "html"): DataFrame = {
+    anchorEdges(pages, urlCol, htmlCol)
+      .select(col("dst").as("host"),
+        explode(split(lower(col("anchor")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("host", "term").agg(count(lit(1)).as("cnt"))
   }
 
   /** Per-host (host, out_degree, in_degree) over the distinct edge set;

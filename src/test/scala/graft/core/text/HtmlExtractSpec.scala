@@ -91,5 +91,37 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(HtmlExtract.text("just plain text") === "just plain text")
     assert(HtmlExtract.title(null) === null)
     assert(HtmlExtract.links(null).length === 0)
+    assert(HtmlExtract.anchors(null).length === 0)
+  }
+
+  test("anchors: text under the extraction spec — inline vanish, blocks space, collapse") {
+    val a = HtmlExtract.anchors(
+      "<a href=\"/x\"> Visit  <b>our</b>\n site </a>" +
+      "<a href='/y'><img src=i.png></a>" + // image link: empty text
+      "<a href=\"/z\">over<p>two</p>blocks</a>")
+    assert(a.toSeq === Seq(("/x", "Visit our site"), ("/y", ""),
+      ("/z", "over two blocks")))
+  }
+
+  test("anchors: entity-decoded href + text; script subtree never leaks in") {
+    val a = HtmlExtract.anchors(
+      "<a href=\"/p?a=1&amp;b=2\">A &amp; B<script>var x='</div>';</script>!</a>")
+    assert(a.toSeq === Seq(("/p?a=1&b=2", "A & B!")))
+  }
+
+  test("anchors: nested <a> auto-closes, href-less <a> ignored, EOF-open emits") {
+    assert(HtmlExtract.anchors(
+      "<a href=\"/1\">one <a href=\"/2\">two</a>").toSeq ===
+      Seq(("/1", "one"), ("/2", "two"))) // second open closes the first; EOF closes the second
+    assert(HtmlExtract.anchors("<a name=\"top\">not a link</a>").length === 0)
+    // an href-less <a> open still closes a pending anchor (browser rule)
+    assert(HtmlExtract.anchors("<a href=\"/1\">one<a name=x>rest").toSeq ===
+      Seq(("/1", "one")))
+  }
+
+  test("anchors agree with links on hrefs, in order") {
+    val html = "<a href=\"/1\">x</a><p><a href='/2'>y</a><a href=/3>z</a>"
+    assert(HtmlExtract.anchors(html).map(_._1).toSeq ===
+      HtmlExtract.links(html).toSeq)
   }
 }

@@ -212,7 +212,7 @@ class SparkFunctionsSpec extends AnyFunSuite {
         winnow_min64($"text"), lang_id($"text"),
         lang_id_conf($"text").getField("margin"), token_count_bpeish($"text"),
         html_text($"text"), coalesce(html_title($"text"), lit("")),
-        size(html_links($"text")),
+        size(html_links($"text")), size(html_anchors($"text")),
         nfc($"text"), nfkc($"text"), fix_mojibake($"text"),
         mojibake_score($"text"),
         alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),
