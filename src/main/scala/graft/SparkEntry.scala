@@ -1278,6 +1278,36 @@ object SparkEntry {
         .join(graft.operators.LinkGraph.pageRank(edges, iters = 3), Seq("host"))
         .orderBy(col("host"))
     }),
+    "q_robots_filter" -> ((s, dir) => {
+      // RFC 9309 crawl-politeness over synthesized per-host robots.txt:
+      // EVEN hosts publish a graftbot-specific group (Disallow /tmp) plus
+      // a * group; agent "graftbot" must obey ONLY its specific group
+      // (so /private stays allowed there — the group-shadowing rule);
+      // ODD hosts publish only the * group (Disallow /private, Allow
+      // /private/ok — longest-match precedence). The oracle replays the
+      // whole decision as prefix CASE logic. Host = floor(doc_id/4) % 50
+      // so every path variant (doc_id % 4) hits BOTH host parities —
+      // every branch of the decision table has blocked AND allowed rows.
+      val d = col("doc_id")
+      val hn = pmod(shiftright(d, 2), lit(50))
+      val path = when(pmod(d, lit(4)) === 0, concat(lit("/private/page"), d))
+        .when(pmod(d, lit(4)) === 1, concat(lit("/private/ok/"), d))
+        .when(pmod(d, lit(4)) === 2, concat(lit("/pub/"), d))
+        .otherwise(concat(lit("/tmp/"), pmod(d, lit(3))))
+      val urls = s.read.parquet(t(dir, "documents"))
+        .select(d, format_string("https://h%d.example%s", hn, path).as("url"))
+      val robots = s.read.parquet(t(dir, "documents"))
+        .select(pmod(shiftright(d, 2), lit(50)).as("hn")).distinct()
+        .select(format_string("h%d.example", col("hn")).as("host"),
+          when(pmod(col("hn"), lit(2)) === 0,
+            lit("User-agent: graftbot\nDisallow: /tmp\n" +
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+            .otherwise(
+              lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+            .as("robots_txt"))
+      graft.operators.Robots.filterAllowed(urls, robots, "graftbot")
+        .orderBy(d)
+    }),
     "q_anchor_text" -> ((s, dir) => {
       // anchor-term host profile over REAL anchor extraction: each page
       // on host h(d%50) carries an absolute link to h(3d+1 % 50) with
@@ -2436,6 +2466,21 @@ object SparkEntry {
            LEFT JOIN ind i ON i.dst = nd.host
            JOIN r3 ON r3.host = nd.host
       ORDER BY nd.host""",
+    "q_robots_filter" -> """
+      WITH u AS (
+        SELECT doc_id, (doc_id // 4) % 50 AS hn,
+          CASE doc_id % 4
+            WHEN 0 THEN '/private/page' || doc_id
+            WHEN 1 THEN '/private/ok/' || doc_id
+            WHEN 2 THEN '/pub/' || doc_id
+            ELSE '/tmp/' || (doc_id % 3) END AS path
+        FROM documents)
+      SELECT doc_id, 'https://h' || hn || '.example' || path AS url
+      FROM u
+      WHERE CASE WHEN hn % 2 = 0 THEN NOT starts_with(path, '/tmp')
+                 ELSE NOT (starts_with(path, '/private')
+                           AND NOT starts_with(path, '/private/ok')) END
+      ORDER BY doc_id""",
     "q_anchor_text" -> """
       WITH raw AS (
         SELECT doc_id, doc_id % 50 AS hs, (doc_id*3+1) % 50 AS h1,

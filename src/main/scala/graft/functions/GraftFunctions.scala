@@ -49,6 +49,10 @@ object GraftFunctions {
   def html_title(c: Column): Column = column(HtmlTitleOf(expression(c)))
   def html_links(c: Column): Column = column(HtmlLinksOf(expression(c)))
   def html_anchors(c: Column): Column = column(HtmlAnchorsOf(expression(c)))
+  def robots_rules(content: Column, agent: String): Column =
+    column(RobotsRules(expression(content), agent))
+  def robots_match(pattern: Column, path: Column): Column =
+    column(RobotsMatch(expression(pattern), expression(path)))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
@@ -163,6 +167,8 @@ object GraftFunctions {
     "html_title" -> (e => HtmlTitleOf(e.head)),
     "html_links" -> (e => HtmlLinksOf(e.head)),
     "html_anchors" -> (e => HtmlAnchorsOf(e.head)),
+    "robots_rules" -> (e => RobotsRules(e.head, e(1).eval().toString)),
+    "robots_match" -> (e => RobotsMatch(e.head, e(1))),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),

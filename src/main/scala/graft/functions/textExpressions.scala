@@ -781,6 +781,59 @@ case class MojibakeScore(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): MojibakeScore = copy(child = c)
 }
 
+/** Parsed robots.txt rules for one crawler agent (RFC 9309 group
+  * selection inside [[graft.core.net.RobotsTxt.rulesFor]]): array of
+  * (allow, pattern) structs in document order. `agent` is a build-time
+  * literal — the crawler identity is per job, not per row. */
+case class RobotsRules(child: Expression, agent: String) extends TextUnary {
+  override def dataType: DataType =
+    ArrayType(RobotsRules.ElementSchema, containsNull = false)
+  override def prettyName: String = "robots_rules"
+  override protected def fn: String = "" // custom codegen below
+  override def nullSafeEval(v: Any): Any =
+    RobotsRules.evalText(v.asInstanceOf[UTF8String].toString, agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentRef = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RobotsRules.evalText($c.toString(), $agentRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): RobotsRules = copy(child = c)
+}
+
+object RobotsRules {
+  val ElementSchema: StructType = StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("pattern", StringType, nullable = false)))
+  def evalText(content: String, agent: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val rules = graft.core.net.RobotsTxt.rulesFor(content, agent)
+    val out = new Array[Any](rules.length)
+    var i = 0
+    while (i < rules.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](rules(i).allow, UTF8String.fromString(rules(i).pattern)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Does a robots.txt pattern (`*` wildcards, final-`$` anchor) match the
+  * URL path from its start? (RFC 9309 §2.2.2 matching.) */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_match"
+  override def nullSafeEval(p: Any, path: Any): Any =
+    graft.core.net.RobotsTxt.matches(
+      p.asInstanceOf[UTF8String].toString, path.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, s) =>
+      s"graft.core.net.RobotsTxt.matches($p.toString(), $s.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsMatch =
+    copy(left = l, right = r)
+}
+
 /** Every `<a href>` value in document order (entity-decoded, unresolved). */
 case class HtmlLinksOf(child: Expression) extends TextUnary {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -213,6 +213,8 @@ class SparkFunctionsSpec extends AnyFunSuite {
         lang_id_conf($"text").getField("margin"), token_count_bpeish($"text"),
         html_text($"text"), coalesce(html_title($"text"), lit("")),
         size(html_links($"text")), size(html_anchors($"text")),
+        size(robots_rules(lit("User-agent: *\nDisallow: /x"), "bot")),
+        robots_match(lit("/a*b$"), $"text"),
         nfc($"text"), nfkc($"text"), fix_mojibake($"text"),
         mojibake_score($"text"),
         alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),

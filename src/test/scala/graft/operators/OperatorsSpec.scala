@@ -2141,6 +2141,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptN === Array(1L, 7L))
   }
 
+  test("Robots.filterAllowed: RFC 9309 longest-match per host, default allow, agent groups") {
+    val urls = Seq(
+      (1L, "https://a.example/private/x"),
+      (2L, "https://a.example/private/ok/x"),
+      (3L, "https://a.example/pub"),
+      (4L, "https://b.example/private/x"), // host without robots: allowed
+      (5L, "https://a.example/doc.pdf")
+    ).toDF("doc_id", "url")
+    val robots = Seq(("a.example",
+      "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /*.pdf$\nUser-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val kept = Robots.filterAllowed(urls, robots, "graftbot")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L, 4L))
+    // an unknown agent falls to the * group: all of a.example is blocked
+    val kept2 = Robots.filterAllowed(urls, robots, "otherbot")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2 === Array(4L))
+    // schema preserved, duplicate paths evaluated once but all rows kept
+    val dup = urls.unionByName(urls)
+    assert(Robots.filterAllowed(dup, robots, "graftbot").count() === 6L)
+    assert(Robots.filterAllowed(dup, robots, "graftbot").columns.toSeq ===
+      Seq("doc_id", "url"))
+  }
+
   test("LinkGraph.hostEdges: absolute links take own host, relative resolve to source, self-loops drop") {
     val pages = Seq(
       // absolute to b; relative /x -> a (self-loop, drops); absolute back to a (drops)
