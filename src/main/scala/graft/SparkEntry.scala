@@ -1278,6 +1278,23 @@ object SparkEntry {
         .join(graft.operators.LinkGraph.pageRank(edges, iters = 3), Seq("host"))
         .orderBy(col("host"))
     }),
+    "q_wordlist_filter" -> ((s, dir) => {
+      // C4 badwords-stage gate: count wordlist hits over every document
+      // with a planted suffix that exercises punctuation strip + case
+      // fold ("SPARK." and "(vector)" must each count), a corpus single
+      // term ("stream") and a corpus phrase ("table table", counted at
+      // every start position, overlaps allowed). The oracle recomputes
+      // all hits with DuckDB trim/lower/positional list ops.
+      val d = col("doc_id")
+      val terms = Seq("spark", "vector", "stream", "table table")
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(d, concat(col("text"), lit(" SPARK. (vector)")).as("text"))
+      docs.select(d,
+          graft.functions.GraftFunctions.term_hits(col("text"), terms).as("hits"),
+          (graft.functions.GraftFunctions.term_hits(col("text"), terms) <= lit(2))
+            .as("keep"))
+        .orderBy(d)
+    }),
     "q_robots_filter" -> ((s, dir) => {
       // RFC 9309 crawl-politeness over synthesized per-host robots.txt:
       // EVEN hosts publish a graftbot-specific group (Disallow /tmp) plus
@@ -2466,6 +2483,22 @@ object SparkEntry {
            LEFT JOIN ind i ON i.dst = nd.host
            JOIN r3 ON r3.host = nd.host
       ORDER BY nd.host""",
+    "q_wordlist_filter" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          list_transform(string_split(text || ' SPARK. (vector)', ' '),
+            x -> lower(trim(x, '.,!?;:''"()[]{}<>-_/'))) AS ts
+        FROM documents),
+      hits AS (
+        SELECT doc_id,
+          CAST(len(list_filter(ts,
+            x -> x IN ('spark', 'vector', 'stream'))) AS INTEGER)
+          + CAST(coalesce(list_sum(list_transform(range(1, len(ts)),
+              i -> CASE WHEN ts[i] = 'table' AND ts[i+1] = 'table'
+                        THEN 1 ELSE 0 END)), 0) AS INTEGER) AS hits
+        FROM toks)
+      SELECT doc_id, hits, hits <= 2 AS keep
+      FROM hits ORDER BY doc_id""",
     "q_robots_filter" -> """
       WITH u AS (
         SELECT doc_id, (doc_id // 4) % 50 AS hn,

@@ -1051,4 +1051,75 @@ object TextOps {
     }
     p.toDouble / text.length
   }
+
+  // ----- wordlist (badwords) matching: the C4 blocklist-filter stage -----
+
+  /** Chars stripped from token ends before wordlist comparison (ASCII
+    * punctuation; SQL-replayable as a DuckDB trim() char set). */
+  private val StripChars: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    ".,!?;:'\"()[]{}<>-_/".foreach(c => t(c) = true)
+    t
+  }
+
+  @inline private def isStrip(c: Char): Boolean = c < 128 && StripChars(c)
+
+  /** Token normalized for wordlist comparison: ends stripped of ASCII
+    * punctuation, then lowercased. */
+  def strippedToken(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isStrip(s.charAt(a))) a += 1
+    while (b > a && isStrip(s.charAt(b - 1))) b -= 1
+    (if (a == 0 && b == s.length) s else s.substring(a, b))
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Normalized wordlist: terms tokenized and normalized with the SAME
+    * rule as the text side; single-token terms in a hash set, multi-token
+    * terms as token runs. Terms that normalize to nothing are dropped.
+    * Serializable so codegen can embed the built list per executor. */
+  final class TermList(terms: Seq[String]) extends Serializable {
+    val singles = new java.util.HashSet[String]()
+    val phrases: Array[Array[String]] = {
+      val ph = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+      terms.foreach { t =>
+        val toks = tokens(t).iterator.map(strippedToken).filter(_.nonEmpty).toArray
+        if (toks.length == 1) singles.add(toks(0))
+        else if (toks.length > 1) ph += toks
+      }
+      ph.toArray
+    }
+  }
+
+  /** Wordlist occurrence count over the text's normalized tokens:
+    * single-term hits by set membership, phrase hits counted at every
+    * start position (overlaps allowed). The C4 badwords rule is
+    * `termHits(text, list) == 0`. */
+  def termHits(text: String, tl: TermList): Int = {
+    val raw = tokens(text)
+    if (raw.isEmpty) return 0
+    val ts = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) { ts(i) = strippedToken(raw(i)); i += 1 }
+    var hits = 0
+    i = 0
+    while (i < ts.length) {
+      if (ts(i).nonEmpty && tl.singles.contains(ts(i))) hits += 1
+      i += 1
+    }
+    var p = 0
+    while (p < tl.phrases.length) {
+      val ph = tl.phrases(p)
+      var start = 0
+      while (start + ph.length <= ts.length) {
+        var j = 0
+        while (j < ph.length && ts(start + j) == ph(j)) j += 1
+        if (j == ph.length) hits += 1
+        start += 1
+      }
+      p += 1
+    }
+    hits
+  }
 }

@@ -53,6 +53,8 @@ object GraftFunctions {
     column(RobotsRules(expression(content), agent))
   def robots_match(pattern: Column, path: Column): Column =
     column(RobotsMatch(expression(pattern), expression(path)))
+  def term_hits(c: Column, terms: Seq[String]): Column =
+    column(TermHits(expression(c), terms))
   def token_count_bpeish(c: Column): Column = column(TokenCountBpeish(expression(c)))
   def alpha_ratio(c: Column): Column = column(AlphaRatio(expression(c)))
   def punct_ratio(c: Column): Column = column(PunctRatio(expression(c)))
@@ -169,6 +171,10 @@ object GraftFunctions {
     "html_anchors" -> (e => HtmlAnchorsOf(e.head)),
     "robots_rules" -> (e => RobotsRules(e.head, e(1).eval().toString)),
     "robots_match" -> (e => RobotsMatch(e.head, e(1))),
+    "term_hits" -> (e => TermHits(e.head,
+      e(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq)),
     "token_count_bpeish" -> (e => TokenCountBpeish(e.head)),
     "alpha_ratio" -> (e => AlphaRatio(e.head)),
     "punct_ratio" -> (e => PunctRatio(e.head)),

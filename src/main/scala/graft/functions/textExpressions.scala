@@ -781,6 +781,28 @@ case class MojibakeScore(child: Expression) extends TextUnary {
   override protected def withNewChildInternal(c: Expression): MojibakeScore = copy(child = c)
 }
 
+/** Wordlist (badwords) occurrence count — the C4 blocklist-filter
+  * signal: normalized-token hits against a fixed term list (single terms
+  * by set membership, phrases at every start position). `terms` is a
+  * build-time Seq so structurally identical expressions canonicalize
+  * equal; the normalized [[graft.core.text.TextOps.TermList]] builds
+  * lazily and embeds per executor via addReferenceObj. */
+case class TermHits(child: Expression, terms: Seq[String]) extends TextUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "term_hits"
+  override protected def fn: String = "" // custom codegen below
+  @transient private lazy val tl = new graft.core.text.TextOps.TermList(terms)
+  override def nullSafeEval(v: Any): Any =
+    graft.core.text.TextOps.termHits(v.asInstanceOf[UTF8String].toString, tl)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termList", tl,
+      "graft.core.text.TextOps.TermList")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.text.TextOps.termHits($c.toString(), $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TermHits = copy(child = c)
+}
+
 /** Parsed robots.txt rules for one crawler agent (RFC 9309 group
   * selection inside [[graft.core.net.RobotsTxt.rulesFor]]): array of
   * (allow, pattern) structs in document order. `agent` is a build-time

@@ -137,4 +137,15 @@ object TextQuality {
                  textCol: String = "text"): Column =
     coalesce(graft.functions.GraftFunctions.gopher_keep(col(textCol), t.toParams),
       lit(false))
+
+  /** C4-style wordlist (badwords) filter: drop documents with more than
+    * `maxHits` occurrences of listed terms (default 0 = any hit drops,
+    * the published C4 rule). Terms may be words or phrases; matching is
+    * punctuation-stripped, case-insensitive, and runs as ONE codegen'd
+    * scalar per row — no joins, the list ships per executor. */
+  def wordlistFilter(docs: DataFrame, terms: Seq[String],
+                     textCol: String = "text", maxHits: Int = 0): DataFrame =
+    docs.filter(coalesce(
+      graft.functions.GraftFunctions.term_hits(col(textCol), terms) <= maxHits,
+      lit(false)))
 }

@@ -215,6 +215,7 @@ class SparkFunctionsSpec extends AnyFunSuite {
         size(html_links($"text")), size(html_anchors($"text")),
         size(robots_rules(lit("User-agent: *\nDisallow: /x"), "bot")),
         robots_match(lit("/a*b$"), $"text"),
+        term_hits($"text", Seq("alpha", "one two")),
         nfc($"text"), nfkc($"text"), fix_mojibake($"text"),
         mojibake_score($"text"),
         alpha_ratio($"text"), punct_ratio($"text"), stopword_ratio($"text"),

@@ -2141,6 +2141,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptN === Array(1L, 7L))
   }
 
+  test("termHits / wordlistFilter: strip+case normalization, overlapping phrases, maxHits") {
+    import graft.core.text.TextOps
+    val tl = new TextOps.TermList(Seq("Bad", "very bad", "", "..."))
+    // tokens normalize: so, bad, bad, very, bad, bad -> 4 single hits + 1 phrase
+    assert(TextOps.termHits("so BAD. (bad) very bad bad", tl) === 5)
+    assert(TextOps.termHits("clean text here", tl) === 0)
+    // overlapping phrase starts each count
+    val rep = new TextOps.TermList(Seq("very very"))
+    assert(TextOps.termHits("very very very", rep) === 2)
+    val docs = Seq((1L, "all good"), (2L, "one bad word"), (3L, "BAD bad bad!"))
+      .toDF("doc_id", "text")
+    assert(TextQuality.wordlistFilter(docs, Seq("bad"))
+      .select("doc_id").as[Long].collect().sorted === Array(1L))
+    assert(TextQuality.wordlistFilter(docs, Seq("bad"), maxHits = 1)
+      .select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    // NULL text drops (filter is total)
+    val withNull = docs.unionByName(
+      Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(TextQuality.wordlistFilter(withNull, Seq("nothing"))
+      .count() === 3L)
+  }
+
   test("Robots.filterAllowed: RFC 9309 longest-match per host, default allow, agent groups") {
     val urls = Seq(
       (1L, "https://a.example/private/x"),
