@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Joins, Multimodal}
 
 /**
  * Driver contract (see SURVEY.md §2 for the operator inventory each query
@@ -202,6 +202,125 @@ object SparkEntry {
         .crossJoin(broadcast(bloom))
         .filter(!bloom_contains(col("bf"), col("h"))) // false negative = bug
         .select(col("user_id"))
+    }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV bottom-k sketch, oracled EXACTLY: the sketch contents are the
+      // k smallest distinct hashes under a SQL-replayable injective hash
+      // ((user_id * knuth) mod p, p prime > max id), so DuckDB recomputes
+      // the held set, the kth min, and the estimate formula bit-for-bit —
+      // both branches (exact below capacity at sf0.001, order-statistic
+      // at capacity above) are pinned
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", (col("user_id") * lit(2654435761L)) % lit(1000000007L))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(kmv_build(col("h"), 64).as("sk"))
+      val all = perType.agg(kmv_merge(col("sk")).as("sk"))
+        .select(lit("__all__").as("event_type"), col("sk"))
+      perType.unionByName(all)
+        .select(col("event_type"),
+          size(kmv_hashes(col("sk"))).as("n_held"),
+          element_at(kmv_hashes(col("sk")), 1).as("min_hash"),
+          element_at(kmv_hashes(col("sk")), size(kmv_hashes(col("sk")))).as("kth_hash"),
+          kmv_est(col("sk")).as("est"))
+        .orderBy(col("event_type"))
+    }),
+    "q_kmv_violations" -> ((s, dir) => {
+      // xxh3-hashed KMV at k=1024: below capacity the estimate must be
+      // EXACTLY the distinct count; at capacity within 3.3 standard
+      // errors (1/sqrt(k-2)). Jaccard coordination: exact when both
+      // sketches hold their full sets, else within 0.12
+      val k = 1024
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", xxh3_64(col("user_id").cast("string")))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(kmv_build(col("h"), k).as("sk"), countDistinct(col("user_id")).as("exact"))
+      val allRow = ev.agg(kmv_build(col("h"), k).as("sk"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(lit("__all__").as("event_type"), col("sk"), col("exact"))
+      val card = perType.unionByName(allRow)
+        .withColumn("est", kmv_est(col("sk")))
+        .withColumn("m", size(kmv_hashes(col("sk"))))
+        .filter((col("m") < k && col("est") =!= col("exact").cast("double")) ||
+          abs(col("est") - col("exact")) > lit(3.3 / math.sqrt(k - 2)) * col("exact"))
+        .select(col("event_type").as("check"), col("est"),
+          col("exact").cast("double").as("exact"))
+      // jaccard: clickers vs the user_id%3==0 cohort
+      val a = ev.filter(col("event_type") === "click")
+        .agg(kmv_build(col("h"), k).as("sk_a"))
+      val b = ev.filter(col("user_id") % 3 === 0)
+        .agg(kmv_build(col("h"), k).as("sk_b"))
+      val aU = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val bU = ev.filter(col("user_id") % 3 === 0).select(col("user_id")).distinct()
+      val inter = aU.intersect(bU).count().toDouble
+      val union = aU.union(bU).distinct().count().toDouble
+      val exactJ = if (union == 0) 0.0 else inter / union
+      val jac = a.crossJoin(b)
+        .withColumn("est", kmv_jaccard(col("sk_a"), col("sk_b")))
+        .withColumn("bothExact",
+          size(kmv_hashes(col("sk_a"))) < k && size(kmv_hashes(col("sk_b"))) < k)
+        .filter((col("bothExact") && abs(col("est") - exactJ) > 1e-12) ||
+          abs(col("est") - exactJ) > 0.12)
+        .select(lit("jaccard").as("check"), col("est"), lit(exactJ).as("exact"))
+      card.unionByName(jac)
+    }),
+    "q_freq_items" -> ((s, dir) => {
+      // Misra-Gries heavy hitters in the deterministic exact mode the
+      // mergeability proof gives for free: k (4096) exceeds the distinct
+      // key count at every SF, so no decrement ever fires (err 0) and the
+      // merged per-type sketches hold EXACT per-user counts — DuckDB
+      // replays them as plain GROUP BY counts under the same replayable
+      // hash; hi == lo pins errBound == 0 through build AND merge
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", (col("user_id") * lit(2654435761L)) % lit(1000000007L))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(freq_build(col("h"), lit(1L), 4096).as("sk"))
+      val all = perType.agg(freq_merge(col("sk")).as("sk"))
+        .select(lit("__all__").as("event_type"), col("sk"))
+      perType.unionByName(all)
+        .select(col("event_type"), explode(freq_items(col("sk"))).as("it"))
+        .select(col("event_type"), col("it.hash").as("hash"),
+          col("it.lo").as("lo"), col("it.hi").as("hi"))
+        .orderBy(col("event_type"), col("hash"))
+    }),
+    "q_freq_violations" -> ((s, dir) => {
+      // forced past capacity (k=16 over 150+ users): the Misra-Gries
+      // bounds must hold for EVERY key regardless of arrival order —
+      // stored <= true <= stored + err, coverage (true > err => present),
+      // and err <= n/(k+1)
+      val ev = s.read.parquet(t(dir, "events"))
+        .withColumn("h", (col("user_id") * lit(2654435761L)) % lit(1000000007L))
+      val skRow = ev.agg(freq_build(col("h"), lit(1L), 16).as("sk"),
+        count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("h")).agg(count(lit(1)).as("exact"))
+      exact.crossJoin(broadcast(skRow))
+        .withColumn("err", freq_err(col("sk")))
+        .withColumn("lo", freq_lower_bound(col("sk"), col("h")))
+        .filter(col("lo") > col("exact") ||
+          col("exact") > col("lo") + col("err") ||
+          (col("exact") > col("err") && col("lo") === 0L) ||
+          col("err") * 17 > col("n"))
+        .select(col("h"), col("lo"), col("exact"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join oracled against DuckDB's native ASOF LEFT JOIN: each
+      // view event picks up the latest click at or before it per user.
+      // The operator is join-free (tagged union + one sort + running
+      // last-ignoring-nulls); right-side ties pre-aggregated
+      // deterministically (arg-max by event_id)
+      val ev = s.read.parquet(t(dir, "events"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val latest = Joins.latestPerKeyTs(clicks, Seq("user_id"), "ts",
+          tiebreak = "event_id", payload = Seq("value"))
+        .withColumnRenamed("value", "click_value")
+        .withColumn("click_at", col("ts"))
+      Joins.asofJoin(views, latest,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("click_value", "click_at"))
+        .orderBy(col("event_id"))
     }),
     "q_kll_violations" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
@@ -1654,6 +1773,59 @@ object SparkEntry {
       SELECT CAST(0 AS DOUBLE) AS q, CAST(0 AS DOUBLE) AS est WHERE 1 = 0""",
     "q_tdigest_violations" -> """
       SELECT CAST(0 AS DOUBLE) AS q, CAST(0 AS DOUBLE) AS est WHERE 1 = 0""",
+    "q_kmv_distinct" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+                        (user_id * 2654435761) % 1000000007 AS h FROM events),
+      ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM h),
+      kept AS (SELECT * FROM ranked WHERE r <= 64),
+      per AS (
+        SELECT event_type, count(*) AS n_held, min(h) AS min_hash,
+               max(h) AS kth_hash,
+               CASE WHEN max(m) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE (63 * pow(2, 64)) / CAST(max(h) AS DOUBLE) END AS est
+        FROM kept GROUP BY event_type),
+      gh AS (SELECT DISTINCT (user_id * 2654435761) % 1000000007 AS h FROM events),
+      granked AS (SELECT h, row_number() OVER (ORDER BY h) AS r,
+                         count(*) OVER () AS m FROM gh),
+      gkept AS (SELECT * FROM granked WHERE r <= 64),
+      gper AS (
+        SELECT '__all__' AS event_type, count(*) AS n_held, min(h) AS min_hash,
+               max(h) AS kth_hash,
+               CASE WHEN max(m) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE (63 * pow(2, 64)) / CAST(max(h) AS DOUBLE) END AS est
+        FROM gkept)
+      SELECT * FROM per UNION ALL SELECT * FROM gper ORDER BY event_type""",
+    "q_kmv_violations" -> """
+      SELECT 'x' AS check, CAST(0 AS DOUBLE) AS est, CAST(0 AS DOUBLE) AS exact
+      WHERE 1 = 0""",
+    "q_freq_items" -> """
+      WITH c AS (
+        SELECT event_type, (user_id * 2654435761) % 1000000007 AS hash,
+               count(*) AS lo
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, hash, lo, lo AS hi FROM c
+      UNION ALL
+      SELECT '__all__' AS event_type, hash, CAST(sum(lo) AS BIGINT) AS lo,
+             CAST(sum(lo) AS BIGINT) AS hi
+      FROM c GROUP BY hash
+      ORDER BY event_type, hash""",
+    "q_freq_violations" -> """
+      SELECT CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS lo,
+             CAST(0 AS BIGINT) AS exact WHERE 1 = 0""",
+    "q_asof_join" -> """
+      WITH clicks AS (
+        SELECT user_id, ts AS click_at, arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      views AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'view')
+      SELECT v.event_id, v.user_id, v.ts, v.value, c.click_value, c.click_at
+      FROM views v ASOF LEFT JOIN clicks c
+        ON v.user_id = c.user_id AND v.ts >= c.click_at
+      ORDER BY v.event_id""",
     "q_fingerprint_violations" -> """
       SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE 1 = 0""",
     "q_dedup_exact" -> """

@@ -31,4 +31,14 @@ object SketchOps {
   }
   def kllRank(bytes: Array[Byte], x: Double): Double = Kll.fromBytes(bytes).rank(x)
   def kllCount(bytes: Array[Byte]): Long = Kll.fromBytes(bytes).count
+
+  def kmvEst(bytes: Array[Byte]): Double = Kmv.fromBytes(bytes).estimate
+  def kmvSize(bytes: Array[Byte]): Int = Kmv.fromBytes(bytes).size
+  def kmvHashes(bytes: Array[Byte]): Array[Long] = Kmv.fromBytes(bytes).values
+  def kmvJaccard(a: Array[Byte], b: Array[Byte]): Double =
+    Kmv.jaccard(Kmv.fromBytes(a), Kmv.fromBytes(b))
+
+  def fiErr(bytes: Array[Byte]): Long = FreqItems.fromBytes(bytes).errBound
+  def fiLowerBound(bytes: Array[Byte], hash: Long): Long =
+    FreqItems.fromBytes(bytes).lowerBound(hash)
 }

@@ -129,6 +129,14 @@ object GraftFunctions {
     * hll_union (which operates on DataSketches-format bytes). */
   def hll_union_ak(a: Column, b: Column): Column =
     column(HllUnion(expression(a), expression(b)))
+  def kmv_est(sketch: Column): Column = column(KmvEst(expression(sketch)))
+  def kmv_hashes(sketch: Column): Column = column(KmvHashes(expression(sketch)))
+  def kmv_jaccard(a: Column, b: Column): Column =
+    column(KmvJaccard(expression(a), expression(b)))
+  def freq_items(sketch: Column): Column = column(FreqItemsList(expression(sketch)))
+  def freq_err(sketch: Column): Column = column(FreqItemsErr(expression(sketch)))
+  def freq_lower_bound(sketch: Column, hash: Column): Column =
+    column(FreqItemsLowerBound(expression(sketch), expression(hash)))
 
   // ----- aggregates (build from raw values) -----
   def hll_build(hash: Column): Column = agg(HllBuildAgg(expression(hash)))
@@ -137,6 +145,11 @@ object GraftFunctions {
   def bloom_build(hash: Column): Column = agg(BloomBuildAgg(expression(hash)))
   def tdigest_build(x: Column): Column = agg(TDigestBuildAgg(expression(x)))
   def kll_build(x: Column): Column = agg(KllBuildAgg(expression(x)))
+  def kmv_build(hash: Column, k: Int = graft.core.sketch.Kmv.DefaultK): Column =
+    agg(KmvBuildAgg(expression(hash), k))
+  def freq_build(hash: Column, weight: Column,
+      k: Int = graft.core.sketch.FreqItems.DefaultK): Column =
+    agg(FreqItemsBuildAgg(expression(hash), expression(weight), k))
 
   // ----- aggregates (merge stored sketch bytes) -----
   def hll_merge(sketch: Column): Column = agg(HllMergeAgg(expression(sketch)))
@@ -144,6 +157,8 @@ object GraftFunctions {
   def bloom_merge(sketch: Column): Column = agg(BloomMergeAgg(expression(sketch)))
   def tdigest_merge(sketch: Column): Column = agg(TDigestMergeAgg(expression(sketch)))
   def kll_merge(sketch: Column): Column = agg(KllMergeAgg(expression(sketch)))
+  def kmv_merge(sketch: Column): Column = agg(KmvMergeAgg(expression(sketch)))
+  def freq_merge(sketch: Column): Column = agg(FreqItemsMergeAgg(expression(sketch)))
   def vec_sum(v: Column): Column = agg(VecSumAgg(expression(v)))
 
   /** All SQL-callable names -> expression builders. */
@@ -249,6 +264,20 @@ object GraftFunctions {
     "tdigest_merge" -> (e => TDigestMergeAgg(e.head).toAggregateExpression()),
     "kll_build" -> (e => KllBuildAgg(e.head).toAggregateExpression()),
     "kll_merge" -> (e => KllMergeAgg(e.head).toAggregateExpression()),
+    "kmv_est" -> (e => KmvEst(e.head)),
+    "kmv_hashes" -> (e => KmvHashes(e.head)),
+    "kmv_jaccard" -> (e => KmvJaccard(e.head, e(1))),
+    "kmv_build" -> (e => KmvBuildAgg(e.head,
+      if (e.length > 1) e(1).eval().toString.toInt
+      else graft.core.sketch.Kmv.DefaultK).toAggregateExpression()),
+    "kmv_merge" -> (e => KmvMergeAgg(e.head).toAggregateExpression()),
+    "freq_items" -> (e => FreqItemsList(e.head)),
+    "freq_err" -> (e => FreqItemsErr(e.head)),
+    "freq_lower_bound" -> (e => FreqItemsLowerBound(e.head, e(1))),
+    "freq_build" -> (e => FreqItemsBuildAgg(e.head, e(1),
+      if (e.length > 2) e(2).eval().toString.toInt
+      else graft.core.sketch.FreqItems.DefaultK).toAggregateExpression()),
+    "freq_merge" -> (e => FreqItemsMergeAgg(e.head).toAggregateExpression()),
     "vec_sum" -> (e => VecSumAgg(e.head).toAggregateExpression()))
 
   /** Register every function for SQL use in this session. */

@@ -370,3 +370,102 @@ case class KllMergeAgg(
   override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): KllMergeAgg = copy(child = c)
 }
+
+// -------------------------------- KMV --------------------------------
+
+/** kmv_build(hash LONG) -> bottom-k distinct sketch bytes. */
+case class KmvBuildAgg(
+    child: Expression,
+    k: Int = Kmv.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[Kmv] with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def prettyName: String = "kmv_build"
+  override def createAggregationBuffer(): Kmv = new Kmv(k)
+  override def update(buf: Kmv, row: InternalRow): Kmv = {
+    val v = child.eval(row)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: Kmv, b: Kmv): Kmv = { a.merge(b); a }
+  override def eval(buf: Kmv): Any = buf.toBytes
+  override def serialize(buf: Kmv): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): Kmv = Kmv.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KmvBuildAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvBuildAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvBuildAgg = copy(child = c)
+}
+
+/** kmv_merge(sketch BINARY) -> bottom-k union bytes (param adoption;
+  * lattice join — idempotent, safe to re-merge on replay). */
+case class KmvMergeAgg(
+    child: Expression,
+    k: Int = Kmv.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchMergeAggBase[Kmv] {
+
+  override def prettyName: String = "kmv_merge"
+  override protected def parse(bytes: Array[Byte]): Kmv = Kmv.fromBytes(bytes)
+  override protected def mergeCores(into: Kmv, from: Kmv): Unit = into.merge(from)
+  override protected def coreBytes(v: Kmv): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = new Kmv(k).toBytes
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvMergeAgg = copy(child = c)
+}
+
+// ---------------------------- FreqItems ----------------------------
+
+/** freq_build(hash LONG, weight LONG) -> Misra-Gries sketch bytes. */
+case class FreqItemsBuildAgg(
+    left: Expression,
+    right: Expression,
+    k: Int = FreqItems.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchAggBase[FreqItems] with BinaryLike[Expression] {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def prettyName: String = "freq_build"
+  override def createAggregationBuffer(): FreqItems = new FreqItems(k)
+  override def update(buf: FreqItems, row: InternalRow): FreqItems = {
+    val h = left.eval(row)
+    val w = right.eval(row)
+    if (h != null && w != null) buf.update(h.asInstanceOf[Long], w.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: FreqItems, b: FreqItems): FreqItems = { a.merge(b); a }
+  override def eval(buf: FreqItems): Any = buf.toBytes
+  override def serialize(buf: FreqItems): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): FreqItems = FreqItems.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FreqItemsBuildAgg =
+    copy(left = l, right = r)
+}
+
+/** freq_merge(sketch BINARY) -> merged Misra-Gries bytes (param adoption;
+  * contents may depend on merge order, the error bounds never do). */
+case class FreqItemsMergeAgg(
+    child: Expression,
+    k: Int = FreqItems.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends SketchMergeAggBase[FreqItems] {
+
+  override def prettyName: String = "freq_merge"
+  override protected def parse(bytes: Array[Byte]): FreqItems = FreqItems.fromBytes(bytes)
+  override protected def mergeCores(into: FreqItems, from: FreqItems): Unit = into.merge(from)
+  override protected def coreBytes(v: FreqItems): Array[Byte] = v.toBytes
+  override protected def emptySketchBytes: Array[Byte] = new FreqItems(k).toBytes
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsMergeAgg = copy(child = c)
+}

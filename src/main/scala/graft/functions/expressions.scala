@@ -239,3 +239,108 @@ case class KllRank(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
     copy(left = l, right = r)
 }
+
+// ------------------------- KMV / FreqItems estimators -------------------------
+
+/** KMV distinct estimate: exact size below capacity, else the bottom-k
+  * order-statistic estimate (k-1)*2^64/kthMin (Beyer et al. 2007). */
+case class KmvEst(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_est"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.sketch.SketchOps.kmvEst(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.sketch.SketchOps.kmvEst($c)")
+  override protected def withNewChildInternal(c: Expression): KmvEst = copy(child = c)
+}
+
+/** The held bottom-k hashes, unsigned ascending — the sketch's coordinated
+  * distinct-sample (same keys win in every partition/partial). */
+case class KmvHashes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.sketch.SketchOps.kmvHashes(v.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"graft.core.sketch.SketchOps.kmvHashes($c))")
+  override protected def withNewChildInternal(c: Expression): KmvHashes = copy(child = c)
+}
+
+/** Jaccard estimate from two KMV sketches (min-wise coordination over the
+  * union's bottom-k'); exact when both sketches are below capacity. */
+case class KmvJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kmv_jaccard"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.sketch.SketchOps.kmvJaccard(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.sketch.SketchOps.kmvJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvJaccard =
+    copy(left = l, right = r)
+}
+
+/** Misra-Gries items: array<struct<hash, lo, hi>> with lo the stored
+  * lower bound and hi = lo + errBound, hash unsigned-ascending. */
+case class FreqItemsList(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("hash", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "freq_items"
+  override def nullSafeEval(v: Any): Any =
+    FreqItemsList.items(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FreqItemsList.items($c)")
+  override protected def withNewChildInternal(c: Expression): FreqItemsList = copy(child = c)
+}
+
+object FreqItemsList {
+  def items(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = graft.core.sketch.FreqItems.fromBytes(bytes)
+    val err = s.errBound
+    val rows: Array[Any] = s.items.map { case (h, c) =>
+      new GenericInternalRow(Array[Any](h, c, c + err))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Misra-Gries tracked error bound (max undercount; <= n/(k+1)). */
+case class FreqItemsErr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "freq_err"
+  override def nullSafeEval(v: Any): Any =
+    graft.core.sketch.SketchOps.fiErr(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.sketch.SketchOps.fiErr($c)")
+  override protected def withNewChildInternal(c: Expression): FreqItemsErr = copy(child = c)
+}
+
+/** Misra-Gries stored lower bound for a pre-hashed key (0 if absent). */
+case class FreqItemsLowerBound(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "freq_lower_bound"
+  override def nullSafeEval(sketch: Any, hash: Any): Any =
+    graft.core.sketch.SketchOps.fiLowerBound(
+      sketch.asInstanceOf[Array[Byte]], hash.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, h) => s"graft.core.sketch.SketchOps.fiLowerBound($s, $h)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FreqItemsLowerBound =
+    copy(left = l, right = r)
+}

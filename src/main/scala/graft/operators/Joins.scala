@@ -38,4 +38,73 @@ object Joins {
     prefiltered.join(keys.select(keyCol.as("__k")).distinct(),
       largeKey === col("__k"), "left_semi")
   }
+
+  /**
+   * As-of join: for every left row, attach the latest right row with
+   * `right.ts <= left.ts` on the same key (the temporal point-lookup —
+   * "state as of this event" — that range joins answer with a quadratic
+   * candidate explosion).
+   *
+   * Plan shape: NO join at all. Both sides are tagged and unioned, then ONE
+   * shuffle+sort per key (`ts` ascending, right-before-left on ties so
+   * `<=` is inclusive) lets a running `last(_, ignoreNulls = true)` window
+   * carry each right row's payload forward to the left rows that follow
+   * it. Cost is a single sort of |L|+|R| — the same shuffle a groupBy
+   * would pay — independent of how many right rows precede each left row,
+   * so a key with millions of updates costs the same as one with two.
+   * This is the standard large-scale as-of strategy (union + ordered
+   * carry-forward) rather than an inequality join, which Spark would plan
+   * as a broadcast-nested-loop.
+   *
+   * Contract: `right` must be unique per (keys, rightTs); with duplicate
+   * right timestamps the carried payload depends on the sort's tie order —
+   * pre-aggregate with a deterministic rule first (see `latestPerKeyTs`).
+   * Right columns are attached under their own names; left columns pass
+   * through unchanged.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin: at least one key column")
+    require(rightCols.nonEmpty, "asofJoin: at least one right payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.contains),
+      s"asofJoin: right columns ${rightCols.filter(leftCols.contains)} collide with left")
+
+    // tagged union: side 0 = right (sorts first on ts ties -> inclusive <=)
+    val rightTagged = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    val leftTagged = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightCols.map(c => lit(null).cast(rightTagged.schema(c).dataType).as(c)): _*)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = rightTagged.unionByName(leftTagged)
+      .select(col("*") +: rightCols.map(c =>
+        last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__asof_$c").as(c)): _*)
+  }
+
+  /** Deterministic right-side dedup for `asofJoin`: one row per
+    * (keys, tsCol), keeping the row that maximizes `tiebreak` (e.g. an
+    * event id) — a single struct-max aggregation, no window rank. */
+  def latestPerKeyTs(df: DataFrame, keys: Seq[String], tsCol: String,
+                     tiebreak: String, payload: Seq[String]): DataFrame = {
+    val packed = struct((tiebreak +: payload).map(col): _*)
+    df.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(max(packed).as("__best"))
+      .select((keys :+ tsCol).map(col) ++
+        payload.map(c => col(s"__best.$c").as(c)): _*)
+  }
 }

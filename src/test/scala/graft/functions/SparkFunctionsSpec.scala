@@ -98,6 +98,22 @@ class SparkFunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("bc_miss") === false)
     assert(row.getAs[Double]("td_med") === 1.0) // all counts are 1
     assert(row.getAs[Double]("kll_med") === 1.0)
+    // KMV / Misra-Gries families from pure SQL; both sketches stay below
+    // capacity -> exact mode, so they must equal the true distinct count
+    // (69 here, NOT the HLL golden 70 — the reference's own estimate is +1
+    // on this fixture; KMV below capacity is exact by construction)
+    val exactDistinct = spark.sql(
+      "SELECT count(DISTINCT hash) FROM recs").collect()(0).getLong(0)
+    val kf = spark.sql("""
+      SELECT kmv_est(kmv_merge(sk)) AS kmv, freq_err(freq_merge(fq)) AS err,
+             size(freq_items(freq_merge(fq))) AS nitems,
+             kmv_jaccard(kmv_merge(sk), kmv_merge(sk)) AS selfjac
+      FROM (SELECT kmv_build(hash) AS sk, freq_build(hash, cnt) AS fq
+            FROM recs GROUP BY hash % 4)""").collect()(0)
+    assert(kf.getAs[Double]("kmv") === exactDistinct.toDouble)
+    assert(kf.getAs[Long]("err") === 0L)
+    assert(kf.getAs[Int]("nitems") === exactDistinct.toInt)
+    assert(kf.getAs[Double]("selfjac") === 1.0)
     // text/signature functions with optional int args, from pure SQL
     val sig = spark.sql("""
       SELECT minhash_sig(word_shingles('a b c d e', 3), 8) AS sig,
@@ -248,6 +264,18 @@ class SparkFunctionsSpec extends AnyFunSuite {
             graft.operators.Tokenize.bpeEncode($"text", bpe), bpe))
         })
       assert(row.collect().length === 2)
+      // sketch estimator scalars over literal sketch bytes (KMV/Misra-Gries
+      // — the FreqItemsList companion forwarder is exactly the shape the
+      // lang_id_conf lesson showed can silently fall back)
+      val kmvA = { val s = graft.core.sketch.Kmv(16); s.update(3L); s.update(9L); s.toBytes }
+      val kmvB = { val s = graft.core.sketch.Kmv(16); s.update(9L); s.toBytes }
+      val fi = { val s = graft.core.sketch.FreqItems(4); s.update(7L, 5L); s.toBytes }
+      val sk = docs.select(
+        kmv_est(lit(kmvA)), size(kmv_hashes(lit(kmvA))),
+        kmv_jaccard(lit(kmvA), lit(kmvB)),
+        size(freq_items(lit(fi))), freq_err(lit(fi)),
+        freq_lower_bound(lit(fi), lit(7L)))
+      assert(sk.collect().head.getDouble(0) === 2.0)
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators
       assert(Dedup.sparseCosinePairs(docs, minCos = 0.1).count() >= 0)

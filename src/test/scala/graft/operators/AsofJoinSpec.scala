@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Hand-computed as-of join semantics + the join-free plan contract. */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "u1", 100L, "l-a"),
+    (2L, "u1", 200L, "l-b"),
+    (3L, "u1", 50L, "l-early"),  // before any right row
+    (4L, "u2", 100L, "l-other"), // key with no right rows at all
+    (5L, "u1", 150L, "l-tie")    // exactly equal to a right ts
+  ).toDF("id", "key", "t", "payload")
+
+  private def right = Seq(
+    ("u1", 90L, "r-90"),
+    ("u1", 150L, "r-150"),
+    ("u1", 400L, "r-late")
+  ).toDF("key", "t", "rv")
+
+  test("asofJoin: latest right at-or-before each left row; inclusive ties; nulls") {
+    val got = Joins.asofJoin(left, right, keys = Seq("key"),
+        leftTs = "t", rightTs = "t", rightCols = Seq("rv"))
+      .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("r-90"),   // 90 <= 100 < 150
+      2L -> Some("r-150"),  // 150 <= 200 < 400
+      3L -> None,           // nothing at or before 50
+      4L -> None,           // no right rows for u2
+      5L -> Some("r-150"))) // inclusive: right at the same ts wins
+    // left columns pass through untouched
+    val full = Joins.asofJoin(left, right, Seq("key"), "t", "t", Seq("rv"))
+    assert(full.columns.toSeq === Seq("id", "key", "t", "payload", "rv"))
+    assert(full.count() === 5)
+  }
+
+  test("asofJoin: multiple right payload columns carried together") {
+    val r2 = right.withColumn("rv2", concat($"rv", lit("!")))
+    val got = Joins.asofJoin(left, r2, Seq("key"), "t", "t", Seq("rv", "rv2"))
+      .filter($"id" === 2L).select($"rv", $"rv2").as[(String, String)].head()
+    assert(got === ("r-150", "r-150!"))
+  }
+
+  test("asofJoin: plan is join-free (one window, no BroadcastNestedLoopJoin)") {
+    val plan = Joins.asofJoin(left, right, Seq("key"), "t", "t", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("asofJoin: partition invariance") {
+    val a = Joins.asofJoin(left.repartition(1), right.repartition(1),
+      Seq("key"), "t", "t", Seq("rv")).orderBy($"id").collect().toSeq
+    val b = Joins.asofJoin(left.repartition(7), right.repartition(3),
+      Seq("key"), "t", "t", Seq("rv")).orderBy($"id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("asofJoin: column collision and empty args fail fast") {
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right.withColumnRenamed("rv", "payload"),
+        Seq("key"), "t", "t", Seq("payload"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq.empty, "t", "t", Seq("rv"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("key"), "t", "t", Seq.empty)
+    }
+  }
+
+  test("latestPerKeyTs: deterministic arg-max dedup") {
+    val dup = Seq(
+      ("u1", 100L, 1L, "first"),
+      ("u1", 100L, 9L, "winner"), // same (key, ts): larger tiebreak wins
+      ("u1", 200L, 2L, "only")
+    ).toDF("key", "t", "eid", "v")
+    val got = Joins.latestPerKeyTs(dup, Seq("key"), "t", "eid", Seq("v"))
+      .orderBy($"t").select($"v").as[String].collect().toSeq
+    assert(got === Seq("winner", "only"))
+  }
+}
