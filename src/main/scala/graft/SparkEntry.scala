@@ -1102,7 +1102,7 @@ object SparkEntry {
     }),
     "q_page_sketches" -> ((s, dir) => {
       // the north_star's one-pass page sketch suite + mergeable rollup,
-      // checked for ALL FIVE families at once: documents mapped to the
+      // checked for ALL SEVEN families at once: documents mapped to the
       // pages shape (40 hosts, 3 days), daily sketch rows rolled up via the
       // *_merge aggregates, then every family's published bound verified
       // against exact SQL-computable statistics. Any row is a regression.
@@ -1162,7 +1162,25 @@ object SparkEntry {
           v("tdigest", abs(col("td_below") / col("n") - col("q")), lit(0.02)))).as("r"))
         .filter(col("r.observed") > col("r.bound"))
 
+      // Misra-Gries: 40 hosts < k -> exact mode through the rollup; every
+      // host's stored count must EQUAL its exact count and err must be 0
+      val mgV = hostExact.crossJoin(broadcast(total.select(col("top_hosts_mg"))))
+        .select(v("mg",
+          abs(freq_lower_bound(col("top_hosts_mg"), col("hh")) - col("exact")),
+          freq_err(col("top_hosts_mg"))).as("r"))
+        .filter(col("r.observed") > col("r.bound") || col("r.bound") =!= 0.0)
+
+      // KMV: exact below capacity, 3.3-sigma order-statistic bound above
+      val kmvV = total.crossJoin(broadcast(exactTot))
+        .select(v("kmv", abs(kmv_est(col("url_kmv")) - col("n_urls")),
+          when(size(kmv_hashes(col("url_kmv"))) < lit(graft.core.sketch.Kmv.DefaultK),
+            lit(0.0))
+            .otherwise(lit(3.3 / math.sqrt(graft.core.sketch.Kmv.DefaultK - 2)) *
+              col("n_urls"))).as("r"))
+        .filter(col("r.observed") > col("r.bound"))
+
       hllV.unionByName(cmsV).unionByName(bloomV).unionByName(rankV)
+        .unionByName(mgV).unionByName(kmvV)
         .select(col("r.check").as("check"), col("r.observed").as("observed"),
           col("r.bound").as("bound"))
     }),

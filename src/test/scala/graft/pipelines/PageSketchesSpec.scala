@@ -52,5 +52,27 @@ class PageSketchesSpec extends AnyFunSuite {
       .select(hll_est(lit(total.getAs[Array[Byte]]("url_hll")))).collect()(0).getLong(0)
     val exactUrls = pages.select(countDistinct($"url")).collect()(0).getLong(0)
     assert(math.abs(estUrls.toDouble - exactUrls) / exactUrls < 0.03)
+
+    // Misra-Gries rollup: 200 hosts < k=256 -> exact mode survives the
+    // merge (err 0, every stored count == the exact per-host count)
+    val mg = lit(total.getAs[Array[Byte]]("top_hosts_mg"))
+    assert(spark.range(1).select(freq_err(mg)).collect()(0).getLong(0) === 0L)
+    val mgWrong = pages.groupBy(xxh3_64(host_of_url($"url")).as("hh"))
+      .agg(count(lit(1)).as("exact"))
+      .filter(freq_lower_bound(mg, $"hh") =!= $"exact").count()
+    assert(mgWrong === 0L)
+
+    // KMV rollup: 10k distinct urls > k -> order-statistic estimate
+    val kmvEst = spark.range(1)
+      .select(kmv_est(lit(total.getAs[Array[Byte]]("url_kmv")))).collect()(0).getDouble(0)
+    assert(math.abs(kmvEst - exactUrls) / exactUrls < 3.3 / math.sqrt(1022),
+      s"kmv $kmvEst vs $exactUrls")
+    // day-over-day url Jaccard: urls are distinct per page, so true
+    // overlap is 0 — the coordinated estimate must be ~0 too
+    val daySketches = daily.orderBy($"date").select($"url_kmv").collect()
+    val jac = spark.range(1).select(kmv_jaccard(
+      lit(daySketches(0).getAs[Array[Byte]](0)),
+      lit(daySketches(1).getAs[Array[Byte]](0)))).collect()(0).getDouble(0)
+    assert(jac < 0.02, s"disjoint-day jaccard $jac")
   }
 }
