@@ -80,6 +80,17 @@ object ScaleOp {
       .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
       .repartition(parts.toInt)
       .localCheckpoint() // generation cost excluded
+    // pagerank input: nDocs directed edges over nDocs/16 hosts (sources
+    // round-robin, destinations hashed -> realistic many-in-degree host
+    // graph); every run performs the same 5 rank rounds of join + agg
+    lazy val prEdges = {
+      val hosts = math.max(nDocs / 16, 2L)
+      spark.range(nDocs)
+        .select(pmod(col("id"), lit(hosts)).as("src"),
+          pmod(xxh3_64(col("id").cast("string")), lit(hosts)).as("dst"))
+        .repartition(parts.toInt)
+        .localCheckpoint() // generation cost excluded
+    }
     // lm_score: the model is TRAINED once outside the timed loop (training
     // is one groupBy — the sketch-build shape already measured) and its
     // tables pinned; the measured work is the corpus-scale scoring join
@@ -100,6 +111,7 @@ object ScaleOp {
     op match {
       case "lm_score" => lmModel.ngrams.count(); lmModel.contexts.count()
       case "connected_components" => edges.count()
+      case "pagerank" => prEdges.count()
       case _ => ()
     }
     val reps = 3
@@ -113,6 +125,10 @@ object ScaleOp {
           minCos = 0.8).count()
         case "connected_components" =>
           graft.operators.Dedup.connectedComponents(edges).count()
+        case "pagerank" =>
+          // sum the ranks so the fixed-point arithmetic can't be pruned
+          graft.operators.LinkGraph.pageRank(prEdges, iters = 5)
+            .agg(sum(col("pr_micro"))).head().getLong(0)
         case "lm_score" =>
           // force the FULL computation: a bare count() would let column
           // pruning discard the probability math (and potentially the
@@ -122,7 +138,7 @@ object ScaleOp {
             .head().getLong(0)
         case other => sys.error(
           s"unknown op $other (minhash_lsh | sparse_cosine | " +
-            "connected_components | lm_score)")
+            "connected_components | lm_score | pagerank)")
       }
       val s = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scaleop] rep $r: $s%.2f s ($pairs pairs)")

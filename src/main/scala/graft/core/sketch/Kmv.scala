@@ -123,15 +123,14 @@ object Kmv {
     val av = a.values
     val bv = b.values
     if (av.isEmpty && bv.isEmpty) return 0.0
-    val kPrime = {
-      val cap = math.min(a.k, b.k)
-      // below capacity a sketch holds ALL its hashes, so the union prefix
-      // may use every value; at capacity only the first k are trustworthy
-      val usable = math.min(
-        if (a.size < a.k) Int.MaxValue else a.size,
-        if (b.size < b.k) Int.MaxValue else b.size)
-      math.min(cap, usable)
-    }
+    // A below-capacity sketch holds its ENTIRE distinct set, so its whole
+    // range is trustworthy; an at-capacity sketch is only complete below
+    // its k-th min. The union prefix may extend to the smallest such
+    // horizon — unbounded when BOTH sketches are below capacity, which is
+    // what makes the estimate exact there (the full union is scanned).
+    val kPrime = math.min(
+      if (a.size < a.k) Int.MaxValue else a.k,
+      if (b.size < b.k) Int.MaxValue else b.k)
     // merge the two sorted arrays, counting union prefix + both-membership
     var i = 0; var j = 0; var union = 0; var both = 0
     while ((i < av.length || j < bv.length) && union < kPrime) {

@@ -1064,6 +1064,15 @@ object TextOps {
 
   @inline private def isStrip(c: Char): Boolean = c < 128 && StripChars(c)
 
+  /** Wordlist tokenization: split on WHITESPACE RUNS (newlines and tabs
+    * included, empties dropped). The blocklist stage sits behind
+    * html_text, whose output joins lines with '\n' — splitting on single
+    * spaces like `tokens` would fuse every line-initial word with its
+    * predecessor and the list would never match it. */
+  def wsTokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.split("\\s+", -1).filter(_.nonEmpty)
+
   /** Token normalized for wordlist comparison: ends stripped of ASCII
     * punctuation, then lowercased. */
   def strippedToken(s: String): String = {
@@ -1084,7 +1093,7 @@ object TextOps {
     val phrases: Array[Array[String]] = {
       val ph = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
       terms.foreach { t =>
-        val toks = tokens(t).iterator.map(strippedToken).filter(_.nonEmpty).toArray
+        val toks = wsTokens(t).iterator.map(strippedToken).filter(_.nonEmpty).toArray
         if (toks.length == 1) singles.add(toks(0))
         else if (toks.length > 1) ph += toks
       }
@@ -1097,7 +1106,7 @@ object TextOps {
     * start position (overlaps allowed). The C4 badwords rule is
     * `termHits(text, list) == 0`. */
   def termHits(text: String, tl: TermList): Int = {
-    val raw = tokens(text)
+    val raw = wsTokens(text)
     if (raw.isEmpty) return 0
     val ts = new Array[String](raw.length)
     var i = 0

@@ -71,29 +71,36 @@ object Joins {
     require(!leftCols.exists(rightCols.contains),
       s"asofJoin: right columns ${rightCols.filter(leftCols.contains)} collide with left")
 
-    // tagged union: side 0 = right (sorts first on ts ties -> inclusive <=)
-    val rightTagged = right.select(
+    // tagged union: side 0 = right (sorts first on ts ties -> inclusive <=).
+    // The right payload travels as ONE struct (non-null for every right
+    // row, even when its fields are null) so last(ignoreNulls) means
+    // "latest right ROW", never "latest non-null field": a matched row
+    // with a NULL payload column yields that NULL, and multiple payload
+    // columns can never tear across different right rows. Right rows with
+    // a NULL timestamp are dropped — NULL never satisfies ts <= left.ts
+    // (they would otherwise sort nulls-first and leak into every left row).
+    val rightTagged = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftCols.filterNot(keys.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__payload"): _*)
     val leftTagged = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(rightTagged.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rightTagged.schema("__payload").dataType).as("__payload"): _*)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = rightTagged.unionByName(leftTagged)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .select(col("*"),
+        last(col("__payload"), ignoreNulls = true).over(w).as("__asof"))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__asof_$c").as(c)): _*)
+        rightCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
   /** Deterministic right-side dedup for `asofJoin`: one row per

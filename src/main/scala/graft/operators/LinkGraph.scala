@@ -26,37 +26,44 @@ import graft.functions.GraftFunctions.{html_anchors, html_links, host_of_url}
  */
 object LinkGraph {
 
+  /** dst-host resolution for one extracted href: absolute links — a
+    * SCHEME PREFIX per RFC 3986 (`scheme://`), not "://" anywhere (a
+    * relative `/redirect?to=https://x` must NOT take the embedded host) —
+    * take their own host; protocol-relative `//host/path` links (common
+    * in crawls) take theirs; anything else (path-relative, query,
+    * fragment) resolves to the source host. */
+  private def linkDstHost(src: org.apache.spark.sql.Column,
+                          link: org.apache.spark.sql.Column) =
+    when(link.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://"), host_of_url(link))
+      .when(link.startsWith("//"),
+        host_of_url(concat(lit("http:"), link)))
+      .otherwise(src)
+
   /** Distinct host->host edges from crawled pages (urlCol, htmlCol):
-    * src = host of the page url; dst per extracted `<a href>` — absolute
-    * links (containing "://") take their own host, anything else (path-
-    * relative, query, fragment) resolves to the source host. Self-loops
-    * and unparseable hosts drop. */
+    * src = host of the page url; dst per extracted `<a href>` via
+    * [[linkDstHost]]. Self-loops and unparseable hosts drop. */
   def hostEdges(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html"): DataFrame = {
     pages
       .select(host_of_url(col(urlCol)).as("src"),
         explode(html_links(col(htmlCol))).as("link"))
-      .select(col("src"),
-        when(instr(col("link"), "://") > 0, host_of_url(col("link")))
-          .otherwise(col("src")).as("dst"))
+      .select(col("src"), linkDstHost(col("src"), col("link")).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
   }
 
   /** Per-link anchor rows (src, dst, anchor) — host resolution identical
-    * to [[hostEdges]] (absolute links take their own host, anything else
-    * resolves to the source host; self-loops and unparseable hosts drop)
-    * but NOT deduplicated: every link occurrence keeps its anchor text
-    * (possibly "" for image links). */
+    * to [[hostEdges]] ([[linkDstHost]]; self-loops and unparseable hosts
+    * drop) but NOT deduplicated: every link occurrence keeps its anchor
+    * text (possibly "" for image links). */
   def anchorEdges(pages: DataFrame, urlCol: String = "url",
                   htmlCol: String = "html"): DataFrame = {
     pages
       .select(host_of_url(col(urlCol)).as("src"),
         explode(html_anchors(col(htmlCol))).as("a"))
       .select(col("src"),
-        when(instr(col("a.href"), "://") > 0, host_of_url(col("a.href")))
-          .otherwise(col("src")).as("dst"),
+        linkDstHost(col("src"), col("a.href")).as("dst"),
         col("a.text").as("anchor"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))

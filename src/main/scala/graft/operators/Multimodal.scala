@@ -341,7 +341,7 @@ object Multimodal {
   private def requireId(r: org.apache.spark.sql.Row): Unit =
     if (r.isNullAt(0))
       throw new IllegalArgumentException(
-        "image operator: NULL id on a row with media — ids are keys; " +
+        "media operator: NULL id on a row with media — ids are keys; " +
           "filter or repair null ids explicitly first")
 
   /** Deterministic RGB box-downsample: target pixel (tx, ty) is the

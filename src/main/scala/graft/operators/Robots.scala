@@ -40,10 +40,16 @@ object Robots {
                     urlCol: String = "url", hostCol: String = "host",
                     contentCol: String = "robots_txt"): DataFrame = {
     val r = rules(robots, agent, hostCol, contentCol)
+    // RFC 9309 §2.2.2: the match target is the path AND query ("/x?y=z"
+    // matches 'Disallow: /*?y=' — stripping the query would let
+    // query-targeting rules through)
     val withKey = urls
       .withColumn("__r_host", host_of_url(col(urlCol)))
-      .withColumn("__r_path",
-        coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")))
+      .withColumn("__r_path", concat(
+        coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
+        when(parse_url(col(urlCol), lit("QUERY")).isNotNull,
+          concat(lit("?"), parse_url(col(urlCol), lit("QUERY"))))
+          .otherwise(lit(""))))
     // verdict per DISTINCT (host, path): most specific matching rule as
     // a struct-max over (pattern length, allow)
     val verdicts = withKey.select(col("__r_host"), col("__r_path")).distinct()

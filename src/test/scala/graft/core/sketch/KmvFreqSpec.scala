@@ -76,6 +76,13 @@ class KmvFreqSpec extends AnyFunSuite {
     assert(math.abs(est - 1.0 / 3.0) < 0.08, s"jaccard est $est")
     // empty sketches
     assert(Kmv.jaccard(Kmv(16), Kmv(16)) === 0.0)
+    // exact below capacity even when the UNION exceeds k: 700 + 700 with
+    // 100 shared (union 1300 > k=1024) must scan the full union, not a
+    // k-truncated prefix
+    val wideA = Kmv(1024); val wideB = Kmv(1024)
+    (0 until 700).foreach(i => wideA.update(mix(i)))
+    (600 until 1300).foreach(i => wideB.update(mix(i)))
+    assert(Kmv.jaccard(wideA, wideB) === 100.0 / 1300.0)
   }
 
   test("KMV: k mismatch refuses to merge; corrupt bytes refused") {

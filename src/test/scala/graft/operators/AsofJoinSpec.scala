@@ -62,6 +62,31 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("asofJoin: NULL payload on the matched row is returned, not an older value") {
+    // right rows travel as one struct: a matched row whose payload IS null
+    // must yield null (ignoreNulls skips absent ROWS, not null fields),
+    // and multiple payload columns must never tear across right rows
+    val r = Seq(
+      ("u1", 100L, Some("old"), None: Option[String]),
+      ("u1", 200L, None: Option[String], Some("new2"))
+    ).toDF("key", "t", "rv", "rv2")
+    val got = Joins.asofJoin(left, r, Seq("key"), "t", "t", Seq("rv", "rv2"))
+      .filter($"id" === 2L) // left ts 200 matches the second right row
+      .select($"rv", $"rv2").as[(Option[String], Option[String])].head()
+    assert(got === ((None, Some("new2")))) // NOT ("old", "new2")
+  }
+
+  test("asofJoin: right rows with NULL timestamps are ignored") {
+    val r = Seq(
+      ("u1", Option.empty[Long], "bogus"),
+      ("u1", Some(150L), "real")
+    ).toDF("key", "t", "rv")
+    val got = Joins.asofJoin(left, r, Seq("key"), "t", "t", Seq("rv"))
+      .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(got(3L) === None)        // ts 50: nothing at-or-before, not "bogus"
+    assert(got(2L) === Some("real"))
+  }
+
   test("asofJoin: column collision and empty args fail fast") {
     intercept[IllegalArgumentException] {
       Joins.asofJoin(left, right.withColumnRenamed("rv", "payload"),

@@ -2161,6 +2161,12 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     assert(TextQuality.wordlistFilter(withNull, Seq("nothing"))
       .count() === 3L)
+    // whitespace RUNS tokenize (html_text output joins lines with \n):
+    // a line-initial listed word must still match, and phrases may span
+    // any whitespace
+    assert(TextOps.termHits("Header\nbad word", tl) === 1)
+    assert(TextOps.termHits("so\tbad  words\nbad word", new TextOps.TermList(
+      Seq("bad word"))) === 1)
   }
 
   test("Robots.filterAllowed: RFC 9309 longest-match per host, default allow, agent groups") {
@@ -2189,6 +2195,21 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("doc_id", "url"))
   }
 
+  test("Robots.filterAllowed: match target includes the query string (RFC 9309)") {
+    val urls = Seq(
+      (1L, "https://a.example/fish.php?sessionid=7"), // blocked by /*?sessionid=
+      (2L, "https://a.example/fish.php"),             // allowed: no query
+      (3L, "https://a.example/page$"),                // $ only anchors at pattern end
+      (4L, "https://a.example/exact?x=1")             // $-anchored: query breaks the anchor
+    ).toDF("doc_id", "url")
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /exact$\n"))
+      .toDF("host", "robots_txt")
+    val kept = Robots.filterAllowed(urls, robots, "bot")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L, 4L))
+  }
+
   test("LinkGraph.hostEdges: absolute links take own host, relative resolve to source, self-loops drop") {
     val pages = Seq(
       // absolute to b; relative /x -> a (self-loop, drops); absolute back to a (drops)
@@ -2200,6 +2221,21 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("url", "html")
     val edges = LinkGraph.hostEdges(pages).as[(String, String)].collect().toSet
     assert(edges === Set(("a.example", "b.example"), ("b.example", "c.example")))
+  }
+
+  test("LinkGraph href resolution: embedded :// stays relative, //host is absolute") {
+    val pages = Seq(
+      ("https://a.example/p",
+        // relative redirect with an EMBEDDED url: must resolve to a
+        // (self-loop, drops) — NOT create a->evil
+        "<a href=\"/redirect?to=https://evil.example/x\">r</a>" +
+          // protocol-relative: a real a->b edge
+          "<a href=\"//b.example/x\">b</a>" +
+          // scheme must start the string per RFC 3986
+          "<a href=\"weird//:path\">w</a>")
+    ).toDF("url", "html")
+    val edges = LinkGraph.hostEdges(pages).as[(String, String)].collect().toSet
+    assert(edges === Set(("a.example", "b.example")))
   }
 
   test("LinkGraph.degrees zero-fills one-sided hosts; pageRank matches hand-computed fixed point") {
