@@ -302,6 +302,36 @@ object SparkEntry {
           col("err") * 17 > col("n"))
         .select(col("h"), col("lo"), col("exact"))
     }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // Efraimidis-Spirakis weighted sampling invariants as a violation
+      // query: exact per-stratum size min(k, eligible), sample is a
+      // subset, choice independent of partitioning (the determinism
+      // contract). The weighting LAW (P(select) ~ w) is pinned by the
+      // 300-trial frequency spec in OperatorsSpec — a statistical
+      // property, not a row-hashable one.
+      val docs = s.read.parquet(t(dir, "documents"))
+        .withColumn("w", (length(col("text")) + 1).cast("double"))
+      val k = 30
+      val sample = graft.operators.Sampling
+        .weightedPerStratum(docs, "lang", "w", k).localCheckpoint()
+      val sizes = sample.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val expect = docs.filter(col("w") > 0).groupBy(col("lang"))
+        .agg(least(count(lit(1)), lit(k.toLong)).as("t"))
+      val v1 = sizes.join(expect, Seq("lang"))
+        .filter(col("n") =!= col("t"))
+        .select(concat(lit("size:"), col("lang")).as("what"))
+      val v2 = sample.select(col("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(concat(lit("alien:"), col("doc_id")).as("what"))
+      val sample7 = graft.operators.Sampling
+        .weightedPerStratum(docs.repartition(7), "lang", "w", k)
+      val v3 = sample.select(col("doc_id"))
+        .exceptAll(sample7.select(col("doc_id")))
+        .unionByName(sample7.select(col("doc_id"))
+          .exceptAll(sample.select(col("doc_id"))))
+        .select(concat(lit("nondet:"), col("doc_id")).as("what"))
+      v1.unionByName(v2).unionByName(v3)
+    }),
     "q_asof_join" -> ((s, dir) => {
       // as-of join oracled against DuckDB's native ASOF LEFT JOIN: each
       // view event picks up the latest click at or before it per user.
@@ -1834,6 +1864,8 @@ object SparkEntry {
     "q_freq_violations" -> """
       SELECT CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS lo,
              CAST(0 AS BIGINT) AS exact WHERE 1 = 0""",
+    "q_weighted_sample" -> """
+      SELECT 'x' AS what WHERE 1 = 0""",
     "q_asof_join" -> """
       WITH clicks AS (
         SELECT user_id, ts AS click_at, arg_max(value, event_id) AS click_value

@@ -51,8 +51,18 @@ object Sampling {
     * <= partitions * quota BEFORE the per-stratum global rank, so no
     * stratum funnels its full row set through one reducer. */
   private def takeByQuota(withQuota: DataFrame, strataCol: String,
-                          keyCol: String, originalCols: Seq[String]): DataFrame = {
-    val hashed = withQuota.withColumn("__h", keyHash(keyCol))
+                          keyCol: String, originalCols: Seq[String]): DataFrame =
+    takeByQuotaOrdered(withQuota, strataCol, keyCol, originalCols,
+      keyHash(keyCol))
+
+  /** [[takeByQuota]] with a caller-chosen selection order: keep each
+    * stratum's rows of smallest `orderCol` (ties by key) up to
+    * `__quota`. The hashed-order samplers pass the key hash; the weighted
+    * sampler passes its exponential-variate key. */
+  private def takeByQuotaOrdered(withQuota: DataFrame, strataCol: String,
+                                 keyCol: String, originalCols: Seq[String],
+                                 orderCol: Column): DataFrame = {
+    val hashed = withQuota.withColumn("__h", orderCol)
     val wLocal = Window.partitionBy(col(strataCol), col("__pid"))
       .orderBy(col("__h").asc, col(keyCol).asc_nulls_first)
     val local = hashed.withColumn("__pid", spark_partition_id())
@@ -217,5 +227,40 @@ object Sampling {
     val withQuota = df.join(broadcast(quotas), col(strataCol) <=> col("__stratum"))
       .drop("__stratum")
     takeByQuota(withQuota, strataCol, keyCol, df.columns.toIndexedSeq)
+  }
+
+  /**
+   * Weighted sampling WITHOUT replacement, deterministic: per stratum,
+   * keep k rows where each row's selection probability scales with its
+   * weight — the Efraimidis-Spirakis A-ES scheme (Efraimidis & Spirakis
+   * 2006): rank by u^(1/w) descending, keep the top k. Here u is not
+   * random but HASH-DERIVED ((xxh3(salt, key) >>> 11) + 1) / 2^53, in
+   * (0, 1]) — the engine's reproducibility contract: the same rows win on
+   * any cluster, any partitioning; `salt` picks independent samples (the
+   * statistical guarantee holds over salts/keys, as with [[byHash]]).
+   *
+   * Implemented as rank by -ln(u)/w ascending (monotone-equivalent to
+   * u^(1/w) descending, one transcendental per row) on the shared
+   * two-phase top-k — nothing stratum-sized funnels through one reducer.
+   * Rows with NULL, zero or negative weight are never sampled. With
+   * k >= |stratum| every positive-weight row is kept.
+   *
+   * The classic use: quality-weighted subcorpus selection (keep k docs
+   * per language, preferring high quality-score docs but never
+   * deterministically excluding the tail — exactly what a hard
+   * sort-by-score cutoff gets wrong).
+   */
+  def weightedPerStratum(df: DataFrame, strataCol: String, weightCol: String,
+                         k: Int, keyCol: String = "doc_id",
+                         salt: String = ""): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // u in (0, 1]: top 53 bits of the salted key hash, +1 so ln(u) is finite
+    val u = (shiftrightunsigned(
+      xxh3_64(concat(lit(s"${salt.length}:$salt#"), keyEnc(keyCol))), 11) + 1)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+    val esKey = -log(u) / col(weightCol).cast("double")
+    takeByQuotaOrdered(eligible.withColumn("__quota", lit(k.toLong)),
+      strataCol, keyCol, df.columns.toIndexedSeq, esKey)
   }
 }

@@ -120,6 +120,37 @@ object StreamingSketch {
         col("cms"), col("n"))
 
   /**
+   * Windowed heavy hitters + distinct sketch: per tumbling window, ONE
+   * Misra-Gries sketch of key frequencies (CMS above answers point
+   * probes; MG ENUMERATES the heavy keys via `freq_items` — the
+   * "what dominated this window" stream) and ONE KMV bottom-k over the
+   * same keys (mergeable distinct count, coordinated sample, and
+   * window-over-window `kmv_jaccard` churn). O(k) state per window
+   * instead of O(distinct keys); both columns merge downstream with
+   * `freq_merge`/`kmv_merge`.
+   *
+   * Determinism: KMV union is a lattice join, so streamed bytes are
+   * BIT-IDENTICAL to a batch build over the same rows regardless of
+   * arrival order or micro-batch boundaries. MG contents at capacity
+   * depend on arrival order (its BOUNDS never do); below capacity
+   * (distinct keys <= k in the window) no decrement fires and the sorted
+   * serialization is byte-identical to batch too. Both pinned by
+   * StreamingSpec.
+   */
+  def windowedTopKeys(events: DataFrame, tsCol: String, keyCol: String,
+                      windowLen: String, watermark: String,
+                      k: Int = 256, kmvK: Int = 1024): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(freq_build(xxh3_64(col(keyCol).cast("string")), lit(1L), k).as("top_keys"),
+        kmv_build(xxh3_64(col(keyCol).cast("string")), kmvK).as("key_kmv"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("top_keys"), col("key_kmv"), col("n"))
+
+  /**
    * Streaming exact dedup by content signature — the streaming twin of
    * [[graft.operators.Dedup.exact]]: each distinct text's FIRST arrival is
    * emitted, later duplicates are dropped. State is BOUNDED:

@@ -309,6 +309,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(11L, 13L))
   }
 
+  test("Sampling.weightedPerStratum: ES law, determinism, eligibility, size") {
+    // the weighting LAW: with k=1, P(item selected) = w/sum(w) exactly
+    // under true randomness; over 300 independent hash trials (one
+    // stratum per trial — each (trial, item) key draws an independent u)
+    // the frequency of the weight-8 item must approach 8/10
+    val items = Seq(("a", 8.0), ("b", 1.0), ("c", 1.0)).toDF("item", "w")
+    val trials = spark.range(300).select($"id".as("trial"))
+    val df = trials.crossJoin(items)
+      .withColumn("key", concat($"trial", lit("#"), $"item"))
+    val picked = Sampling.weightedPerStratum(df, "trial", "w", 1, keyCol = "key")
+    assert(picked.count() === 300)
+    val fa = picked.filter($"item" === "a").count().toDouble / 300.0
+    assert(math.abs(fa - 0.8) < 0.11, s"weight-8 item picked at rate $fa, want ~0.8")
+    // a crushing weight always wins
+    val crush = Seq(("big", 1e9), ("tiny", 1.0)).toDF("item", "w")
+    val crushed = trials.crossJoin(crush)
+      .withColumn("key", concat($"trial", lit("#"), $"item"))
+    assert(Sampling.weightedPerStratum(crushed, "trial", "w", 1, keyCol = "key")
+      .filter($"item" === "big").count() === 300)
+    // eligibility: null/zero/negative weights never sampled; k >= stratum
+    // keeps every positive-weight row
+    val mixed = Seq(("p1", java.lang.Double.valueOf(2.0)),
+      ("p2", java.lang.Double.valueOf(0.5)),
+      ("z", java.lang.Double.valueOf(0.0)),
+      ("neg", java.lang.Double.valueOf(-1.0)),
+      ("n", null.asInstanceOf[java.lang.Double]))
+      .toDF("item", "w").withColumn("s", lit("x"))
+    val kept = Sampling.weightedPerStratum(mixed, "s", "w", 10, keyCol = "item")
+      .select("item").as[String].collect().toSet
+    assert(kept === Set("p1", "p2"))
+    // determinism across partitionings; a different salt draws differently
+    val big = spark.range(2000).select($"id".as("doc_id"),
+      ($"id" % 5).cast("string").as("s"), (pmod($"id" * 37, lit(100)) + 1).cast("double").as("w"))
+    val a = Sampling.weightedPerStratum(big, "s", "w", 50, keyCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedPerStratum(big.repartition(13), "s", "w", 50, keyCol = "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.size === 250)
+    val salted = Sampling.weightedPerStratum(big, "s", "w", 50,
+      keyCol = "doc_id", salt = "other").select("doc_id").as[Long].collect().toSet
+    assert(salted !== a)
+  }
+
   test("sampling: exact stratified quotas, partition-invariant, hash sample properties") {
     val rows = (0 until 3000).map { i =>
       (i.toLong, s"lang${i % 7}", s"text $i")

@@ -134,6 +134,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(probed.nonEmpty)
     probed.foreach(r => assert(r.getAs[Long]("est") === r.getAs[Long]("exact"),
       s"${r.getString(1)}: cms ${r.getAs[Long]("est")} vs exact ${r.getAs[Long]("exact")}"))
+
+    // windowed heavy hitters + KMV: KMV is a lattice join (bytes always
+    // == batch); MG below capacity (15 users < k) is exact-mode -> bytes
+    // == batch too, and its items ARE the per-user exact counts
+    val q3 = StreamingSketch.windowedTopKeys(stream, "ts", "user_id",
+        windowLen = "1 day", watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory").queryName("win_top")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val streamedTop = spark.sql("SELECT * FROM win_top")
+      .collect().map(r => r.getAs[Any]("win_start").toString ->
+        (r.getAs[Array[Byte]]("top_keys").toSeq,
+          r.getAs[Array[Byte]]("key_kmv").toSeq)).toMap
+    val batchTop = events.withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "1 day"))
+      .agg(freq_build(xxh3_64($"user_id".cast("string")), lit(1L)).as("mg"),
+        kmv_build(xxh3_64($"user_id".cast("string"))).as("kmv"))
+      .select($"window.start".as("win_start"), $"mg", $"kmv")
+      .collect().map(r => r.getAs[Any]("win_start").toString ->
+        (r.getAs[Array[Byte]]("mg").toSeq, r.getAs[Array[Byte]]("kmv").toSeq)).toMap
+    assert(streamedTop.nonEmpty && streamedTop.keySet === batchTop.keySet)
+    for ((w, (mg, kmv)) <- streamedTop) {
+      assert(mg === batchTop(w)._1, s"MG exact-mode bytes must match batch ($w)")
+      assert(kmv === batchTop(w)._2, s"KMV bytes must not depend on order ($w)")
+    }
+    // the per-window items enumerate exact per-user counts (err 0)
+    val topDf = spark.sql("SELECT * FROM win_top")
+      .select($"win_start".cast("string").as("w"),
+        explode(freq_items($"top_keys")).as("it"), freq_err($"top_keys").as("err"))
+      .select($"w", $"it.hash".as("h"), $"it.lo".as("lo"), $"err")
+    val exactUsers = events.withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "1 day"), xxh3_64($"user_id".cast("string")).as("h"))
+      .agg(count(lit(1)).as("exact"))
+      .select($"window.start".cast("string").as("w"), $"h", $"exact")
+    val mgJoined = topDf.join(exactUsers, Seq("w", "h"), "full")
+    assert(mgJoined.filter($"lo".isNull || $"exact".isNull ||
+      $"lo" =!= $"exact" || $"err" =!= 0L).count() === 0L)
   }
 
   test("streaming exact dedup emits first arrivals only, equals batch distinct texts") {
