@@ -302,6 +302,15 @@ object SparkEntry {
           col("err") * 17 > col("n"))
         .select(col("h"), col("lo"), col("exact"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-timeout sessionization (30 min) over the event log, exact
+      // integer-microsecond arithmetic: DuckDB replays the lag + running
+      // sum window and every session index must hash-match
+      val out = graft.operators.Sessionize.byGap(
+        s.read.parquet(t(dir, "events")), "user_id", "ts", gapSeconds = 1800L)
+      out.select(col("event_id"), col("user_id"), col("session_idx"))
+        .orderBy(col("event_id"))
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Efraimidis-Spirakis weighted sampling invariants as a violation
       // query: exact per-stratum size min(k, eligible), sample is a
@@ -1864,6 +1873,20 @@ object SparkEntry {
     "q_freq_violations" -> """
       SELECT CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS lo,
              CAST(0 AS BIGINT) AS exact WHERE 1 = 0""",
+    "q_sessionize" -> """
+      WITH e AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      flags AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(us) OVER w IS NULL THEN 0
+                    WHEN us - lag(us) OVER w > 1800 * 1000000 THEN 1
+                    ELSE 0 END AS isnew
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT event_id, user_id,
+             CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM flags ORDER BY event_id""",
     "q_weighted_sample" -> """
       SELECT 'x' AS what WHERE 1 = 0""",
     "q_asof_join" -> """
