@@ -361,6 +361,25 @@ object SparkEntry {
           rightCols = Seq("click_value", "click_at"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // forward as-of: each view attaches the EARLIEST purchase at or
+      // after it per user ("time to next conversion"); DuckDB's native
+      // ASOF with l.ts <= r.ts is the independent oracle
+      val ev = s.read.parquet(t(dir, "events"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val earliest = Joins.latestPerKeyTs(purchases, Seq("user_id"), "ts",
+          tiebreak = "event_id", payload = Seq("value"))
+        .withColumnRenamed("value", "purchase_value")
+        .withColumn("purchase_at", col("ts"))
+      Joins.asofJoin(views, earliest,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("purchase_value", "purchase_at"),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    }),
     "q_kll_violations" -> ((s, dir) => {
       val li = s.read.parquet(t(dir, "lineitem"))
       val sk = li.agg(kll_build(col("l_extendedprice")).as("sk"), count(lit(1)).as("n"))
@@ -1889,6 +1908,18 @@ object SparkEntry {
       FROM flags ORDER BY event_id""",
     "q_weighted_sample" -> """
       SELECT 'x' AS what WHERE 1 = 0""",
+    "q_asof_forward" -> """
+      WITH purchases AS (
+        SELECT user_id, ts AS purchase_at,
+               arg_max(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      views AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'view')
+      SELECT v.event_id, v.user_id, v.ts, v.value,
+             p.purchase_value, p.purchase_at
+      FROM views v ASOF LEFT JOIN purchases p
+        ON v.user_id = p.user_id AND v.ts <= p.purchase_at
+      ORDER BY v.event_id""",
     "q_asof_join" -> """
       WITH clicks AS (
         SELECT user_id, ts AS click_at, arg_max(value, event_id) AS click_value

@@ -43,7 +43,8 @@ object Joins {
    * As-of join: for every left row, attach the latest right row with
    * `right.ts <= left.ts` on the same key (the temporal point-lookup —
    * "state as of this event" — that range joins answer with a quadratic
-   * candidate explosion).
+   * candidate explosion). `direction = "forward"` flips the rule to the
+   * EARLIEST right row with `right.ts >= left.ts` ("next event after").
    *
    * Plan shape: NO join at all. Both sides are tagged and unioned, then ONE
    * shuffle+sort per key (`ts` ascending, right-before-left on ties so
@@ -64,7 +65,10 @@ object Joins {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     require(keys.nonEmpty, "asofJoin: at least one key column")
     require(rightCols.nonEmpty, "asofJoin: at least one right payload column")
     val leftCols = left.columns.toSeq
@@ -91,9 +95,13 @@ object Joins {
         leftCols.filterNot(keys.contains).map(col) :+
         lit(null).cast(rightTagged.schema("__payload").dataType).as("__payload"): _*)
 
+    // backward: latest right at-or-before (ts asc); forward: EARLIEST
+    // right at-or-after (ts desc — the carry walks back from the future).
+    // Either way right sorts before left on ties, so the bound is inclusive.
+    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = rightTagged.unionByName(leftTagged)
       .select(col("*"),

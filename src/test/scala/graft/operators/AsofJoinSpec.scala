@@ -87,6 +87,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(2L) === Some("real"))
   }
 
+  test("asofJoin forward: earliest right at-or-after; inclusive; nulls") {
+    val got = Joins.asofJoin(left, right, Seq("key"), "t", "t", Seq("rv"),
+        direction = "forward")
+      .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> Some("r-150"),  // 100 -> next is 150
+      2L -> Some("r-late"), // 200 -> next is 400
+      3L -> Some("r-90"),   // 50 -> next is 90
+      4L -> None,           // u2 has no right rows
+      5L -> Some("r-150"))) // inclusive at equal ts
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("key"), "t", "t", Seq("rv"),
+        direction = "sideways")
+    }
+  }
+
   test("asofJoin: column collision and empty args fail fast") {
     intercept[IllegalArgumentException] {
       Joins.asofJoin(left, right.withColumnRenamed("rv", "payload"),
