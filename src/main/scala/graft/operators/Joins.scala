@@ -83,7 +83,12 @@ object Joins {
     // columns can never tear across different right rows. Right rows with
     // a NULL timestamp are dropped — NULL never satisfies ts <= left.ts
     // (they would otherwise sort nulls-first and leak into every left row).
-    val rightTagged = right.filter(col(rightTs).isNotNull).select(
+    // NULL join keys match nothing (SQL join semantics — the NULL-key
+    // left rows still pass through, with NULL payload): right rows with
+    // any NULL key are dropped, so a NULL-key window partition contains
+    // only left rows and carries nothing.
+    val rightKeysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rightTagged = right.filter(col(rightTs).isNotNull && rightKeysNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftCols.filterNot(keys.contains).map(c =>
@@ -97,8 +102,13 @@ object Joins {
 
     // backward: latest right at-or-before (ts asc); forward: EARLIEST
     // right at-or-after (ts desc — the carry walks back from the future).
-    // Either way right sorts before left on ties, so the bound is inclusive.
-    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
+    // Either way right sorts before left on ties, so the bound is
+    // inclusive; NULLS FIRST in BOTH directions so a left row with a NULL
+    // timestamp scans before every right row and stays unmatched (desc's
+    // default nulls-LAST would hand it the running payload).
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc_nulls_first
+      else col("__ts").desc_nulls_first
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc)

@@ -124,10 +124,13 @@ object LinkGraph {
     require(iters >= 0, "pageRank: iters must be >= 0")
     require(dampPct >= 0 && dampPct <= 100, "pageRank: dampPct must be in [0,100]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the filtered distinct edge set feeds FOUR consumers across two setup
+    // actions (ew's join left + the outdeg agg; nodes' src + dst selects)
+    // — persist it or the edge scan+distinct shuffle reruns per consumer
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
+      .distinct().persist(storage)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     // (src, dst, od): out-degree is static — joined once, not per round
     val ew = e.join(outdeg, "src").repartition(col("src")).persist(storage)
@@ -137,6 +140,7 @@ object LinkGraph {
     val n = nodes.count() // bounded driver action: one long (also pins nodes)
     require(n > 0, "pageRank: empty graph")
     ew.count() // materialize the partitioned columnar edge cache once
+    e.unpersist(blocking = false) // ew + nodes are built; e is done
     val scale = 1000000000000L
     val base = (scale * (100 - dampPct)) / (100 * n) // exact long floor
     var ranks = nodes.select(col("host"), lit(scale / n).as("r"))

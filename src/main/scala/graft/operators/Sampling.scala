@@ -254,7 +254,10 @@ object Sampling {
                          k: Int, keyCol: String = "doc_id",
                          salt: String = ""): DataFrame = {
     require(k >= 0, "k must be >= 0")
-    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // NaN compares greater than every numeric in Spark's total order, so
+    // `> 0` alone would admit NaN weights; a NaN is not a positive weight
+    val eligible = df.filter(col(weightCol).isNotNull &&
+      !isnan(col(weightCol).cast("double")) && col(weightCol) > 0)
     // u in (0, 1]: top 53 bits of the salted key hash, +1 so ln(u) is finite
     val u = (shiftrightunsigned(
       xxh3_64(concat(lit(s"${salt.length}:$salt#"), keyEnc(keyCol))), 11) + 1)

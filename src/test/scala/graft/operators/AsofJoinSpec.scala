@@ -103,6 +103,25 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: NULL left timestamps and NULL keys match nothing (both directions)") {
+    val l = Seq(
+      (1L, Some("u1"), Some(100L)),
+      (2L, Some("u1"), None: Option[Long]), // NULL ts: no match either direction
+      (3L, None: Option[String], Some(100L)) // NULL key: SQL semantics, no match
+    ).toDF("id", "key", "t")
+    val r = Seq(
+      (Some("u1"), 10L, "x"),
+      (None: Option[String], 10L, "null-key-payload") // must never be carried
+    ).toDF("key", "t", "rv")
+    for (dir <- Seq("backward", "forward")) {
+      val got = Joins.asofJoin(l, r, Seq("key"), "t", "t", Seq("rv"), dir)
+        .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+      assert(got(2L) === None, s"NULL left ts must not match ($dir)")
+      assert(got(3L) === None, s"NULL key must not match ($dir)")
+      assert(got(1L) === (if (dir == "backward") Some("x") else None))
+    }
+  }
+
   test("asofJoin: column collision and empty args fail fast") {
     intercept[IllegalArgumentException] {
       Joins.asofJoin(left, right.withColumnRenamed("rv", "payload"),

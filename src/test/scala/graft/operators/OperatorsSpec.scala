@@ -339,6 +339,13 @@ class OperatorsSpec extends AnyFunSuite {
     val kept = Sampling.weightedPerStratum(mixed, "s", "w", 10, keyCol = "item")
       .select("item").as[String].collect().toSet
     assert(kept === Set("p1", "p2"))
+    // NaN is not a positive weight (Spark's total order ranks NaN above
+    // every numeric, so a bare `> 0` filter would admit it)
+    val withNan = mixed.unionByName(
+      Seq(("nan", java.lang.Double.valueOf(Double.NaN))).toDF("item", "w")
+        .withColumn("s", lit("x")))
+    assert(Sampling.weightedPerStratum(withNan, "s", "w", 10, keyCol = "item")
+      .select("item").as[String].collect().toSet === Set("p1", "p2"))
     // determinism across partitionings; a different salt draws differently
     val big = spark.range(2000).select($"id".as("doc_id"),
       ($"id" % 5).cast("string").as("s"), (pmod($"id" * 37, lit(100)) + 1).cast("double").as("w"))
