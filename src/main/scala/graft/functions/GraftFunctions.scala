@@ -134,6 +134,8 @@ object GraftFunctions {
   def kmv_jaccard(a: Column, b: Column): Column =
     column(KmvJaccard(expression(a), expression(b)))
   def freq_items(sketch: Column): Column = column(FreqItemsList(expression(sketch)))
+  def freq_top(sketch: Column, k: Column): Column =
+    column(FreqTop(expression(sketch), expression(k)))
   def freq_err(sketch: Column): Column = column(FreqItemsErr(expression(sketch)))
   def freq_lower_bound(sketch: Column, hash: Column): Column =
     column(FreqItemsLowerBound(expression(sketch), expression(hash)))
@@ -272,6 +274,7 @@ object GraftFunctions {
       else graft.core.sketch.Kmv.DefaultK).toAggregateExpression()),
     "kmv_merge" -> (e => KmvMergeAgg(e.head).toAggregateExpression()),
     "freq_items" -> (e => FreqItemsList(e.head)),
+    "freq_top" -> (e => FreqTop(e.head, e(1))),
     "freq_err" -> (e => FreqItemsErr(e.head)),
     "freq_lower_bound" -> (e => FreqItemsLowerBound(e.head, e(1))),
     "freq_build" -> (e => FreqItemsBuildAgg(e.head, e(1),

@@ -344,3 +344,36 @@ case class FreqItemsLowerBound(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FreqItemsLowerBound =
     copy(left = l, right = r)
 }
+
+/** Misra-Gries top-k: the k heaviest items as array<struct<hash, lo, hi>>
+  * sorted by stored count DESCENDING (ties by hash unsigned-ascending) —
+  * the "what are the top domains" read API over a freq_build/freq_merge
+  * column. k > stored items returns them all. */
+case class FreqTop(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("hash", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "freq_top"
+  override def nullSafeEval(sketch: Any, k: Any): Any =
+    FreqTop.top(sketch.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) => s"graft.functions.FreqTop.top($s, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FreqTop =
+    copy(left = l, right = r)
+}
+
+object FreqTop {
+  def top(bytes: Array[Byte], k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    require(k >= 0, s"freq_top: k must be >= 0, got $k")
+    val s = graft.core.sketch.FreqItems.fromBytes(bytes)
+    val err = s.errBound
+    val ordered = s.items.sortBy { case (h, c) => (-c, h ^ Long.MinValue) }
+    val rows: Array[Any] = ordered.take(k).map { case (h, c) =>
+      new GenericInternalRow(Array[Any](h, c, c + err))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}

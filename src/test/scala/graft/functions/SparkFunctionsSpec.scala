@@ -274,8 +274,16 @@ class SparkFunctionsSpec extends AnyFunSuite {
         kmv_est(lit(kmvA)), size(kmv_hashes(lit(kmvA))),
         kmv_jaccard(lit(kmvA), lit(kmvB)),
         size(freq_items(lit(fi))), freq_err(lit(fi)),
-        freq_lower_bound(lit(fi), lit(7L)))
+        freq_lower_bound(lit(fi), lit(7L)),
+        size(freq_top(lit(fi), lit(1))))
       assert(sk.collect().head.getDouble(0) === 2.0)
+      // freq_top ranking: heaviest first, ties by hash, truncation at k
+      val fi3 = { val s = graft.core.sketch.FreqItems(8)
+        s.update(5L, 2L); s.update(1L, 9L); s.update(3L, 2L); s.toBytes }
+      val topRows = docs.limit(1).select(freq_top(lit(fi3), lit(2)).as("t"))
+        .selectExpr("transform(t, x -> x.hash) AS hs").collect()(0)
+        .getSeq[Long](0)
+      assert(topRows === Seq(1L, 3L)) // 9 first; 2-2 tie broken by hash
       // array-kernel expressions (l2ap prefix, sorted dot/intersect) and
       // the sequential pack folds, through their operators
       assert(Dedup.sparseCosinePairs(docs, minCos = 0.1).count() >= 0)
