@@ -133,6 +133,8 @@ object GraftFunctions {
   def kmv_hashes(sketch: Column): Column = column(KmvHashes(expression(sketch)))
   def kmv_jaccard(a: Column, b: Column): Column =
     column(KmvJaccard(expression(a), expression(b)))
+  def kmv_union(a: Column, b: Column): Column =
+    column(KmvUnion(expression(a), expression(b)))
   def freq_items(sketch: Column): Column = column(FreqItemsList(expression(sketch)))
   def freq_top(sketch: Column, k: Column): Column =
     column(FreqTop(expression(sketch), expression(k)))
@@ -269,6 +271,7 @@ object GraftFunctions {
     "kmv_est" -> (e => KmvEst(e.head)),
     "kmv_hashes" -> (e => KmvHashes(e.head)),
     "kmv_jaccard" -> (e => KmvJaccard(e.head, e(1))),
+    "kmv_union" -> (e => KmvUnion(e.head, e(1))),
     "kmv_build" -> (e => KmvBuildAgg(e.head,
       if (e.length > 1) e(1).eval().toString.toInt
       else graft.core.sketch.Kmv.DefaultK).toAggregateExpression()),

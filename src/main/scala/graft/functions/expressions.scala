@@ -377,3 +377,27 @@ object FreqTop {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 }
+
+/** Scalar KMV union (lattice join of two sketch byte values) — with
+  * kmv_jaccard and kmv_est this completes the set-op family:
+  * |A∩B| ~= kmv_jaccard(a,b) * kmv_est(kmv_union(a,b)). */
+case class KmvUnion(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kmv_union"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KmvUnion.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.KmvUnion.union($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvUnion =
+    copy(left = l, right = r)
+}
+
+object KmvUnion {
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ka = graft.core.sketch.Kmv.fromBytes(a)
+    ka.merge(graft.core.sketch.Kmv.fromBytes(b))
+    ka.toBytes
+  }
+}

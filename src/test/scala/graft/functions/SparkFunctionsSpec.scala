@@ -275,8 +275,17 @@ class SparkFunctionsSpec extends AnyFunSuite {
         kmv_jaccard(lit(kmvA), lit(kmvB)),
         size(freq_items(lit(fi))), freq_err(lit(fi)),
         freq_lower_bound(lit(fi), lit(7L)),
-        size(freq_top(lit(fi), lit(1))))
-      assert(sk.collect().head.getDouble(0) === 2.0)
+        size(freq_top(lit(fi), lit(1))),
+        kmv_est(kmv_union(lit(kmvA), lit(kmvB))))
+      val skRow = sk.collect().head
+      assert(skRow.getDouble(0) === 2.0)
+      assert(skRow.getDouble(skRow.length - 1) === 2.0) // |{3,9} u {9}| = 2
+      // intersection estimate composes: jaccard * union_est = |A n B|
+      val inter = docs.limit(1).select(
+        (kmv_jaccard(lit(kmvA), lit(kmvB)) *
+          kmv_est(kmv_union(lit(kmvA), lit(kmvB)))).as("i"))
+        .collect()(0).getDouble(0)
+      assert(inter === 1.0)
       // freq_top ranking: heaviest first, ties by hash, truncation at k
       val fi3 = { val s = graft.core.sketch.FreqItems(8)
         s.update(5L, 2L); s.update(1L, 9L); s.update(3L, 2L); s.toBytes }
