@@ -311,6 +311,17 @@ object SparkEntry {
       out.select(col("event_id"), col("user_id"), col("session_idx"))
         .orderBy(col("event_id"))
     }),
+    "q_session_stats" -> ((s, dir) => {
+      // per-session features (start/end/count/duration) over the same
+      // 30-min gap sessions; DuckDB replays sessionization AND the
+      // session-level aggregation
+      graft.operators.Sessionize.sessionStats(
+          s.read.parquet(t(dir, "events")), "user_id", "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_idx"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("duration_sec"), 6).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Efraimidis-Spirakis weighted sampling invariants as a violation
       // query: exact per-stratum size min(k, eligible), sample is a
@@ -1906,6 +1917,26 @@ object SparkEntry {
              CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flags ORDER BY event_id""",
+    "q_session_stats" -> """
+      WITH e AS (
+        SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      flags AS (
+        SELECT user_id, ts, us,
+               CASE WHEN lag(us) OVER w IS NULL THEN 0
+                    WHEN us - lag(us) OVER w > 1800 * 1000000 THEN 1
+                    ELSE 0 END AS isnew
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, us,
+               CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flags)
+      SELECT user_id, session_idx, min(ts) AS session_start,
+             max(ts) AS session_end, count(*) AS n_events,
+             round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""",
     "q_weighted_sample" -> """
       SELECT 'x' AS what WHERE 1 = 0""",
     "q_asof_forward" -> """
