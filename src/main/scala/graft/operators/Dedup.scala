@@ -39,6 +39,10 @@ object Dedup {
     * is zero-copy). */
   private[operators] def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // NOTE (r7 audit): Spark 4.1's EAGER Dataset.checkpoint runs exactly ONE
+    // job (`internalRdd.checkpoint(); internalRdd.doCheckpoint()` — the write
+    // job IS the computation), so no persist-before-checkpoint scaffolding is
+    // needed; measured, adding one only buys InMemoryRelation build overhead.
     val cut =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -162,6 +166,11 @@ object Dedup {
     // per-doc array ops run on corpus-cardinality rows. ceil is computed
     // with a 1e-9 slack so float error can only LENGTHEN the prefix (never
     // breaks exactness, only admits a few extra candidates).
+    // NOT pinned, deliberately (r7 audit): the plan references this frame
+    // three times (prefix explode + both verify sides), but AQE's runtime
+    // shuffle-stage reuse dedupes the identical scan->shingle->agg stages
+    // across the re-expansions, so a checkpoint here only adds a
+    // write+read of the array state — measured neutral-to-slower at sf0.1.
     val docSets = shh.join(dfTab, "h")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("__dfh"))

@@ -41,16 +41,38 @@ object Retrieval {
                idCol: String = "doc_id", textCol: String = "text",
                queryIdCol: String = "query_id"): DataFrame = {
     require(k > 0, "bm25TopK: k must be positive")
-    val terms = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    // scale-adaptive width for the tokenize stage: a corpus narrower than
+    // the session's parallelism (one small parquet file locally) would run
+    // the explode+tf aggregation — the index build's whole CPU cost — in
+    // that handful of tasks. Widen ONLY then; a corpus that already scans
+    // wide (the 100-TB case: thousands of input splits) must not pay a
+    // full-text shuffle for nothing.
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val docsWide =
+      if (docs.rdd.getNumPartitions < para)
+        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+          .repartition(para)
+      else docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+    val terms = docsWide
+      .select(col("doc_id"), explode(split(lower(col("__text")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    // one shuffle builds tf; df/dl/N/avgdl all derive from tf (no rescan)
-    val tf = terms.groupBy(col("term"), col("doc_id"))
+    // one shuffle builds tf; a window over the doc partition attaches the
+    // doc length to every posting WITHOUT a per-query dl join (the join
+    // used to shuffle+sort the matched posting stream by doc_id on every
+    // scoring call — now dl is part of the index row). The combined
+    // (term, doc_id, tf, dl) index is PINNED: the plan references it for
+    // scoring, df and stats, and Catalyst re-expands an unpinned subtree
+    // per reference — the corpus was tokenized and aggregated 4x per run
+    // (measured as four identical serial stages at sf0.1).
+    val tf0 = terms.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val index = Dedup.pin(tf0.select(col("term"), col("doc_id"), col("tf"),
+      sum(col("tf")).over(wDoc).as("dl")))
+    // corpus stats from the pinned state: dl is constant within a doc, so
+    // max(dl) per doc reproduces the doc-length table exactly
+    val dl = index.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val qterms = queries
       .select(col(queryIdCol).cast("long").as("query_id"),
@@ -59,11 +81,25 @@ object Retrieval {
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).as("qtf"))
 
-    // scoring: query terms -> matching postings; idf via the small df side
-    val scored = qterms
-      .join(df, Seq("term"))
-      .join(tf, Seq("term"))
-      .join(dl, Seq("doc_id"))
+    // df ONLY for terms the queries mention (identical values for every
+    // term actually used — non-query terms' df never enters a score): a
+    // broadcast semi-join prunes the postings BEFORE the df aggregation,
+    // so the term-keyed shuffle carries matched postings, not the corpus
+    val df = index.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // scoring: the query-side (qterms x df, bounded by the query batch) is
+    // BROADCAST, so the index is probed in place — never shuffled, never
+    // sorted, no join strategy left to size estimates (the pinned state
+    // has none and used to fall to SortMergeJoin). Probe width: the pinned
+    // state can be AQE-coalesced to a handful of partitions while the join
+    // OUTPUT (matched postings) is the big thing — spread the probe side
+    // first, exactly like the sparse-cosine prefix join; guarded so a
+    // corpus that is already wide (the 100-TB case) does not reshuffle.
+    val probe =
+      if (index.rdd.getNumPartitions < para) index.repartition(para) else index
+    val scored = probe
+      .join(broadcast(qterms.join(df, Seq("term"))), Seq("term"))
       .crossJoin(broadcast(stats)) // 1 row: N + avgdl ride along
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
