@@ -166,12 +166,14 @@ object Dedup {
     // per-doc array ops run on corpus-cardinality rows. ceil is computed
     // with a 1e-9 slack so float error can only LENGTHEN the prefix (never
     // breaks exactness, only admits a few extra candidates).
-    // NOT pinned, deliberately (r7 audit): the plan references this frame
-    // three times (prefix explode + both verify sides), but AQE's runtime
-    // shuffle-stage reuse dedupes the identical scan->shingle->agg stages
-    // across the re-expansions, so a checkpoint here only adds a
-    // write+read of the array state — measured neutral-to-slower at sf0.1.
-    val docSets = shh.join(dfTab, "h")
+    // PINNED like the sparse-cosine state: the plan references this frame
+    // three times (prefix explode + both verify sides) and Catalyst
+    // re-expands a referenced subtree per reference — unpinned, the corpus
+    // was shingled and df-aggregated once per reference (three identical
+    // fat stages in the e2e profile). The pinned state has no size stats,
+    // so the joins below pick their strategy explicitly (shuffle_hash)
+    // instead of inheriting lucky small-corpus broadcast estimates.
+    val docSets = pin(shh.join(dfTab, "h")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("__dfh"))
       .withColumn("sz", size(col("__dfh")).cast("long"))
@@ -179,19 +181,40 @@ object Dedup {
         (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .withColumn("prefix", transform(slice(col("__dfh"), lit(1), col("__plen")), x => x("h")))
       .withColumn("shs", sort_array(transform(col("__dfh"), x => x("h"))))
-      .select(col("id"), col("sz"), col("prefix"), col("shs"))
+      .select(col("id"), col("sz"), col("prefix"), col("shs")))
 
-    val prefix = docSets.select(col("id"), col("sz"), explode(col("prefix")).as("h"))
+    val prefix = docSets.select(col("id"), col("sz"),
+        posexplode(col("prefix")).as(Seq("pos", "h")))
 
     // duplicate candidates (pairs sharing several prefix shingles) are NOT
     // deduped here: the verify side is two broadcast-sized lookups, so
-    // re-verifying a ~1.2x duplication factor is cheaper than a full
+    // re-verifying the remaining duplication is cheaper than a full
     // shuffle+agg over the candidate pairs; survivors dedupe at the end
-    val candidates = prefix.as("a").join(prefix.as("b"),
+    //
+    // Join filter = length filter + the PPJoin POSITIONAL filter (Xiao et
+    // al. WWW'08 §3.2), the set analog of the sparse-cosine positional
+    // bound: J >= t forces |A∩B| >= ceil(t/(1+t) * (|A|+|B|)), and at a
+    // shared prefix shingle sitting at 0-based positions (i, j) of the
+    // df-ordered arrays, overlap <= 1 + min(|A|-i-1, |B|-j-1) — every
+    // other common shingle sorts AFTER it in the global (df, h) order.
+    // The bound is tight at the pair's FIRST shared shingle, so a
+    // qualifying pair always survives on that row (later shared-shingle
+    // rows may prune — they were duplicates). Exact; measured to cut the
+    // candidate volume and the array-widened verify exchange several-fold
+    // at sf0.1. ceil slack 1e-9 so float error only ever ADMITS.
+    // SHUFFLE-HASH self-join on the prefix shingle (the inverted-index
+    // join): the pinned state has no size stats, so left to the planner
+    // this falls to SortMergeJoin — sorting both exploded prefix streams
+    // for an equi-join whose output is consumed unordered. The explicit
+    // hint keeps the 100-TB-safe shuffle plan without the sorts (a
+    // broadcast would only ever fit by accident of a small corpus).
+    val candidates = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
         // length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
         col("b.sz") >= lit(minJaccard) * col("a.sz") - lit(1e-9) &&
-        col("a.sz") >= lit(minJaccard) * col("b.sz") - lit(1e-9))
+        col("a.sz") >= lit(minJaccard) * col("b.sz") - lit(1e-9) &&
+        lit(1L) + least(col("a.sz") - col("a.pos") - 1L, col("b.sz") - col("b.pos") - 1L) >=
+          ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("a.sz") + col("b.sz")) - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
 
     val sets = docSets.select(col("id"), col("shs"))
