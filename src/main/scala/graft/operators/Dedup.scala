@@ -50,6 +50,20 @@ object Dedup {
       spark, cut.queryExecution.toRdd, df.schema)
   }
 
+  /** Scale-adaptive width for per-row kernel stages (BATCH frames only —
+    * `df.rdd` rejects streaming plans): an input narrower than the
+    * session's parallelism (locally: one small parquet file = one scan
+    * task) runs its codegen'd text kernels — shingling, rolling hashes,
+    * fingerprints — in that handful of tasks, serializing the stage that
+    * carries most of the operator's CPU. Widen ONLY then: the repartition
+    * moves the raw rows once (bytes the kernels were about to read
+    * anyway), and an input that already scans wide (the 100-TB case:
+    * thousands of splits) pays nothing. */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < para) df.repartition(para) else df
+  }
+
   /** Exact dedup: keep the smallest id per identical text, keyed by a
     * 128-bit content signature (XXH3 + an independent rolling hash), so the
     * shuffle carries 16 bytes per row — never the text. Two distinct texts
@@ -96,18 +110,40 @@ object Dedup {
    * even over 1e12 verified pairs; cross-pair collisions are harmless).
    */
   def verifyJaccardPairsWithSets(candidates: DataFrame, sets: DataFrame,
-                                 minJaccard: Double): DataFrame = {
-    // SHUFFLE-HASH joins with the per-doc set table as the build side (one
-    // bounded array row per doc): the candidate side is pair-count-sized
-    // and array-widened after the first join, and a sort-merge join would
-    // SORT that fat intermediate — the same sort-spill class measured at
-    // 10.4GB on the sparse-cosine verify (see sparseCosinePairs); hash
-    // joins stream the pairs and sort nothing
+                                 minJaccard: Double): DataFrame =
+    verifyJaccardPairsWithSets(candidates, sets, minJaccard, broadcastSets = false)
+
+  /** Maximum per-doc-state row count for which the verify joins BROADCAST
+    * the set/state table instead of shuffle-hashing the candidate stream
+    * through two exchanges. The second of those exchanges carries the
+    * stream ALREADY WIDENED by the first side's array — measured 1.4 GB at
+    * sf0.1 on the sparse-cosine verify for a 70 MB pair list — so when the
+    * state fits executor memory, broadcasting it keeps the whole verify in
+    * the candidate-emission stage with zero pair-stream exchanges. 64k
+    * docs at ~1 KB of arrays each is a ~64 MB broadcast: comfortably
+    * inside default executor memory, far under the 8 GB broadcast cap.
+    * Above the cap the shuffle-hash plan is the 100-TB path (build side =
+    * per-partition slice of the state, stream never sorted). */
+  private[operators] val VerifyBroadcastMaxDocs = 65536L
+
+  private[operators] def verifyJaccardPairsWithSets(
+      candidates: DataFrame, sets: DataFrame,
+      minJaccard: Double, broadcastSets: Boolean): DataFrame = {
+    // Strategy (see VerifyBroadcastMaxDocs): BROADCAST the per-doc set
+    // table when the caller measured it small — the candidate stream then
+    // flows through both lookups in one stage, exchanged zero times;
+    // otherwise SHUFFLE-HASH joins with the set table as the build side
+    // (one bounded array row per doc): the candidate side is
+    // pair-count-sized and array-widened after the first join, and a
+    // sort-merge join would SORT that fat intermediate — the same
+    // sort-spill class measured at 10.4GB on the sparse-cosine verify
+    // (see sparseCosinePairs); hash joins stream the pairs and sort
+    // nothing.
+    def side(s: DataFrame): DataFrame =
+      if (broadcastSets) broadcast(s) else s.hint("shuffle_hash")
     candidates
-      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(side(sets.select(col("id").as("id_a"), col("shs").as("shs_a"))), "id_a")
+      .join(side(sets.select(col("id").as("id_b"), col("shs").as("shs_b"))), "id_b")
       .withColumn("inter", sortedIntersectCount(col("shs_a"), col("shs_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
@@ -143,7 +179,7 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text",
                         maxShingleDf: Int = 0): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0, "minJaccard must be in (0, 1]")
-    val sh0 = docs.select(col(idCol).as("id"),
+    val sh0 = widen(docs).select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("sh"))
     val shStr = if (maxShingleDf > 0) {
       val df = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -218,7 +254,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
 
     val sets = docSets.select(col("id"), col("shs"))
-    verifyJaccardPairsWithSets(candidates, sets, minJaccard)
+    // docSets is pinned, so counting it is one cheap scan of the
+    // checkpointed state — the exact cardinality the broadcast decision
+    // needs (the pinned frame carries no stats for AQE to decide with)
+    verifyJaccardPairsWithSets(candidates, sets, minJaccard,
+        broadcastSets = docSets.count() <= VerifyBroadcastMaxDocs)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -278,7 +318,7 @@ object Dedup {
     // without this prefilter the ngram>1 whole-text collapse would give
     // every empty doc the same single feature and emit a quadratic set of
     // vacuous cosine-1.0 pairs
-    val nonEmpty = docs.filter(trim(col(textCol)) =!= "")
+    val nonEmpty = widen(docs).filter(trim(col(textCol)) =!= "")
     // NOTE: WordShingles dedupes, so n-gram tf needs occurrence counts —
     // use the positional sliding window for ngram > 1, plain split for 1
     val features =
@@ -352,22 +392,32 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // verification: attach both docs' sorted (hash, weight) arrays to each
-    // candidate pair and merge-dot per row — via SHUFFLE-HASH joins with
-    // the (row-tiny) state side as the build map, NEVER sort-merge. The
+    // candidate pair and merge-dot per row — NEVER sort-merge: the
     // candidate side of these joins is pair-count-sized and array-widened;
     // sort-merge would SORT that fat intermediate, and stage attribution
     // at 100k docs / ~4.5M candidates showed the sort as the dominant
     // cost: one stage spilling 10.4GB (25GB for the feature-exploded
     // alternative, which also multiplies row count by vector length) —
-    // and sort-spill I/O capped 4->16-core scaling at ~0.67. Hash joins
-    // build on the state (bounded: one row per doc) and STREAM the pairs:
-    // no sort, no spill; measured 17.8s -> 9.5s at local[16] on the same
-    // corpus, and scaling recovers to the platform ceiling.
+    // and sort-spill I/O capped 4->16-core scaling at ~0.67.
+    // Strategy is size-adaptive like the Jaccard verify
+    // (VerifyBroadcastMaxDocs): the pinned state carries no stats, so the
+    // choice is made from its exact cardinality (one cheap checkpoint
+    // scan). Small state -> BROADCAST both lookups: the candidate stream
+    // flows through the whole verify in its emission stage, exchanged
+    // zero times (the shuffle-hash plan exchanged it twice, the second
+    // time already widened by side A's arrays — measured 1.4 GB at sf0.1
+    // for a 70 MB pair list). Big state -> SHUFFLE-HASH with the state as
+    // the per-partition build map: the 100-TB path (no sort, no spill;
+    // measured 17.8s -> 9.5s at local[16] vs sort-merge, and scaling
+    // recovers to the platform ceiling).
+    val bcast = state.count() <= VerifyBroadcastMaxDocs
+    def vside(s: DataFrame): DataFrame =
+      if (bcast) broadcast(s) else s.hint("shuffle_hash")
     val stateA = state.select(col("id").as("id_a"), col("hk").as("hk_a"), col("wv").as("wv_a"))
     val stateB = state.select(col("id").as("id_b"), col("hk").as("hk_b"), col("wv").as("wv_b"))
     candidates
-      .join(stateA.hint("shuffle_hash"), "id_a")
-      .join(stateB.hint("shuffle_hash"), "id_b")
+      .join(vside(stateA), "id_a")
+      .join(vside(stateB), "id_b")
       .withColumn("cos", round(
         sorted_weighted_dot(col("hk_a"), col("wv_a"), col("hk_b"), col("wv_b")), 9))
       .filter(col("cos") >= minCos)
@@ -495,7 +545,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
+    val sigs = minhashSignatures(widen(docs), n, numHashes, idCol, textCol)
 
     // band bucket id = hash of the row hashes of that band
     val bandCols = (0 until bands).map { b =>
@@ -554,7 +604,7 @@ object Dedup {
       .select(explode(shingles(col(refTextCol), n)).as("sh"))
       .select(xxh3_64(col("sh")).as("h"))
       .distinct()
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    widen(docs).select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
       .select(col(idCol), xxh3_64(col("sh")).as("h"))
       .join(refGrams, "h") // inner on distinct ref grams: one row per hit
       .groupBy(col(idCol))
@@ -617,7 +667,7 @@ object Dedup {
   def stripBoilerplateLines(docs: DataFrame, minDf: Long,
                             idCol: String = "doc_id", textCol: String = "text",
                             maxBoilerplateLines: Long = 0L): DataFrame = {
-    val pinned = pin(docs)
+    val pinned = pin(widen(docs))
     val lines = pinned.select(col(idCol), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("col", "line")
     val boiler = pin(boilerplateLines(pinned, minDf, idCol, textCol)
@@ -680,13 +730,13 @@ object Dedup {
       s"to be a repeat), got $minDf")
     import graft.functions.GraftFunctions.{rolling_kgram_hashes, merge_spans}
     // pinned: the index is referenced twice (df aggregation + flag join)
-    // and Catalyst re-expands referenced subtrees. (Measured and NOT done:
-    // repartitioning the index before the pin — on a small single-split
-    // input the pin holds 1-2 partitions and downstream exchange map sides
-    // run serially, but the repartition's own map side IS that same serial
-    // explode, so it only adds a shuffle; at crawl scale the input has
-    // thousands of splits and neither effect exists.)
-    val grams = pin(docs.select(col(idCol),
+    // and Catalyst re-expands referenced subtrees. The INPUT is widened
+    // (not the index): repartitioning after the explode leaves the serial
+    // explode serial, but repartitioning the raw docs first moves only the
+    // text bytes the rolling-hash kernel was about to read and spreads the
+    // kernel across the session's cores; at crawl scale widen() is the
+    // identity and neither effect exists.
+    val grams = pin(widen(docs).select(col(idCol),
         posexplode(rolling_kgram_hashes(col(textCol), minLen, stride)))
       .select(col(idCol), (col("pos").cast("long") * stride).as("p"), col("col").as("h")))
     val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -721,7 +771,7 @@ object Dedup {
     val perDoc = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    docs.join(perDoc, Seq(idCol), "left")
+    widen(docs).join(perDoc, Seq(idCol), "left")
       .select(docs.columns.map(c =>
         if (c == textCol)
           when(col("__spans").isNull, col(textCol))
@@ -758,7 +808,7 @@ object Dedup {
                          k: Int = 8, w: Int = 4,
                          idCol: String = "doc_id", textCol: String = "text",
                          maxFingerprintDf: Int = 1000): DataFrame = {
-    val fp0 = docs.select(col(idCol).as("id"),
+    val fp0 = widen(docs).select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.winnow_set(col(textCol), k, w)).as("f"))
     // pin the fingerprint index: it is referenced twice by the self-join
     // (plus twice more via the df cap), and Catalyst re-expands referenced
@@ -1042,7 +1092,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     simhashPairsFromSigs(
-      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")), maxHamming)
+      widen(docs).select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")), maxHamming)
 
   /** As [[simhashPairs]] but over precomputed 64-bit signatures — the entry
     * point for callers that persist a signature table (one simhash pass,

@@ -58,13 +58,17 @@ object LangModel {
     require(n >= 2, s"n-gram LM needs n >= 2, got $n (n=1 has no context)")
     require(minCount >= 1, "minCount must be >= 1")
     require(k > 0, "add-k smoothing needs k > 0")
-    val grams = docs
+    // widen a narrow input (one local parquet split) so the per-row n-gram
+    // kernel runs across the session's cores, not in the lone scan task;
+    // identity at crawl scale — see Dedup.widen
+    val wdocs = Dedup.widen(docs)
+    val grams = wdocs
       .select(explode(word_ngram_counts(col(textCol), n)).as("g"))
       .groupBy(col("g.gram").as("gram")).agg(sum(col("g.m")).as("c"))
     // one distinct-gram-per-doc pass for V: cheaper than it looks — the
     // unigram explode shuffles (doc-distinct token, 1) pairs, and
     // count(DISTINCT) is exact by construction of the gate contract
-    val vocab = docs
+    val vocab = wdocs
       .select(explode(word_ngram_counts(col(textCol), 1)).as("u"))
       .agg(countDistinct(col("u.gram")).as("v"))
       .head().getLong(0) + 1L
@@ -80,7 +84,7 @@ object LangModel {
     * treat them via the short-doc quality filters instead). */
   def scoreNll(docs: DataFrame, lm: NgramLm, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val dg = docs.select(col(idCol).as("id"),
+    val dg = Dedup.widen(docs).select(col(idCol).as("id"),
         explode(word_ngram_counts(col(textCol), lm.n)).as("g"))
       .select(col("id"), col("g.gram").as("gram"), col("g.m").as("m"))
     val prob = (coalesce(col("c"), lit(0L)) + lit(lm.k)) /

@@ -233,10 +233,13 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan.take(2000))
-    // per-doc prefix state is one grouped aggregation (no window sort pass)
-    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
-      plan.take(2000))
+    // the per-doc prefix state is built by one grouped aggregation (no
+    // window sort pass) and PINNED during construction (r7), so the final
+    // plan consumes it as a materialized scan rather than re-deriving it
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
     assert(!plan.contains("RunningWindowFunction"), "prefix must not need a window")
+    assert(!plan.contains("SortMergeJoin"),
+      "candidate/verify joins must be hash joins, never sort-merge: " + plan.take(2000))
   }
 
   test("bucketed sketch-state tables join with NO exchange (co-located merge)") {
