@@ -40,6 +40,16 @@ case class MediaMeta(
  */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches: every ImageIO.read /
+  // ImageIO.write over an in-memory blob round-trips the compressed bytes
+  // through a temp FILE (FileCacheImageInput/OutputStream). Our blobs are
+  // already byte arrays, so the disk hop is pure overhead — use the
+  // memory-backed cache streams instead. JVM-global static flag; the
+  // object initializer runs in every executor JVM before the first decode
+  // (the mapPartitions closures reference this object). Decode/encode
+  // results are bit-identical either way.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via the JDK's ImageIO: returns (width, height, 1)
     * for blobs whose container ImageIO can read; None otherwise. Header
     * decode only — `getWidth/getHeight` read the metadata, not the pixels. */
