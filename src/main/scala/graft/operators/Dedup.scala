@@ -667,7 +667,11 @@ object Dedup {
   def stripBoilerplateLines(docs: DataFrame, minDf: Long,
                             idCol: String = "doc_id", textCol: String = "text",
                             maxBoilerplateLines: Long = 0L): DataFrame = {
-    val pinned = pin(widen(docs))
+    // no widen here (r7): the per-row kernel is a plain "\n" split —
+    // too cheap for the widening shuffle to pay for itself (measured
+    // +0.1s warm at sf0.1); the heavy work is the post-explode agg,
+    // which parallelizes through its own exchange
+    val pinned = pin(docs)
     val lines = pinned.select(col(idCol), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("col", "line")
     val boiler = pin(boilerplateLines(pinned, minDf, idCol, textCol)
