@@ -1651,11 +1651,15 @@ object SparkEntry {
           s.read.format("warc").option("types", "resource").load(tmp)
             .select(col("url"), col("payload")),
           bl, urlCol = "url", idCol = "url")
+        // 4 archive files -> widen BEFORE the HTML extraction, so the
+        // parser (the expensive per-row kernel here) and the downstream
+        // quality kernels run across the session's cores instead of in
+        // the 4 archive-read tasks; the shuffle moves the same payload
+        // bytes the parser was about to read (r7)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(regexp_extract(col("url"), "d(\\d+)\\.example", 1)
             .cast("long").as("doc_id"),
           html_text(col("payload").cast("string")).as("text"))
-        // 4 archive files -> spread the row-local quality kernels wide
-        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint()
       val kept = docs0.filter(graft.operators.TextQuality.keepColumn())
       val stripped = Dedup.stripBoilerplateLines(kept, minDf = 50).localCheckpoint()
