@@ -58,17 +58,18 @@ object LangModel {
     require(n >= 2, s"n-gram LM needs n >= 2, got $n (n=1 has no context)")
     require(minCount >= 1, "minCount must be >= 1")
     require(k > 0, "add-k smoothing needs k > 0")
-    // widen a narrow input (one local parquet split) so the per-row n-gram
-    // kernel runs across the session's cores, not in the lone scan task;
-    // identity at crawl scale — see Dedup.widen
-    val wdocs = Dedup.widen(docs)
-    val grams = wdocs
+    // no widen here (r7): the n-gram count kernel is cheap relative to the
+    // repartition it would take to spread it, and `docs` is referenced
+    // twice (grams + vocab) so the widening shuffle would run twice —
+    // measured ~0.3s slower at sf0.1 with it; the aggregations parallelize
+    // through their own exchanges
+    val grams = docs
       .select(explode(word_ngram_counts(col(textCol), n)).as("g"))
       .groupBy(col("g.gram").as("gram")).agg(sum(col("g.m")).as("c"))
     // one distinct-gram-per-doc pass for V: cheaper than it looks — the
     // unigram explode shuffles (doc-distinct token, 1) pairs, and
     // count(DISTINCT) is exact by construction of the gate contract
-    val vocab = wdocs
+    val vocab = docs
       .select(explode(word_ngram_counts(col(textCol), 1)).as("u"))
       .agg(countDistinct(col("u.gram")).as("v"))
       .head().getLong(0) + 1L
@@ -84,7 +85,7 @@ object LangModel {
     * treat them via the short-doc quality filters instead). */
   def scoreNll(docs: DataFrame, lm: NgramLm, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val dg = Dedup.widen(docs).select(col(idCol).as("id"),
+    val dg = docs.select(col(idCol).as("id"),
         explode(word_ngram_counts(col(textCol), lm.n)).as("g"))
       .select(col("id"), col("g.gram").as("gram"), col("g.m").as("m"))
     val prob = (coalesce(col("c"), lit(0L)) + lit(lm.k)) /
