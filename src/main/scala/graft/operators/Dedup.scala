@@ -318,7 +318,12 @@ object Dedup {
     // without this prefilter the ngram>1 whole-text collapse would give
     // every empty doc the same single feature and emit a quadratic set of
     // vacuous cosine-1.0 pairs
-    val nonEmpty = widen(docs).filter(trim(col(textCol)) =!= "")
+    // no widen here (r7): the unigram tokenize is a plain split — too
+    // cheap for the widening shuffle to pay for itself (measured ~0.3s
+    // slower with it at sf0.1); the tf aggregation parallelizes through
+    // its own exchange, and the candidate/verify stages are spread by the
+    // explicit prefix repartition below
+    val nonEmpty = docs.filter(trim(col(textCol)) =!= "")
     // NOTE: WordShingles dedupes, so n-gram tf needs occurrence counts —
     // use the positional sliding window for ngram > 1, plain split for 1
     val features =
